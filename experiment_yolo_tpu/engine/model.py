@@ -1,0 +1,90 @@
+"""Model facade — the `YOLO` user API.
+
+Counterpart of the reference's ``engine/model.py:15`` (``Model``): one
+object that routes ``.train()/.val()/.predict()/.benchmark()`` to the task
+engines. Task map is detection-only for now (the reference's task_map at
+``models/yolo/model.py:8-45``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from experiment_yolo_tpu.nn.tasks import DetectionModel
+from experiment_yolo_tpu.utils import LOGGER
+
+
+class YOLO:
+    """Unified detection model API.
+
+    Example:
+        model = YOLO('yolov8n.yaml')
+        model.train(data='coco128.yaml', epochs=3, imgsz=640)
+        results = model.predict('image.jpg')
+    """
+
+    def __init__(self, model: str | Path = "yolov8n.yaml", nc: Optional[int] = None, dtype=jnp.float32, seed: int = 0):
+        model = str(model)
+        self.ckpt_path: Optional[str] = None
+        if model.endswith((".yaml", ".yml")):
+            self.model = DetectionModel(model, nc=nc, dtype=dtype)
+            self.variables = self.model.init(jax.random.PRNGKey(seed))
+        elif model.endswith(".ckpt") or Path(model).is_dir():
+            from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
+
+            self.model, self.variables = load_checkpoint(model, dtype=dtype)
+            self.ckpt_path = model
+        else:
+            raise ValueError(f"unsupported model source {model!r} (expected .yaml or checkpoint dir)")
+        self.overrides: Dict[str, Any] = {}
+        self.trainer = None
+        self.predictor = None
+
+    # -- info ---------------------------------------------------------------
+    @property
+    def nc(self) -> int:
+        return self.model.nc
+
+    def info(self) -> str:
+        s = self.model.info(self.variables)
+        LOGGER.info(s)
+        return s
+
+    def num_params(self) -> int:
+        return self.model.num_params(self.variables)
+
+    # -- task routing ---------------------------------------------------------
+    def train(self, **kwargs):
+        from experiment_yolo_tpu.engine.trainer import DetectionTrainer
+
+        self.trainer = DetectionTrainer(model=self.model, variables=self.variables, overrides={**self.overrides, **kwargs})
+        results = self.trainer.train()
+        self.variables = self.trainer.best_variables or self.trainer.variables
+        return results
+
+    def val(self, **kwargs):
+        from experiment_yolo_tpu.engine.validator import DetectionValidator
+
+        validator = DetectionValidator(args={**self.overrides, **kwargs})
+        return validator(model=self.model, variables=self.variables)
+
+    def predict(self, source, **kwargs):
+        from experiment_yolo_tpu.engine.predictor import DetectionPredictor
+
+        if self.predictor is None:
+            self.predictor = DetectionPredictor(self.model, self.variables, overrides={**self.overrides, **kwargs})
+        return self.predictor(source)
+
+    def benchmark(self, **kwargs):
+        from experiment_yolo_tpu.utils.benchmarks import benchmark_model
+
+        return benchmark_model(self.model, self.variables, **kwargs)
+
+    def save(self, path: str | Path):
+        from experiment_yolo_tpu.engine.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.model, self.variables)

@@ -1,0 +1,676 @@
+"""Core NN modules (flax.linen, NHWC, TPU-first).
+
+Rebuild of the reference's module library (``ultralytics/nn/modules/conv.py``,
+``block.py``, ``head.py`` and the DEAL additions in
+``nn/extra_modules/block.py:3402-3547``) as functional flax modules:
+
+- NHWC layout everywhere (TPU-native; the reference is NCHW).
+- Explicit symmetric padding (k//2) matching torch's Conv2d arithmetic, so
+  feature-map shapes line up with the reference for stride-2 downsampling.
+- BatchNorm momentum 0.97 / eps 1e-3 (torch momentum 0.03 as in Ultralytics).
+  In inference mode BN is a constant scale+shift which XLA fuses into the
+  convolution epilogue, so a separate conv+BN "fuse" pass (reference
+  ``torch_utils.py:171``) is unnecessary on TPU.
+- Every module takes ``(x, train: bool)``; modules that consume several graph
+  nodes (Concat, Zoom_cat, ScalSeq, Add, Detect, ...) take a list.
+
+Compute dtype is configurable (bf16 for MXU-friendly training/inference);
+params stay fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-shape padding for odd kernels (reference: conv.py:autopad)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+def _act(name, x):
+    if name in (True, "silu"):
+        return jax.nn.silu(x)
+    if name in (False, None, "identity"):
+        return x
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "leaky_relu_0.1":
+        return jax.nn.leaky_relu(x, 0.1)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(x)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class ConvBN(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + activation — the reference's ``Conv``.
+
+    Reference: ultralytics/nn/modules/conv.py:Conv (default_act = SiLU).
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return _act(self.act, x)
+
+
+class DWConv(ConvBN):
+    """Depthwise conv: groups = c2 (inputs must have c1 == c2 multiples)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = math.gcd(x.shape[-1], self.c2)
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=g,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn",
+        )(x)
+        return _act(self.act, x)
+
+
+class Focus(nn.Module):
+    """Space-to-depth (2x2) then conv (reference: conv.py:Focus)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1
+        )
+        return ConvBN(self.c2, self.k, self.s, act=self.act, dtype=self.dtype, name="conv")(x, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (reference: conv.py:GhostConv)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBN(c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y2 = ConvBN(c_, 5, 1, None, c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class Bottleneck(nn.Module):
+    """Standard YOLO bottleneck (reference: block.py:Bottleneck)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """CSP bottleneck with 2 convs, fast (reference: block.py:C2f).
+
+    cv1 -> split in two -> chain n bottlenecks on the running tail ->
+    concat everything -> cv2.
+    """
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m{i}")(ys[-1], train)
+            )
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference: block.py:C3)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, k=(1, 3), e=1.0, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+def _max_pool_same(x, k):
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)])
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling, fast (reference: block.py:SPPF)."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = _max_pool_same(y, self.k)
+        y2 = _max_pool_same(y1, self.k)
+        y3 = _max_pool_same(y2, self.k)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([y, y1, y2, y3], -1), train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (reference: block.py:SPP)."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y] + [_max_pool_same(y, k) for k in self.k]
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbour 2x upsample (the configs' ``nn.Upsample``)."""
+
+    scale: int = 2
+    mode: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.mode == "nearest", "only nearest upsampling is used by the configs"
+        x = jnp.repeat(x, self.scale, axis=1)
+        return jnp.repeat(x, self.scale, axis=2)
+
+
+class Concat(nn.Module):
+    """Channel concat of a list of feature maps (reference: conv.py:Concat)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return jnp.concatenate(xs, axis=-1)
+
+
+class Add(nn.Module):
+    """Elementwise sum of a list (DEAL ASF fusion; reference block.py:3479)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        out = xs[0]
+        for x in xs[1:]:
+            out = out + x
+        return out
+
+
+class SPDConv(nn.Module):
+    """Space-to-depth conv for small objects (reference: block.py:2497)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1
+        )
+        return ConvBN(self.c2, 3, 1, dtype=self.dtype, name="conv")(x, train)
+
+
+# ---------------------------------------------------------------------------
+# DEAL-YOLO: LDConv (Linear Deformable Convolution)
+# ---------------------------------------------------------------------------
+
+
+def ldconv_sample_grid(num_param: int) -> jnp.ndarray:
+    """Initial sampling offsets p_n for N sampling points (reference conv.py:414).
+
+    Row-major grid of round(sqrt(N)) columns plus a remainder row.
+    Returns (N, 2) float32 (row, col) offsets.
+    """
+    base = round(math.sqrt(num_param))
+    rows = num_param // base
+    rem = num_param % base
+    pts = [(r, c) for r in range(rows) for c in range(base)]
+    pts += [(rows, c) for c in range(rem)]
+    return jnp.asarray(pts, dtype=jnp.float32)  # (N, 2)
+
+
+def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling of x at fractional positions p (clamped at borders).
+
+    TPU-native formulation of the reference's 4-corner gather
+    (conv.py:389-470): one fused gather over flattened spatial indices.
+
+    Args:
+        x: (B, H, W, C) features.
+        p: (B, h, w, N, 2) sampling positions as (row, col) floats.
+
+    Returns:
+        (B, h, w, N, C) sampled features.
+    """
+    b, hx, wx, c = x.shape
+    pr = jnp.clip(p[..., 0], 0.0, hx - 1)
+    pc = jnp.clip(p[..., 1], 0.0, wx - 1)
+    r0 = jnp.clip(jnp.floor(pr), 0, hx - 1)
+    c0 = jnp.clip(jnp.floor(pc), 0, wx - 1)
+    r1 = jnp.clip(r0 + 1, 0, hx - 1)
+    c1 = jnp.clip(c0 + 1, 0, wx - 1)
+    # bilinear weights (reference's g_lt/g_rb/g_lb/g_rt)
+    wr1 = pr - r0
+    wc1 = pc - c0
+    wr0 = 1.0 - wr1
+    wc0 = 1.0 - wc1
+
+    x_flat = x.reshape(b, hx * wx, c)
+
+    def gather(rr, cc):
+        idx = (rr * wx + cc).astype(jnp.int32)  # (B, h, w, N)
+        flat = idx.reshape(b, -1)
+        out = jnp.take_along_axis(x_flat, flat[..., None], axis=1)
+        return out.reshape(*idx.shape, c)
+
+    out = (
+        (wr0 * wc0)[..., None] * gather(r0, c0)
+        + (wr1 * wc1)[..., None] * gather(r1, c1)
+        + (wr1 * wc0)[..., None] * gather(r1, c0)
+        + (wr0 * wc1)[..., None] * gather(r0, c1)
+    )
+    return out
+
+
+class LDConv(nn.Module):
+    """Linear Deformable Convolution — the DEAL-YOLO core op.
+
+    Reference: ultralytics/nn/modules/conv.py:350-480. A 3x3 conv predicts
+    2N per-pixel offsets (zero-init so training starts from the regular
+    grid); features are bilinearly resampled at N deformed points; the
+    (N,1)-kernel conv of the reference is algebraically a dense layer over
+    the N*C sampled features, which we implement as a single MXU matmul.
+
+    Note: the reference registers a backward hook intended to scale offset
+    grads by 0.1, but the hook builds generators and returns None, so it is
+    a no-op in the original — we intentionally do not scale offset grads.
+    """
+
+    c2: int
+    num_param: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = self.num_param
+        offset = nn.Conv(
+            features=2 * n,
+            kernel_size=(3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="p_conv",
+        )(x)  # (B, h, w, 2N)
+        b, h, w, _ = offset.shape
+        off = offset.reshape(b, h, w, 2, n)
+        off_r, off_c = off[..., 0, :], off[..., 1, :]  # first N = rows, last N = cols
+        # base grid p_0 (stride grid) + kernel grid p_n + learned offsets
+        p_n = ldconv_sample_grid(n)  # (N, 2)
+        gr = jnp.arange(h, dtype=jnp.float32)[:, None] * self.stride
+        gc = jnp.arange(w, dtype=jnp.float32)[None, :] * self.stride
+        pr = gr[None, :, :, None] + p_n[None, None, None, :, 0] + off_r
+        pc = gc[None, :, :, None] + p_n[None, None, None, :, 1] + off_c
+        p = jnp.stack([pr, pc], axis=-1)  # (B, h, w, N, 2)
+
+        sampled = ldconv_bilinear_gather(x, p)  # (B, h, w, N, C)
+        feat = sampled.reshape(b, h, w, n * x.shape[-1])
+        y = nn.Dense(
+            features=self.c2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+        )(feat)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn",
+        )(y)
+        return jax.nn.silu(y)
+
+
+class BottleneckLD(nn.Module):
+    """Bottleneck built from LDConv units (reference: block.py:611)."""
+
+    c2: int
+    shortcut: bool = True
+    num_param: int = 4
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = LDConv(c_, self.num_param, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = LDConv(self.c2, self.num_param, 1, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class C2fLD(nn.Module):
+    """C2f rebuilt from LDConv bottlenecks (reference: block.py:636)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    num_param: int = 4
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(BottleneckLD(c, self.shortcut, self.num_param, e=1.0, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+# ---------------------------------------------------------------------------
+# DEAL-YOLO: SSFF / ASF fusion (Zoom_cat, ScalSeq, asf attention)
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_pool2x(x, mode: str):
+    """Adaptive (max|avg) pool to exactly half spatial size (factor-2 inputs)."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, "Zoom_cat expects factor-2 pyramid levels"
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4)) if mode == "max" else x.mean(axis=(2, 4))
+
+
+def _upsample_to(x, h, w):
+    """Nearest-neighbour upsample to (h, w) — integer factors only."""
+    fh, fw = h // x.shape[1], w // x.shape[2]
+    x = jnp.repeat(x, fh, axis=1)
+    return jnp.repeat(x, fw, axis=2)
+
+
+class ZoomCat(nn.Module):
+    """Scale-zoomed concat of (large, mid, small) levels (reference block.py:3402).
+
+    large -> adaptive max+avg pool to mid size; small -> nearest upsample;
+    concat on channels.
+    """
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        l, m, s = xs
+        h, w = m.shape[1:3]
+        l = _adaptive_pool2x(l, "max") + _adaptive_pool2x(l, "avg")
+        s = _upsample_to(s, h, w)
+        return jnp.concatenate([l, m, s], axis=-1)
+
+
+class ScalSeq(nn.Module):
+    """Scale-sequence fusion (SSFF) — reference block.py:3414-3443.
+
+    Project 3 pyramid levels to a common width, upsample to the finest,
+    stack along a scale axis, 1x1x1 conv + BN + LeakyReLU over it, then
+    max over the scale axis. The Conv3d(1,1,1) is a pointwise channel map
+    shared across scales — i.e. a single dense matmul (MXU) here.
+    """
+
+    c2: int
+    inc: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        p3, p4, p5 = xs
+        if self.inc and self.inc[0] != self.c2:
+            p3 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="conv0")(p3, train)
+        p4 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="conv1")(p4, train)
+        p5 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="conv2")(p5, train)
+        h, w = p3.shape[1:3]
+        p4 = _upsample_to(p4, h, w)
+        p5 = _upsample_to(p5, h, w)
+        stack = jnp.stack([p3, p4, p5], axis=1)  # (B, 3, H, W, C)
+        stack = nn.Dense(self.c2, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv3d")(stack)
+        stack = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn",
+        )(stack)
+        stack = jax.nn.leaky_relu(stack, 0.1)
+        return stack.max(axis=1)  # MaxPool3d((3,1,1)) over the scale axis
+
+
+class AsfChannelAtt(nn.Module):
+    """ECA-style channel attention (reference: block.py:asf_channel_att)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        k = int(abs((math.log2(c) + 1) / 2))
+        k = k if k % 2 else k + 1
+        y = x.mean(axis=(1, 2))  # (B, C)
+        y = nn.Conv(1, (k,), padding=[(k // 2, k // 2)], use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(y[..., None])  # (B, C, 1)
+        y = jax.nn.sigmoid(y[..., 0])  # (B, C)
+        return x * y[:, None, None, :]
+
+
+class AsfLocalAtt(nn.Module):
+    """Coordinate (H/W factorized) attention (reference: block.py:asf_local_att)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        cr = max(c // self.reduction, 1)
+        x_h = x.mean(axis=2)[:, None]  # (B, 1, H, C)
+        x_w = x.mean(axis=1)[:, None]  # (B, 1, W, C)
+        y = jnp.concatenate([x_h, x_w], axis=2)  # (B, 1, H+W, C)
+        y = nn.Conv(cr, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv_1x1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
+        y = jax.nn.relu(y)
+        y_h, y_w = y[:, :, :h], y[:, :, h:]
+        s_h = jax.nn.sigmoid(nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="F_h")(y_h))
+        s_w = jax.nn.sigmoid(nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="F_w")(y_w))
+        s_h = jnp.transpose(s_h, (0, 2, 1, 3))  # (B, H, 1, C)
+        return x * s_h * s_w  # broadcast over W and H
+
+
+class AsfAttention(nn.Module):
+    """ASF attention fusion of two branches (reference: asf_attention_model)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        a, b = xs
+        a = AsfChannelAtt(dtype=self.dtype, name="channel_att")(a, train)
+        y = a + b
+        return AsfLocalAtt(dtype=self.dtype, name="local_att")(y, train)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet MBConv (used by the fork's yolov8.yaml backbone)
+# ---------------------------------------------------------------------------
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck with internal repeats.
+
+    Reference: ultralytics/nn/modules/conv.py:517 (MBConv +
+    _ResidualMBConvBlock): optional pointwise expansion -> depthwise 3x3
+    (stride on first repeat) -> pointwise projection (BN gamma zero-init),
+    residual when channels match and stride == 1.
+    """
+
+    c2: int
+    n: int = 1
+    e: float = 6
+    act: str = "silu"
+    drop_path: float = 0.0
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = self.act.lower() if isinstance(self.act, str) else self.act
+        for i in range(self.n):
+            s = self.stride if i == 0 else 1
+            c_out = self.c2 if i == self.n - 1 else x.shape[-1]
+            x = _MBBlock(c_out, self.e, act, s, dtype=self.dtype, name=f"block{i}")(x, train)
+        return x
+
+
+class _MBBlock(nn.Module):
+    c2: int
+    e: float
+    act: str
+    stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        hidden = int(c1 * self.e)
+        y = x
+        if self.e != 1:
+            y = ConvBN(hidden, 1, 1, act=self.act, dtype=self.dtype, name="expand")(y, train)
+        y = ConvBN(hidden, 3, self.stride, g=hidden, act=self.act, dtype=self.dtype, name="dw")(y, train)
+        y = ConvBN(self.c2, 1, 1, act=False, dtype=self.dtype, name="project")(y, train)
+        if c1 == self.c2 and self.stride == 1:
+            y = x + y
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Detect head
+# ---------------------------------------------------------------------------
+
+
+class Detect(nn.Module):
+    """Decoupled anchor-free detection head (reference: nn/modules/head.py:19).
+
+    Per level: cv2 (box branch -> 4*reg_max) and cv3 (cls branch -> nc).
+    Returns the list of raw (B, H, W, 4*reg_max + nc) maps; decoding
+    (make_anchors + DFL + dist2bbox + sigmoid) lives in
+    ``ops.anchors.decode_detections`` so train and predict paths share one
+    pure apply function.
+    """
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(xs):
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(box, train)
+            box = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv2_{i}_2")(box)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(cls, train)
+            cls = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv3_{i}_2")(cls)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs

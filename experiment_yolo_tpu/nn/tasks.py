@@ -1,0 +1,338 @@
+"""Model assembly: YAML graph spec -> flax module + metadata.
+
+Rebuild of the reference's ``ultralytics/nn/tasks.py`` (``parse_model:780``,
+``DetectionModel:275``, ``yaml_model_load:1065``, ``guess_model_scale:1083``)
+as a small graph compiler:
+
+- ``parse_model`` turns the YAML rows [from, repeats, module, args] into a
+  tuple of flax module instances plus savelist routing metadata;
+- ``GraphModel`` is one flax module that executes the graph — traced once
+  under jit into a single XLA program (the reference's ``_predict_once``
+  sequential walk, but functional);
+- ``DetectionModel`` wraps the graph with params init, stride calibration
+  (via ``jax.eval_shape`` — zero-FLOP version of the reference's dry run at
+  ``tasks.py:303-330``) and Detect bias priors (``head.py:bias_init``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from experiment_yolo_tpu.nn import modules as M
+from experiment_yolo_tpu.utils import LOGGER, ROOT, yaml_load
+
+# ---------------------------------------------------------------------------
+# registry: YAML module name -> (builder, kind)
+# kind controls channel arithmetic, mirroring the big if/elif chain in the
+# reference's parse_model (tasks.py:826-1040).
+# ---------------------------------------------------------------------------
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+@dataclass
+class LayerSpec:
+    module: Any  # flax module instance
+    f: Tuple[int, ...]  # absolute source indices; -1 = previous layer
+    i: int
+    type: str
+    c2: int
+    is_list_input: bool
+
+
+def _scale_ch(c2: int, nc: int, width: float, max_channels: float) -> int:
+    if c2 == nc:
+        return c2
+    return make_divisible(min(c2, max_channels) * width, 8)
+
+
+def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.float32, verbose: bool = False):
+    """Compile a model-YAML dict into layer specs.
+
+    Returns (layers: List[LayerSpec], save: sorted list of indices whose
+    outputs later layers consume, detect_index, nc, reg_max).
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width, max_channels = 1.0, 1.0, float("inf")
+    if scales:
+        scale = scale or d.get("scale") or tuple(scales.keys())[0]
+        depth, width, max_channels = scales[scale]
+
+    chs: List[int] = [ch]
+    layers: List[LayerSpec] = []
+    save: set = set()
+    detect_idx = -1
+    reg_max = 16
+
+    rows = list(d["backbone"]) + list(d["head"])
+    for i, (f, n, mname, args) in enumerate(rows):
+        args = list(args)
+        f_list = f if isinstance(f, list) else [f]
+        n = max(round(n * depth), 1) if n > 1 else n
+
+        def src_ch(j):
+            return chs[j] if j != -1 else chs[-1]
+
+        c1 = src_ch(f_list[0])
+        list_input = len(f_list) > 1
+        mod = None
+
+        if mname in ("Conv", "LDConv", "DWConv", "Focus", "GhostConv", "SPDConv"):
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            if mname == "Conv":
+                mod = M.ConvBN(c2, *args[1:], dtype=dtype)
+            elif mname == "LDConv":
+                # YAML args: [outc, num_param, stride] (reference conv.py:350)
+                mod = M.LDConv(c2, *args[1:], dtype=dtype)
+            elif mname == "DWConv":
+                mod = M.DWConv(c2, *args[1:], dtype=dtype)
+            elif mname == "Focus":
+                mod = M.Focus(c2, *args[1:], dtype=dtype)
+            elif mname == "GhostConv":
+                mod = M.GhostConv(c2, *args[1:], dtype=dtype)
+            else:
+                mod = M.SPDConv(c2, dtype=dtype)
+        elif mname == "MBConv":
+            # YAML args: [outc, expand, act, drop_path, stride]; repeats fold
+            # inside the module (reference tasks.py:849-863)
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            e = args[1] if len(args) > 1 else 6
+            act = args[2] if len(args) > 2 else "SiLU"
+            drop = args[3] if len(args) > 3 else 0.0
+            stride = args[4] if len(args) > 4 else 1
+            mod = M.MBConv(c2, n=n, e=e, act=str(act).lower(), drop_path=drop, stride=stride, dtype=dtype)
+            n = 1
+        elif mname in ("C2f", "C3", "C2f_LDConv"):
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            shortcut = args[1] if len(args) > 1 else (mname == "C3")
+            cls = {"C2f": M.C2f, "C3": M.C3, "C2f_LDConv": M.C2fLD}[mname]
+            mod = cls(c2, n=n, shortcut=shortcut, dtype=dtype)
+            n = 1
+        elif mname == "Bottleneck":
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = M.Bottleneck(c2, *args[1:], dtype=dtype)
+        elif mname in ("SPPF", "SPP"):
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            cls = M.SPPF if mname == "SPPF" else M.SPP
+            mod = cls(c2, *args[1:], dtype=dtype)
+        elif mname == "nn.Upsample":
+            # args (None, scale, mode)
+            c2 = c1
+            mod = M.Upsample(scale=int(args[1]), mode=args[2] if len(args) > 2 else "nearest")
+        elif mname == "Concat":
+            c2 = sum(src_ch(j) for j in f_list)
+            mod = M.Concat()
+        elif mname == "Zoom_cat":
+            c2 = sum(src_ch(j) for j in f_list)
+            mod = M.ZoomCat()
+        elif mname == "Add":
+            c2 = src_ch(f_list[-1])
+            mod = M.Add()
+        elif mname in ("ScalSeq", "DynamicScalSeq"):
+            # reference tasks.py:1005: c2 = make_divisible(args[0]*width, 8)
+            inc = tuple(src_ch(j) for j in f_list)
+            c2 = make_divisible(args[0] * width, 8)
+            mod = M.ScalSeq(c2, inc=inc, dtype=dtype)
+        elif mname == "asf_attention_model":
+            c2 = src_ch(f_list[-1])
+            mod = M.AsfAttention(dtype=dtype)
+        elif mname == "Detect":
+            ch_in = tuple(src_ch(j) for j in f_list)
+            c2 = 0
+            mod = M.Detect(nc=nc, ch=ch_in, dtype=dtype)
+            detect_idx = i
+            reg_max = mod.reg_max
+            list_input = True
+        else:
+            raise NotImplementedError(
+                f"module {mname!r} is not yet in the TPU registry (layer {i}); "
+                f"see SURVEY.md §2.4 for the port queue"
+            )
+
+        if n > 1:  # repeat wrapper for plain modules (rare in these configs)
+            mod = Repeated(mods=tuple(mod for _ in range(n)))
+
+        abs_f = tuple(j if j == -1 else (j % i if j < 0 else j) for j in f_list)
+        for j in abs_f:
+            if j != -1:
+                save.add(j)
+        layers.append(LayerSpec(mod, abs_f, i, mname, c2, list_input))
+        if verbose:
+            LOGGER.info(f"{i:>3}{str(list(abs_f)):>18}{n:>3}  {mname:<22}{str(args):<30}")
+        if i == 0:
+            chs = []
+        chs.append(c2)
+
+    return layers, sorted(save), detect_idx, nc, reg_max
+
+
+class Repeated(nn.Module):
+    mods: Tuple[Any, ...]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for m in self.mods:
+            x = m(x, train)
+        return x
+
+
+class GraphModel(nn.Module):
+    """Executes a parsed layer graph with savelist routing.
+
+    Functional counterpart of the reference's ``BaseModel._predict_once``
+    (nn/tasks.py:85-127). The returned value is the output of the last
+    layer — for detection models, the list of raw per-level Detect maps.
+    """
+
+    layers: Tuple[Any, ...]
+    froms: Tuple[Tuple[int, ...], ...]
+    list_inputs: Tuple[bool, ...]
+    save: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        saved: Dict[int, Any] = {}
+        out = x
+        for i, (m, f, li) in enumerate(zip(self.layers, self.froms, self.list_inputs)):
+            if li:
+                inp = [out if j == -1 else saved[j] for j in f]
+            else:
+                inp = out if f[0] == -1 else saved[f[0]]
+            out = m(inp, train)
+            if i in self.save:
+                saved[i] = out
+        return out
+
+
+def guess_model_scale(path) -> str:
+    """Extract scale char from a path like 'yolov8n.yaml' -> 'n'."""
+    m = re.search(r"yolov\d+([nslmx])", Path(str(path)).stem)
+    return m.group(1) if m else ""
+
+
+def yaml_model_load(path) -> dict:
+    """Load a model YAML; resolves unified paths like yolov8n.yaml ->
+    cfg/models/yolov8.yaml with scale 'n' (reference tasks.py:1065)."""
+    path = Path(path)
+    stem = path.stem
+    unified = re.sub(r"(\d+)([nslmx])(.*)$", r"\1\3", stem)  # yolov8n-ASF -> yolov8-ASF
+    candidates = [path]
+    if not path.exists():
+        for name in (stem, unified):
+            candidates += [ROOT / "cfg" / "models" / f"{name}.yaml"]
+    for cand in candidates:
+        if Path(cand).exists():
+            d = yaml_load(cand)
+            d["scale"] = guess_model_scale(stem) or d.get("scale")
+            d["yaml_file"] = str(path)
+            return d
+    raise FileNotFoundError(f"model yaml {path} not found (searched {candidates})")
+
+
+class DetectionModel:
+    """YOLO detection model: graph module + params + decode metadata.
+
+    Counterpart of the reference's ``DetectionModel`` (nn/tasks.py:275) in a
+    functional style: parameters are a pytree owned by the caller;
+    ``apply`` is pure; strides come from a zero-FLOP ``jax.eval_shape`` dry
+    run; Detect class/box bias priors are written into the init params.
+    """
+
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None, dtype=jnp.float32, verbose: bool = False):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            self.yaml["nc"] = nc
+        scale = self.yaml.get("scale")
+        layers, save, detect_idx, self.nc, self.reg_max = parse_model(
+            self.yaml, ch, scale=scale, dtype=dtype, verbose=verbose
+        )
+        self.specs = layers
+        self.detect_idx = detect_idx
+        self.module = GraphModel(
+            layers=tuple(s.module for s in layers),
+            froms=tuple(s.f for s in layers),
+            list_inputs=tuple(s.is_list_input for s in layers),
+            save=tuple(save),
+        )
+        self.no = self.nc + 4 * self.reg_max
+        self.names = {i: f"{i}" for i in range(self.nc)}
+        self.args: Dict[str, Any] = {}
+        self.strides = self._calibrate_strides(ch)
+        self.nl = len(self.strides)
+
+    # -- construction ------------------------------------------------------
+    def _calibrate_strides(self, ch: int, imgsz: int = 256) -> Tuple[int, ...]:
+        """Stride dry run via eval_shape (reference tasks.py:303-330)."""
+        x = jax.ShapeDtypeStruct((1, imgsz, imgsz, ch), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        vars_shape = jax.eval_shape(lambda r, xx: self.module.init(r, xx, False), rng, x)
+        outs = jax.eval_shape(lambda v, xx: self.module.apply(v, xx, False), vars_shape, x)
+        return tuple(int(imgsz // o.shape[1]) for o in outs)
+
+    def init(self, rng, imgsz: int = 64) -> dict:
+        """Initialize variables ({'params', 'batch_stats'}) with Detect priors.
+
+        Parameter shapes are image-size independent, so init runs at a tiny
+        resolution (jitted) regardless of the training imgsz.
+        """
+        x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+        variables = jax.jit(lambda r: self.module.init(r, x, False))(rng)
+        return self._bias_init(variables)
+
+    def _bias_init(self, variables: dict) -> dict:
+        """Detect bias priors (reference head.py:78-87): box bias 1.0,
+        cls bias log(5 / nc / (640/stride)^2)."""
+        variables = unfreeze(variables)
+        params = variables["params"]
+        dname = f"layers_{self.detect_idx}"
+        head = params.get(dname)
+        if head is not None:
+            for i, s in enumerate(self.strides):
+                if f"cv2_{i}_2" in head:
+                    head[f"cv2_{i}_2"]["bias"] = jnp.ones_like(head[f"cv2_{i}_2"]["bias"])
+                if f"cv3_{i}_2" in head:
+                    prior = math.log(5 / self.nc / (640 / s) ** 2)
+                    head[f"cv3_{i}_2"]["bias"] = jnp.full_like(head[f"cv3_{i}_2"]["bias"], prior)
+        return variables
+
+    # -- functional forward ------------------------------------------------
+    def apply(self, variables, x, train: bool = False, mutable=False):
+        """Raw forward: returns list of per-level (B,H,W,no) maps.
+
+        With train=True and mutable=['batch_stats'], returns (feats, updates).
+        """
+        return self.module.apply(variables, x, train, mutable=mutable)
+
+    def predict(self, variables, x):
+        """Inference decode: (boxes xywh pixels (B,A,4), scores (B,A,nc))."""
+        from experiment_yolo_tpu.ops.anchors import decode_detections
+
+        feats = self.module.apply(variables, x, False)
+        return decode_detections(feats, self.strides, self.nc, self.reg_max)
+
+    def num_params(self, variables) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+    def num_params_static(self) -> int:
+        """Trainable param count via eval_shape — no compute, no compile."""
+        x = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        vs = jax.eval_shape(lambda r, xx: self.module.init(r, xx, False), rng, x)
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vs["params"]))
+
+    def info(self, variables=None) -> str:
+        n = self.num_params(variables) if variables else -1
+        return f"DetectionModel(nc={self.nc}, strides={self.strides}, params={n:,})"

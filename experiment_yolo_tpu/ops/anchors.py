@@ -1,0 +1,98 @@
+"""Anchor-free grid machinery: make_anchors, dist2bbox/bbox2dist, DFL decode.
+
+Rebuild of the reference's ``ultralytics/utils/tal.py:294-333``
+(make_anchors / dist2bbox / bbox2dist) and the DFL expectation decode
+(``nn/modules/block.py:DFL``) as pure static-shape jnp functions.
+
+Feature maps here are NHWC; anchors are returned in (x, y) = (col, row)
+order in grid units, matching the reference's convention.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def make_anchors(feat_shapes: Sequence[tuple], strides: Sequence[int], grid_cell_offset: float = 0.5):
+    """Anchor centers and per-anchor strides for a feature pyramid.
+
+    Args:
+        feat_shapes: [(H_i, W_i), ...] per detection level (static Python ints).
+        strides: per-level stride in pixels.
+        grid_cell_offset: cell-center offset (0.5 = cell centers).
+
+    Returns:
+        anchor_points (A, 2) float32 in grid units (x=col, y=row);
+        stride_tensor (A, 1) float32.
+    """
+    anchor_points, stride_tensor = [], []
+    for (h, w), s in zip(feat_shapes, strides):
+        sx = jnp.arange(w, dtype=jnp.float32) + grid_cell_offset
+        sy = jnp.arange(h, dtype=jnp.float32) + grid_cell_offset
+        gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+        anchor_points.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
+        stride_tensor.append(jnp.full((h * w, 1), float(s), dtype=jnp.float32))
+    return jnp.concatenate(anchor_points), jnp.concatenate(stride_tensor)
+
+
+def dist2bbox(distance: jnp.ndarray, anchor_points: jnp.ndarray, xywh: bool = True) -> jnp.ndarray:
+    """Decode (l, t, r, b) distances to boxes around anchor points.
+
+    distance: (..., A, 4); anchor_points: broadcastable (..., A, 2).
+    """
+    lt, rb = distance[..., :2], distance[..., 2:4]
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        c_xy = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        return jnp.concatenate([c_xy, wh], -1)
+    return jnp.concatenate([x1y1, x2y2], -1)
+
+
+def bbox2dist(anchor_points: jnp.ndarray, bbox: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Encode xyxy boxes to clamped (l, t, r, b) distances for DFL targets."""
+    x1y1, x2y2 = bbox[..., :2], bbox[..., 2:4]
+    dist = jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], -1)
+    return jnp.clip(dist, 0, reg_max - 0.01)
+
+
+def dfl_decode(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """Distribution Focal Loss decode: softmax-expectation over reg_max bins.
+
+    pred_dist: (..., A, 4*reg_max) with channel layout [side, bin]
+    (side-major, bin-minor — matches the reference's
+    ``view(b, a, 4, reg_max)``). Returns (..., A, 4) distances.
+    """
+    shape = pred_dist.shape
+    dist = pred_dist.reshape(*shape[:-1], 4, reg_max)
+    proj = jnp.arange(reg_max, dtype=pred_dist.dtype)
+    return jnp.einsum("...r,r->...", jax.nn.softmax(dist, axis=-1), proj)
+
+
+def decode_detections(feats, strides, nc: int, reg_max: int = 16):
+    """Full inference-path decode for a Detect head.
+
+    Rebuild of the reference's ``Detect.forward`` inference branch
+    (``nn/modules/head.py:43-77``): concat levels -> split box/cls ->
+    DFL decode -> dist2bbox * stride -> sigmoid cls.
+
+    Args:
+        feats: list of (B, H_i, W_i, 4*reg_max + nc) raw head outputs (NHWC).
+        strides: per-level stride.
+
+    Returns:
+        boxes (B, A, 4) xywh in input pixels; scores (B, A, nc) sigmoided.
+    """
+    b = feats[0].shape[0]
+    no = 4 * reg_max + nc
+    flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)  # (B, A, no)
+    box, cls = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+    feat_shapes = [f.shape[1:3] for f in feats]
+    anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
+    dist = dfl_decode(box, reg_max)  # (B, A, 4)
+    dbox = dist2bbox(dist, anchor_points[None], xywh=True) * stride_tensor[None]
+    return dbox, jax.nn.sigmoid(cls)

@@ -1,0 +1,144 @@
+"""Static-shape, on-device non-maximum suppression.
+
+TPU-native redesign of the reference's ``ultralytics/utils/ops.py:292``
+(``non_max_suppression``: conf gate -> class-offset trick ->
+``torchvision.ops.nms``). TorchVision NMS is dynamic-shape and runs on
+device-specific C++; here the whole thing is a fixed-size XLA program:
+
+1. top-K candidate pre-selection over the (anchors x classes) score matrix
+   (multi-label, like the reference's validator path) or over per-anchor
+   best class (predictor path),
+2. greedy suppression over the K x K IoU matrix via ``lax.fori_loop``
+   (class-offset trick preserves per-class semantics),
+3. fixed (max_det, 6) output [x1, y1, x2, y2, conf, cls] plus a valid count.
+
+No host round-trip, no dynamic shapes, vmappable over the batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from experiment_yolo_tpu.ops.boxes import box_iou, xywh2xyxy
+
+
+def _select_candidates_multilabel(boxes, scores, k):
+    """Top-k over the flattened (A*nc) score matrix (multi_label=True path)."""
+    a, nc = scores.shape
+    flat = scores.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    anchor_idx = top_idx // nc
+    cls_idx = (top_idx % nc).astype(jnp.float32)
+    cand_boxes = boxes[anchor_idx]
+    return cand_boxes, top_scores, cls_idx
+
+
+def _select_candidates_best(boxes, scores, k):
+    """Top-k over per-anchor best class (multi_label=False path)."""
+    best_scores = scores.max(-1)
+    best_cls = scores.argmax(-1).astype(jnp.float32)
+    top_scores, top_idx = jax.lax.top_k(best_scores, k)
+    return boxes[top_idx], top_scores, best_cls[top_idx]
+
+
+def _nms_single(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int,
+    pre_nms_topk: int,
+    multi_label: bool,
+    agnostic: bool,
+    max_wh: float,
+    in_xywh: bool,
+):
+    """NMS for one image. boxes (A,4), scores (A,nc). Returns ((max_det,6), n)."""
+    if in_xywh:
+        boxes = xywh2xyxy(boxes)
+    a = boxes.shape[0]
+    k = min(pre_nms_topk, a * scores.shape[-1] if multi_label else a)
+
+    if multi_label:
+        cand_boxes, cand_scores, cand_cls = _select_candidates_multilabel(boxes, scores, k)
+    else:
+        cand_boxes, cand_scores, cand_cls = _select_candidates_best(boxes, scores, k)
+
+    valid = cand_scores > conf_thres
+    # class-offset trick: shift boxes per class so cross-class IoU is ~0
+    offset = jnp.where(agnostic, 0.0, cand_cls * max_wh)[:, None]
+    shifted = cand_boxes + offset
+    iou = box_iou(shifted, shifted)  # (K, K)
+
+    # Greedy suppression: candidates are already score-sorted (top_k sorts
+    # descending). keep[i] survives unless an earlier kept box overlaps it.
+    def body(i, keep):
+        suppress = (iou[i] > iou_thres) & keep[i] & valid[i]
+        suppress = suppress.at[i].set(False)
+        # only suppress lower-scored (later) candidates
+        later = jnp.arange(k) > i
+        return keep & ~(suppress & later)
+
+    keep = jax.lax.fori_loop(0, k, body, valid)
+
+    # pack kept detections into fixed (max_det, 6), score-sorted
+    keep_scores = jnp.where(keep, cand_scores, -1.0)
+    out_scores, out_idx = jax.lax.top_k(keep_scores, min(max_det, k))
+    if k < max_det:  # pad to the fixed output size
+        pad = max_det - k
+        out_scores = jnp.concatenate([out_scores, jnp.full((pad,), -1.0, out_scores.dtype)])
+        out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+    det_valid = out_scores > conf_thres
+    out = jnp.concatenate(
+        [
+            cand_boxes[out_idx],
+            out_scores[:, None],
+            cand_cls[out_idx][:, None],
+        ],
+        axis=-1,
+    )
+    out = jnp.where(det_valid[:, None], out, 0.0)
+    return out, det_valid.sum(dtype=jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "max_wh", "in_xywh"),
+)
+def non_max_suppression(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.7,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_wh: float = 7680.0,
+    in_xywh: bool = True,
+):
+    """Batched static-shape NMS.
+
+    Args:
+        boxes: (B, A, 4) xywh (or xyxy with in_xywh=False) in input pixels.
+        scores: (B, A, nc) sigmoided class scores.
+
+    Returns:
+        detections (B, max_det, 6) [x1,y1,x2,y2,conf,cls], zero-padded;
+        counts (B,) int32 number of valid detections per image.
+    """
+    fn = partial(
+        _nms_single,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_nms_topk=pre_nms_topk,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        max_wh=max_wh,
+        in_xywh=in_xywh,
+    )
+    return jax.vmap(fn)(boxes, scores)
