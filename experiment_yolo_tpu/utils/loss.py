@@ -1,0 +1,176 @@
+"""Detection loss (anchor-free v8 loss with DEAL-YOLO options).
+
+Rebuild of the reference's ``ultralytics/utils/loss.py:294`` (v8DetectionLoss)
+and ``:187`` (BboxLoss) as one pure static-shape function:
+
+    concat head maps -> split dist/cls -> make_anchors -> DFL decode ->
+    TAL assign (stop-gradient) -> BCE cls + IoU box (+NWD blend) + DFL.
+
+DEAL-YOLO's switches — Wise-IoU v3 instead of CIoU (reference loss.py:197,
+hard-coded off in the checked-in source) and the NWD blend
+(loss.py:194, ``iou_ratio`` 0.5) — are real config options here.
+The Wise-IoU running ``iou_mean`` buffer is explicit state threaded through
+the train step (functional counterpart of the reference's module buffer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from experiment_yolo_tpu.ops.anchors import bbox2dist, dfl_decode, dist2bbox, make_anchors
+from experiment_yolo_tpu.ops.boxes import bbox_iou, wasserstein_similarity, wise_iou_loss, xywh2xyxy
+from experiment_yolo_tpu.utils import tal
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss hyperparameters (gains mirror cfg/default.yaml: box/cls/dfl)."""
+
+    nc: int = 80
+    reg_max: int = 16
+    box: float = 7.5
+    cls: float = 0.5
+    dfl: float = 1.5
+    tal_topk: int = 10
+    tal_alpha: float = 0.5
+    tal_beta: float = 6.0
+    use_wiseiou: bool = False  # Wise-IoU v3 (DEAL-YOLO paper runs)
+    wiou_ltype: str = "WIoU"
+    nwd: bool = False  # NWD blend (DEAL-YOLO paper runs)
+    iou_ratio: float = 0.5  # weight of IoU term when nwd=True
+
+
+def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Distribution focal loss over adjacent bins (reference loss.py:236).
+
+    pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
+    [0, reg_max-1). Returns (...,) mean over the 4 sides.
+    """
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    reg_max = pred_dist.shape[-1]
+    loss_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    loss_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    return (loss_l * wl + loss_r * wr).mean(-1)
+
+
+def detection_loss(
+    feats: Sequence[jnp.ndarray],  # per-level (B, H, W, 4*reg_max + nc) raw maps
+    batch: Dict[str, jnp.ndarray],  # cls (B,M), bboxes (B,M,4) normalized xywh, mask (B,M)
+    strides: Sequence[int],
+    cfg: LossConfig,
+    iou_mean: jnp.ndarray | None = None,  # Wise-IoU running state (scalar)
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Compute (total_loss, components, new_iou_mean).
+
+    Total is ``(box*g_box + cls*g_cls + dfl*g_dfl) * batch_size`` — the same
+    scale as the reference's ``loss.sum() * batch_size`` so LR settings
+    transfer.
+    """
+    nc, reg_max = cfg.nc, cfg.reg_max
+    no = nc + reg_max * 4
+    b = feats[0].shape[0]
+    flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)  # (B, A, no)
+    pred_distri, pred_scores = flat[..., : reg_max * 4], flat[..., reg_max * 4 :]
+    dtype = pred_scores.dtype
+
+    feat_shapes = [f.shape[1:3] for f in feats]
+    anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)  # (A,2), (A,1)
+    imgsz_h = feats[0].shape[1] * strides[0]
+    imgsz_w = feats[0].shape[2] * strides[0]
+
+    # targets: normalized xywh -> pixel xyxy, padded rows masked
+    scale = jnp.asarray([imgsz_w, imgsz_h, imgsz_w, imgsz_h], dtype)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dtype) * scale)
+    mask_gt = batch["mask"].astype(jnp.bool_) & (gt_bboxes.sum(-1) > 0)
+    gt_bboxes = jnp.where(mask_gt[..., None], gt_bboxes, 0.0)
+    gt_labels = batch["cls"].astype(jnp.int32)
+
+    # decode predictions (grid units)
+    pred_dist_decoded = dfl_decode(pred_distri, reg_max)
+    pred_bboxes = dist2bbox(pred_dist_decoded, anchor_points[None], xywh=False)  # (B,A,4)
+
+    res = tal.assign(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+        anchor_points * stride_tensor,
+        gt_labels,
+        gt_bboxes,
+        mask_gt,
+        topk=cfg.tal_topk,
+        num_classes=nc,
+        alpha=cfg.tal_alpha,
+        beta=cfg.tal_beta,
+    )
+    target_scores = jax.lax.stop_gradient(res.target_scores)
+    fg_mask = res.fg_mask
+    target_bboxes = res.target_bboxes / stride_tensor[None]  # grid units
+    target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+    # --- cls: BCE over all anchors (reference loss.py BCEWithLogits path) --
+    bce = _sigmoid_bce(pred_scores, target_scores)
+    loss_cls = bce.sum() / target_scores_sum
+
+    # --- box: (Wise-)IoU (+ NWD blend), weighted by target score ----------
+    weight = jnp.where(fg_mask, target_scores.sum(-1), 0.0)  # (B, A)
+    if iou_mean is None:
+        iou_mean = jnp.asarray(1.0, dtype)
+    if cfg.use_wiseiou:
+        wiou, new_iou_mean = _masked_wise_iou(pred_bboxes, target_bboxes, fg_mask, iou_mean, cfg.wiou_ltype)
+        loss_iou = (wiou * weight).sum() / target_scores_sum
+    else:
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)[..., 0]
+        loss_iou = (jnp.where(fg_mask, 1.0 - iou, 0.0) * weight).sum() / target_scores_sum
+        new_iou_mean = iou_mean
+    if cfg.nwd:
+        nwd = wasserstein_similarity(pred_bboxes, target_bboxes)[..., 0]
+        nwd_loss = (jnp.where(fg_mask, 1.0 - nwd, 0.0) * weight).sum() / target_scores_sum
+        loss_iou = cfg.iou_ratio * loss_iou + (1.0 - cfg.iou_ratio) * nwd_loss
+
+    # --- dfl ---------------------------------------------------------------
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max)
+    dfl = _df_loss(pred_distri.reshape(b, -1, 4, reg_max), target_ltrb)  # (B, A)
+    loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
+
+    comps = {
+        "box": loss_iou * cfg.box,
+        "cls": loss_cls * cfg.cls,
+        "dfl": loss_dfl * cfg.dfl,
+    }
+    total = (comps["box"] + comps["cls"] + comps["dfl"]) * b
+    return total, comps, new_iou_mean
+
+
+def _sigmoid_bce(logits, targets):
+    """Elementwise binary cross-entropy with logits (no reduction)."""
+    return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _masked_wise_iou(pred, target, fg_mask, iou_mean, ltype):
+    """Wise-IoU over all anchors with the running-mean update computed only
+    from foreground anchors (the reference computes it over the fg subset)."""
+    # loss values for all anchors; focusing uses the global iou_mean state
+    pred_xy_loss, _ = wise_iou_loss(pred, target, iou_mean, ltype=ltype)
+    # recompute the mean update restricted to fg (reference semantics)
+    iou_l = _plain_iou_loss(pred, target)
+    fg_count = jnp.maximum(fg_mask.sum(), 1)
+    fg_mean = (jnp.where(fg_mask, iou_l, 0.0).sum() / fg_count)
+    new_mean = iou_mean * (1 - 1e-2) + 1e-2 * jax.lax.stop_gradient(fg_mean)
+    return jnp.where(fg_mask, pred_xy_loss, 0.0), new_mean
+
+
+def _plain_iou_loss(pred, target, eps=1e-7):
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:4], target[..., 2:4])
+    inter = jnp.clip(rb - lt, 0, None).prod(-1)
+    area_p = jnp.clip(pred[..., 2:4] - pred[..., :2], 0, None).prod(-1)
+    area_t = jnp.clip(target[..., 2:4] - target[..., :2], 0, None).prod(-1)
+    return 1.0 - inter / (area_p + area_t - inter + eps)

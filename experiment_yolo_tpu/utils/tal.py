@@ -1,0 +1,119 @@
+"""Task-Aligned Assigner — static-shape JAX rebuild.
+
+Counterpart of the reference's ``ultralytics/utils/tal.py:13-259``
+(``TaskAlignedAssigner``). The torch original relies on boolean indexing and
+data-dependent branches (``if fg_mask.max() > 1``); here everything is a
+fixed-shape masked computation so it traces into one XLA program:
+
+- gt boxes arrive padded to a fixed ``max_boxes`` with a validity mask;
+- top-k selection uses ``lax.top_k`` + one-hot scatter counting, with the
+  reference's duplicate-index quirk reproduced (duplicated indices are
+  dropped entirely, including the masked-to-0 rows);
+- the multi-gt anchor resolution always runs (it is a no-op when no anchor
+  is shared).
+
+The whole assigner runs under ``stop_gradient`` semantics by construction
+(callers pass detached predictions, as the reference does).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from experiment_yolo_tpu.ops.boxes import bbox_iou
+
+
+class AssignResult(NamedTuple):
+    target_labels: jnp.ndarray  # (B, A) int32
+    target_bboxes: jnp.ndarray  # (B, A, 4)
+    target_scores: jnp.ndarray  # (B, A, nc)
+    fg_mask: jnp.ndarray  # (B, A) bool
+    target_gt_idx: jnp.ndarray  # (B, A) int32
+
+
+def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Anchor centers strictly inside gt boxes: (A,2) x (B,M,4) -> (B,M,A)."""
+    lt = gt_bboxes[..., None, :2]  # (B, M, 1, 2)
+    rb = gt_bboxes[..., None, 2:4]
+    deltas = jnp.concatenate(
+        [xy_centers[None, None] - lt, rb - xy_centers[None, None]], axis=-1
+    )  # (B, M, A, 4)
+    return deltas.min(-1) > eps
+
+
+def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) -> jnp.ndarray:
+    """Top-k per gt as a (B, M, A) 0/1 mask, reproducing the reference's
+    scatter-count semantics (indices appearing more than once are dropped)."""
+    a = metrics.shape[-1]
+    _, topk_idx = jax.lax.top_k(metrics, topk)  # (B, M, topk)
+    # invalid gts: force index 0 (reference masked_fill_(~topk_mask, 0))
+    idx = jnp.where(valid_gt[..., None], topk_idx, 0)
+    count = jax.nn.one_hot(idx, a, dtype=jnp.int32).sum(-2)  # (B, M, A)
+    return jnp.where(count > 1, 0, count).astype(metrics.dtype)
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+def assign(
+    pd_scores: jnp.ndarray,  # (B, A, nc) sigmoided
+    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy, pixel units
+    anc_points: jnp.ndarray,  # (A, 2) pixel units
+    gt_labels: jnp.ndarray,  # (B, M) int
+    gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy pixel units (zero rows = padding)
+    mask_gt: jnp.ndarray,  # (B, M) bool
+    topk: int = 10,
+    num_classes: int = 80,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+) -> AssignResult:
+    """Task-aligned assignment (s^alpha * u^beta), static shapes throughout."""
+    b, a, nc = pd_scores.shape
+    m = gt_bboxes.shape[1]
+    gt_labels = gt_labels.astype(jnp.int32)
+    mask_gt = mask_gt.astype(jnp.bool_)
+
+    # --- positive-candidate mask -----------------------------------------
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B,M,A)
+    pre_mask = mask_in_gts & mask_gt[..., None]
+
+    # scores of each anchor for each gt's class: (B, M, A)
+    cls_scores = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1), jnp.clip(gt_labels, 0, nc - 1)[..., None], axis=1
+    )
+    overlaps = bbox_iou(gt_bboxes[:, :, None], pd_bboxes[:, None], xywh=False, CIoU=True)[..., 0]
+    overlaps = jnp.clip(jnp.where(pre_mask, overlaps, 0.0), 0.0, None)
+    cls_scores = jnp.where(pre_mask, cls_scores, 0.0)
+    align_metric = cls_scores**alpha * overlaps**beta
+
+    mask_topk = _select_topk_mask(align_metric, topk, mask_gt)
+    mask_pos = mask_topk * pre_mask.astype(align_metric.dtype)  # (B, M, A)
+
+    # --- resolve anchors claimed by several gts (highest CIoU wins) ------
+    fg_counts = mask_pos.sum(-2)  # (B, A)
+    mask_multi = (fg_counts[:, None, :] > 1)
+    max_overlap_gt = overlaps.argmax(1)  # (B, A)
+    is_max = jax.nn.one_hot(max_overlap_gt, m, dtype=mask_pos.dtype).transpose(0, 2, 1)
+    mask_pos = jnp.where(mask_multi, is_max, mask_pos)
+    fg_mask_f = mask_pos.sum(-2)  # (B, A)
+    fg_mask = fg_mask_f > 0
+    target_gt_idx = mask_pos.argmax(-2).astype(jnp.int32)  # (B, A)
+
+    # --- gather targets ---------------------------------------------------
+    target_labels = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B, A)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B, A, 4)
+    target_labels = jnp.clip(target_labels, 0, None)
+    onehot = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
+    target_scores = jnp.where(fg_mask[..., None], onehot, 0.0)
+
+    # --- normalize by per-gt best metric (reference forward:82-88) -------
+    align_metric = align_metric * mask_pos
+    pos_align = align_metric.max(-1, keepdims=True)  # (B, M, 1)
+    pos_overlap = (overlaps * mask_pos).max(-1, keepdims=True)
+    norm = (align_metric * pos_overlap / (pos_align + eps)).max(-2)[..., None]  # (B, A, 1)
+    target_scores = target_scores * norm
+
+    return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
