@@ -1,0 +1,182 @@
+"""YOLO-format detection dataset with the v8 augmentation pipeline.
+
+Rebuild of the reference's ``ultralytics/data/dataset.py:23`` (YOLODataset)
++ ``base.py:21`` (BaseDataset): scans images, reads YOLO txt labels
+(cls cx cy w h normalized), applies mosaic/affine/HSV/flip augmentation,
+and emits static-shape samples (uint8 RGB image + padded labels).
+
+The dataset yaml contract matches the reference (path/train/val/test/names —
+``data/utils.py:check_det_dataset``).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from experiment_yolo_tpu.data import augment as A
+from experiment_yolo_tpu.utils import LOGGER, yaml_load
+
+IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+
+
+def check_det_dataset(data: str | Path | dict) -> dict:
+    """Resolve a dataset yaml into {train, val, test, names, nc, path}."""
+    d = data if isinstance(data, dict) else yaml_load(data)
+    root = Path(d.get("path") or Path(str(d.get("yaml_file", "."))).parent)
+    out = {"path": root}
+    for split in ("train", "val", "test"):
+        v = d.get(split)
+        if v:
+            p = Path(v)
+            out[split] = p if p.is_absolute() else root / p
+    names = d.get("names")
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    out["names"] = names or {}
+    out["nc"] = d.get("nc", len(out["names"]))
+    return out
+
+
+def img2label_path(img_path: str) -> str:
+    """images/xxx.jpg -> labels/xxx.txt (reference data/utils.py convention)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return sb.join(str(img_path).rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
+class YOLODataset:
+    """Detection dataset: file scan + label parse + v8 transforms."""
+
+    def __init__(
+        self,
+        img_path: str | Path,
+        imgsz: int = 640,
+        augment: bool = True,
+        hyp=None,
+        max_labels: int = 128,
+        fraction: float = 1.0,
+        single_cls: bool = False,
+    ):
+        self.img_path = Path(img_path)
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp
+        self.max_labels = max_labels
+        self.single_cls = single_cls
+        self.im_files = self._scan_images(fraction)
+        self.labels = [self._load_label(f) for f in self.im_files]
+        self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
+
+    def _scan_images(self, fraction: float) -> List[str]:
+        p = self.img_path
+        if p.is_dir():
+            files = sorted(
+                str(f) for f in p.rglob("*") if f.suffix.lstrip(".").lower() in IMG_FORMATS
+            )
+        elif p.is_file():  # txt file listing image paths
+            files = [ln.strip() for ln in p.read_text().splitlines() if ln.strip()]
+        else:
+            raise FileNotFoundError(f"image path {p} does not exist")
+        if not files:
+            raise FileNotFoundError(f"no images found in {p}")
+        if fraction < 1.0:
+            files = files[: max(1, int(len(files) * fraction))]
+        return files
+
+    def _load_label(self, img_file: str) -> Dict:
+        lp = img2label_path(img_file)
+        cls, boxes = [], []
+        if os.path.isfile(lp):
+            for ln in Path(lp).read_text().splitlines():
+                parts = ln.split()
+                if len(parts) >= 5:
+                    cls.append(0.0 if self.single_cls else float(parts[0]))
+                    boxes.append([float(x) for x in parts[1:5]])
+        return {
+            "cls": np.asarray(cls, np.float32),
+            "bboxes_n": np.asarray(boxes, np.float32).reshape(-1, 4),  # normalized xywh
+        }
+
+    def __len__(self) -> int:
+        return len(self.im_files)
+
+    def _load_item(self, i: int) -> Dict:
+        """Load image + labels in pixel xyxy."""
+        img = cv2.imread(self.im_files[i])
+        if img is None:
+            raise FileNotFoundError(f"could not read image {self.im_files[i]}")
+        h, w = img.shape[:2]
+        lab = self.labels[i]
+        n = len(lab["cls"])
+        if n:
+            b = lab["bboxes_n"]
+            xyxy = np.stack(
+                [
+                    (b[:, 0] - b[:, 2] / 2) * w,
+                    (b[:, 1] - b[:, 3] / 2) * h,
+                    (b[:, 0] + b[:, 2] / 2) * w,
+                    (b[:, 1] + b[:, 3] / 2) * h,
+                ],
+                axis=1,
+            ).astype(np.float32)
+        else:
+            xyxy = np.zeros((0, 4), np.float32)
+        return {"img": img, "bboxes": xyxy, "cls": lab["cls"].copy(), "im_file": self.im_files[i], "ori_shape": (h, w)}
+
+    def get_sample(self, i: int, rng: np.random.Generator, mosaic: Optional[bool] = None) -> Dict[str, np.ndarray]:
+        """One augmented, formatted sample (static shapes)."""
+        hyp = self.hyp
+        use_mosaic = self.mosaic_enabled if mosaic is None else mosaic
+        if use_mosaic and rng.random() < getattr(hyp, "mosaic", 1.0):
+            idxs = [i] + list(rng.integers(0, len(self), 3))
+            lab = A.mosaic4([self._load_item(j) for j in idxs], self.imgsz, rng)
+            lab = A.random_perspective(
+                lab,
+                degrees=getattr(hyp, "degrees", 0.0),
+                translate=getattr(hyp, "translate", 0.1),
+                scale=getattr(hyp, "scale", 0.5),
+                shear=getattr(hyp, "shear", 0.0),
+                perspective=getattr(hyp, "perspective", 0.0),
+                rng=rng,
+            )
+            if getattr(hyp, "mixup", 0.0) > 0 and rng.random() < hyp.mixup:
+                j = int(rng.integers(0, len(self)))
+                lab2 = A.mosaic4([self._load_item(j)] + [self._load_item(int(k)) for k in rng.integers(0, len(self), 3)], self.imgsz, rng)
+                lab2 = A.random_perspective(lab2, translate=getattr(hyp, "translate", 0.1), scale=getattr(hyp, "scale", 0.5), rng=rng)
+                lab = A.mixup(lab, lab2, rng)
+        else:
+            lab = A.letterbox_labels(self._load_item(i), self.imgsz, scaleup=self.augment)
+            if self.augment:
+                lab = A.random_perspective(
+                    lab,
+                    degrees=getattr(hyp, "degrees", 0.0),
+                    translate=getattr(hyp, "translate", 0.1),
+                    scale=getattr(hyp, "scale", 0.5),
+                    shear=getattr(hyp, "shear", 0.0),
+                    perspective=getattr(hyp, "perspective", 0.0),
+                    rng=rng,
+                )
+        if self.augment:
+            lab["img"] = A.random_hsv(
+                lab["img"],
+                getattr(hyp, "hsv_h", 0.015),
+                getattr(hyp, "hsv_s", 0.7),
+                getattr(hyp, "hsv_v", 0.4),
+                rng,
+            )
+            lab = A.random_flip(lab, "vertical", getattr(hyp, "flipud", 0.0), rng)
+            lab = A.random_flip(lab, "horizontal", getattr(hyp, "fliplr", 0.5), rng)
+        return A.format_sample(lab, self.imgsz, self.max_labels)
+
+    def get_val_sample(self, i: int) -> Dict[str, np.ndarray]:
+        """Deterministic letterboxed sample + original-space metadata."""
+        item = self._load_item(i)
+        lab = A.letterbox_labels(item, self.imgsz, scaleup=True)
+        out = A.format_sample(lab, self.imgsz, self.max_labels)
+        out["ori_shape"] = np.asarray(item["ori_shape"], np.int32)
+        out["ratio_pad"] = np.asarray([lab["ratio_pad"][0], *lab["ratio_pad"][1]], np.float32)
+        return out

@@ -1,0 +1,60 @@
+"""Checkpoint save/load via orbax.
+
+TPU counterpart of the reference's ``BaseTrainer.save_model``
+(engine/trainer.py:898: ckpt dict with model, EMA, optimizer, train_args,
+epoch, best_fitness) and ``attempt_load_one_weight``. A checkpoint is a
+directory: orbax pytree state + a sidecar meta.yaml with the model yaml,
+class names and train args so a checkpoint is self-describing.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import orbax.checkpoint as ocp
+
+from experiment_yolo_tpu.utils import LOGGER, yaml_load, yaml_save
+
+
+def save_checkpoint(
+    path: str | Path,
+    model,
+    variables: Dict,
+    *,
+    ema_variables: Optional[Dict] = None,
+    opt_state: Any = None,
+    meta: Optional[Dict] = None,
+) -> None:
+    """Save variables (+optional EMA/optimizer state) and model metadata."""
+    path = Path(path).resolve()
+    path.mkdir(parents=True, exist_ok=True)
+    state: Dict[str, Any] = {"variables": variables}
+    if ema_variables is not None:
+        state["ema_variables"] = ema_variables
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", jax.tree.map(jnp.asarray, state), force=True)
+    ckptr.wait_until_finished()
+    model_yaml = {k: v for k, v in model.yaml.items() if k != "yaml_file"}
+    yaml_save(path / "meta.yaml", {"model_yaml": model_yaml, "nc": model.nc, **(meta or {})})
+
+
+def load_checkpoint(path: str | Path, dtype=jnp.float32, prefer_ema: bool = True) -> Tuple[Any, Dict]:
+    """Load (DetectionModel, variables) from a checkpoint dir.
+
+    Prefers EMA weights for inference (the reference validates/exports the
+    EMA model — trainer.py:909).
+    """
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    path = Path(path).resolve()
+    meta = yaml_load(path / "meta.yaml")
+    model = DetectionModel(meta["model_yaml"], dtype=dtype)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path / "state")
+    variables = state.get("ema_variables") if prefer_ema and state.get("ema_variables") is not None else state["variables"]
+    if "names" in meta:
+        model.names = {int(k): v for k, v in meta["names"].items()} if isinstance(meta["names"], dict) else dict(enumerate(meta["names"]))
+    return model, variables

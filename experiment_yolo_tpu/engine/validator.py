@@ -1,0 +1,107 @@
+"""Detection validator: eval loop -> NMS -> IoU matching -> DetMetrics.
+
+Rebuild of the reference's ``BaseValidator`` (engine/validator.py:37) +
+``DetectionValidator`` (models/yolo/detect/val.py:17). The device part
+(forward + decode + multi-label NMS) is one jitted program; matching and AP
+accumulate on host in original-image space (scale_boxes semantics of
+``utils/ops.py:89``), mirroring the reference's metric pipeline so mAP
+numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from experiment_yolo_tpu.cfg import get_cfg
+from experiment_yolo_tpu.data import DataLoader, build_yolo_dataset, check_det_dataset
+from experiment_yolo_tpu.ops import non_max_suppression
+from experiment_yolo_tpu.utils import LOGGER
+from experiment_yolo_tpu.utils.metrics import DetMetrics, IOUV, box_iou_np, match_predictions
+
+
+class DetectionValidator:
+    def __init__(self, args: Optional[Dict] = None):
+        self.args = get_cfg(overrides=args or {})
+        if self.args.conf is None:
+            self.args.conf = 0.001
+
+    def __call__(self, model, variables) -> Dict[str, float]:
+        args = self.args
+        data = check_det_dataset(args.data)
+        split = data.get(args.split or "val") or data["val"]
+        dataset = build_yolo_dataset(args, split, mode="val")
+        loader = DataLoader(
+            dataset, args.batch, shuffle=False, workers=args.workers, drop_last=False
+        )
+        metrics = DetMetrics(data["names"])
+
+        @jax.jit
+        def infer(variables, imgs):
+            boxes, scores = model.predict(variables, imgs)
+            return non_max_suppression(
+                boxes,
+                scores,
+                conf_thres=float(args.conf),
+                iou_thres=float(args.iou),
+                max_det=int(args.max_det),
+                multi_label=True,
+            )
+
+        n_images = len(dataset)
+        seen = 0
+        t0 = time.time()
+        for batch in loader:
+            imgs = jnp.asarray(batch["img"]).astype(jnp.float32) / 255.0
+            det, counts = jax.device_get(infer(variables, imgs))
+            bs = imgs.shape[0]
+            for i in range(bs):
+                if seen >= n_images:
+                    break  # padded tail of last batch
+                seen += 1
+                n = int(counts[i])
+                d = det[i, :n]  # (n, 6) letterbox space
+                gain, padw, padh = batch["ratio_pad"][i]
+                oh, ow = batch["ori_shape"][i]
+                # predictions -> original space
+                pb = d[:, :4].copy()
+                pb[:, [0, 2]] = (pb[:, [0, 2]] - padw) / gain
+                pb[:, [1, 3]] = (pb[:, [1, 3]] - padh) / gain
+                pb[:, [0, 2]] = pb[:, [0, 2]].clip(0, ow)
+                pb[:, [1, 3]] = pb[:, [1, 3]].clip(0, oh)
+                # gt (normalized xywh on letterboxed img) -> original space
+                m = batch["mask"][i]
+                gtn = batch["bboxes"][i][m]
+                cls = batch["cls"][i][m].astype(np.float32)
+                imgsz_h, imgsz_w = imgs.shape[1:3]
+                gx = gtn * np.asarray([imgsz_w, imgsz_h, imgsz_w, imgsz_h])
+                gt = np.stack(
+                    [
+                        gx[:, 0] - gx[:, 2] / 2,
+                        gx[:, 1] - gx[:, 3] / 2,
+                        gx[:, 0] + gx[:, 2] / 2,
+                        gx[:, 1] + gx[:, 3] / 2,
+                    ],
+                    1,
+                )
+                gt[:, [0, 2]] = (gt[:, [0, 2]] - padw) / gain
+                gt[:, [1, 3]] = (gt[:, [1, 3]] - padh) / gain
+                if n == 0:
+                    tp = np.zeros((0, IOUV.size), bool)
+                else:
+                    iou = box_iou_np(pb, gt)
+                    tp = match_predictions(d[:, 5], cls, iou)
+                metrics.update(tp, d[:, 4], d[:, 5], cls)
+        stats = metrics.result()
+        dt = time.time() - t0
+        if getattr(args, "verbose", True):
+            LOGGER.info(
+                f"val: {seen} images  P {stats['precision']:.3f}  R {stats['recall']:.3f}  "
+                f"mAP50 {stats['mAP50']:.3f}  mAP50-95 {stats['mAP50-95']:.3f}  ({seen / max(dt, 1e-9):.1f} img/s)"
+            )
+        return stats

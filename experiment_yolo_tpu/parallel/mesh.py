@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers — the framework's parallelism layer.
+
+TPU-native counterpart of the reference's DDP machinery (SURVEY.md §2.9):
+the reference spawns ``torch.distributed.run`` subprocesses and wraps the
+model in DDP over NCCL; here data parallelism is a named mesh axis. The
+train step is written for the global batch; ``jit`` with these shardings
+lets SPMD partitioning insert the gradient all-reduces over ICI.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh
+(the trainer does this when run under multi-process launch); per-host data
+loading shards by ``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Place a host batch onto the mesh, batch-dim sharded."""
+    sh = batch_sharded(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,97 @@
+"""Optimizer tests: schedules, param grouping, SGD semantics, SOAP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from experiment_yolo_tpu.optim.builders import (
+    build_optimizer,
+    lr_lambda,
+    param_group_label,
+    warmup_schedules,
+)
+from experiment_yolo_tpu.optim.soap import soap
+
+
+def test_lr_lambda_linear_and_cosine():
+    lf = lr_lambda(epochs=100, lrf=0.01, cos_lr=False)
+    assert lf(0) == pytest.approx(1.0)
+    assert lf(100) == pytest.approx(0.01)
+    lfc = lr_lambda(epochs=100, lrf=0.01, cos_lr=True)
+    assert lfc(0) == pytest.approx(1.0)
+    assert lfc(100) == pytest.approx(0.01)
+    assert lfc(50) == pytest.approx((1.0 + 0.01) / 2, abs=1e-6)
+
+
+def test_warmup_schedules():
+    lf = lr_lambda(100, 0.01, False)
+    lr_fn, bias_lr_fn, mom_fn = warmup_schedules(0.01, lf, nb=100, warmup_epochs=3.0,
+                                                 warmup_bias_lr=0.1, warmup_momentum=0.8, momentum=0.937)
+    # step 0: lr 0 (bias: 0.1), momentum 0.8
+    assert float(lr_fn(jnp.asarray(0))) == pytest.approx(0.0)
+    assert float(bias_lr_fn(jnp.asarray(0))) == pytest.approx(0.1)
+    assert float(mom_fn(jnp.asarray(0))) == pytest.approx(0.8)
+    # after warmup (300 steps): at scheduled value
+    assert float(mom_fn(jnp.asarray(400))) == pytest.approx(0.937)
+    assert float(lr_fn(jnp.asarray(400))) == pytest.approx(0.01 * lf(4.0), rel=1e-5)
+
+
+def test_param_group_labels():
+    params = {
+        "layers_0": {"conv": {"kernel": jnp.zeros((3, 3, 3, 8))}, "bn": {"scale": jnp.zeros(8), "bias": jnp.zeros(8)}},
+        "head": {"proj": {"kernel": jnp.zeros((8, 4)), "bias": jnp.zeros(4)}},
+    }
+    labels = jax.tree_util.tree_map_with_path(param_group_label, params)
+    assert labels["layers_0"]["conv"]["kernel"] == "weight"
+    assert labels["layers_0"]["bn"]["scale"] == "norm"
+    assert labels["layers_0"]["bn"]["bias"] == "norm"
+    assert labels["head"]["proj"]["bias"] == "bias"
+
+
+def _rosenbrock_ish(params):
+    # simple convex quadratic over a 2D matrix + bias
+    w = params["w"]
+    b = params["b"]
+    return jnp.sum((w - 3.0) ** 2) + jnp.sum((b + 1.0) ** 2)
+
+
+@pytest.mark.parametrize("name", ["SGD", "AdamW", "SOAP"])
+def test_optimizers_converge_quadratic(name):
+    params = {"w": jnp.ones((8, 4)), "b": jnp.zeros((4,))}
+    tx = build_optimizer(
+        params, name=name, lr0=0.05 if name != "SGD" else 0.2, momentum=0.9,
+        weight_decay=0.0, nb=10, epochs=50, lrf=1.0, cos_lr=False,
+        warmup_epochs=0.0, warmup_bias_lr=0.0, warmup_momentum=0.9,
+    )
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(_rosenbrock_ish)(params)
+        updates, state = tx.update(g, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    loss0 = float(_rosenbrock_ish(params))
+    n_steps = 400 if name == "SOAP" else 150  # SOAP's (0.95, 0.95) betas ramp slowly
+    for _ in range(n_steps):
+        params, state, loss = step(params, state)
+    assert float(loss) < loss0 * 1e-2, f"{name} failed to converge: {float(loss)} vs {loss0}"
+
+
+def test_soap_preconditioner_state_updates():
+    params = {"w": jnp.ones((6, 4))}
+    tx = soap(0.01)
+    state = tx.init(params)
+    g = {"w": jnp.ones((6, 4)) * 0.5}
+    # first step: no update (statistics only)
+    upd, state = tx.update(g, state, params)
+    assert float(jnp.abs(upd["w"]).sum()) == 0.0
+    assert float(jnp.abs(state.leaves["w"].gg[0]).sum()) > 0  # GG accumulated
+    # second step: real update
+    upd, state = tx.update(g, state, params)
+    assert float(jnp.abs(upd["w"]).sum()) > 0
+    # eigenbases orthogonal (fp32 eigh on a near-rank-1 GG: loose tol)
+    q = state.leaves["w"].q[0]
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(6), atol=1e-2)
