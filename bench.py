@@ -70,14 +70,22 @@ def main() -> None:
     model = DetectionModel("yolov8n.yaml", nc=80, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0))
 
+    # batch 128 is the sweet spot on v5e: XLA lays out the small-channel
+    # early tensors with batch as the 128-lane dim, eliminating padding
+    # waste (measured superlinear speedup from 32 -> 128).
     best = 0.0
     best_b = 0
-    for b in (8, 16, 32):
-        try:
-            v = bench_batch(model, variables, b)
-        except Exception as e:  # OOM etc: keep the best completed batch
-            print(f"batch {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            break
+    for b in (32, 64, 128, 256):
+        v = None
+        for attempt in range(3):  # the relay backend occasionally hiccups
+            try:
+                v = bench_batch(model, variables, b)
+                break
+            except Exception as e:
+                print(f"batch {b} attempt {attempt}: {type(e).__name__}: {e}", file=sys.stderr)
+                time.sleep(2)
+        if v is None:
+            continue
         print(f"batch {b}: {v:.1f} img/s", file=sys.stderr)
         if v > best:
             best, best_b = v, b
