@@ -91,6 +91,7 @@ class DoubleInference:
         self._infer = jax.jit(self._infer_fn)
 
     def _infer_fn(self, variables, imgs):
+        imgs = imgs.astype(jnp.float32) / 255.0  # normalize on device
         boxes, scores = self.model.predict(variables, imgs)
         return non_max_suppression(
             boxes, scores, conf_thres=0.05, iou_thres=0.7, max_det=32, multi_label=False
@@ -119,8 +120,7 @@ class DoubleInference:
 
         batch = np.zeros((cfg.max_crops, cfg.crop_size, cfg.crop_size, 3), np.uint8)
         batch[: len(crops)] = np.stack(crops)
-        imgs = jnp.asarray(batch).astype(jnp.float32) / 255.0
-        det, counts = jax.device_get(self._infer(self.variables, imgs))
+        det, counts = jax.device_get(self._infer(self.variables, jnp.asarray(batch)))
 
         refined = data.copy()
         for k, i in enumerate(idxs):

@@ -63,6 +63,9 @@ class DetectionPredictor:
         self._infer = jax.jit(self._infer_fn)
 
     def _infer_fn(self, variables, imgs):
+        # uint8 in, normalize on device: 4x less host->device traffic and
+        # the cast/divide fuses into the first conv's input pass
+        imgs = imgs.astype(jnp.float32) / 255.0
         boxes, scores = self.model.predict(variables, imgs)
         return non_max_suppression(
             boxes,
@@ -88,8 +91,7 @@ class DetectionPredictor:
             if n_pad:
                 batch_np = np.concatenate([batch_np, np.zeros((n_pad, *batch_np.shape[1:]), batch_np.dtype)])
             t1 = time.time()
-            imgs = jnp.asarray(batch_np).astype(jnp.float32) / 255.0
-            det, counts = jax.device_get(self._infer(self.variables, imgs))
+            det, counts = jax.device_get(self._infer(self.variables, jnp.asarray(batch_np)))
             t2 = time.time()
             for i, ((path, orig), (pimg, gain, (padw, padh))) in enumerate(zip(chunk, pre)):
                 n = int(counts[i])

@@ -43,6 +43,7 @@ class DetectionValidator:
 
         @jax.jit
         def infer(variables, imgs):
+            imgs = imgs.astype(jnp.float32) / 255.0  # normalize on device
             boxes, scores = model.predict(variables, imgs)
             return non_max_suppression(
                 boxes,
@@ -57,7 +58,7 @@ class DetectionValidator:
         seen = 0
         t0 = time.time()
         for batch in loader:
-            imgs = jnp.asarray(batch["img"]).astype(jnp.float32) / 255.0
+            imgs = jnp.asarray(batch["img"])  # uint8; normalized on device
             det, counts = jax.device_get(infer(variables, imgs))
             bs = imgs.shape[0]
             for i in range(bs):
