@@ -30,7 +30,7 @@ CFG_INT_KEYS = {
 }
 CFG_BOOL_KEYS = {
     "save", "cache", "exist_ok", "pretrained", "verbose", "deterministic", "single_cls",
-    "rect", "cos_lr", "resume", "amp", "multi_scale", "val", "save_json", "half",
+    "rect", "cos_lr", "amp", "multi_scale", "val", "save_json", "half",  # NB: resume may be bool OR a ckpt path
     "agnostic_nms", "augment", "save_txt", "save_conf", "save_crop", "show_labels",
     "show_conf", "show_boxes", "plots", "use_wiseiou", "nwd", "ema",
 }

@@ -155,19 +155,25 @@ class DetectionTrainer:
             step=jnp.zeros([], jnp.int32),
             ema_updates=jnp.zeros([], jnp.int32),
         )
+        start_epoch = 0
+        best_fitness = 0.0
+        if args.resume:
+            state, start_epoch, best_fitness = self._load_resume_state(state)
+            LOGGER.info(f"Resuming from epoch {start_epoch + 1} (best_fitness {best_fitness:.4f})")
         state = meshlib.replicate(state, self.mesh)
         train_step = self._make_train_step()
 
         stopper = EarlyStopping(args.patience)
-        best_fitness = 0.0
+        stopper.best_fitness = best_fitness
+        stopper.best_epoch = max(start_epoch - 1, 0)
         LOGGER.info(
             f"{colorstr('train:')} {len(train_set)} images, {nb} batches/epoch, "
             f"{args.epochs} epochs, batch {args.batch} on {n_dev} device(s), "
             f"optimizer={args.optimizer}, amp={args.amp}"
         )
 
-        epoch = 0
-        for epoch in range(args.epochs):
+        epoch = start_epoch
+        for epoch in range(start_epoch, args.epochs):
             self.callbacks.run("on_train_epoch_start", trainer=self)
             if args.close_mosaic and epoch == args.epochs - args.close_mosaic:
                 LOGGER.info("Closing dataloader mosaic")
@@ -193,10 +199,12 @@ class DetectionTrainer:
             self.callbacks.run("on_fit_epoch_end", trainer=self)
 
             if args.save:
-                self._save(state, "last")
+                self._save(state, "last", epoch=epoch, best_fitness=best_fitness)
                 if fitness is not None and fitness >= best_fitness:
                     best_fitness = fitness
-                    self._save(state, "best")
+                    self._save(state, "best", epoch=epoch, best_fitness=best_fitness)
+                if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
+                    self._save(state, f"epoch{epoch + 1}", epoch=epoch, best_fitness=best_fitness)
             if stopper(epoch, fitness):
                 LOGGER.info(f"EarlyStopping at epoch {epoch + 1} (best epoch {stopper.best_epoch + 1})")
                 break
@@ -288,7 +296,11 @@ class DetectionTrainer:
         self.metrics.update(stats)
         return stats.get("fitness")
 
-    def _save(self, state: TrainState, name: str) -> None:
+    def _save(self, state: TrainState, name: str, epoch: int = 0, best_fitness: float = 0.0) -> None:
+        """Save weights+EMA (inference ckpt) and, for 'last', the FULL train
+        state for resume (reference trainer.py:898 save_model contract)."""
+        import orbax.checkpoint as ocp
+
         path = self.save_dir / "weights" / name
         save_checkpoint(
             path,
@@ -298,10 +310,42 @@ class DetectionTrainer:
                 "params": jax.device_get(state.ema_params),
                 "batch_stats": jax.device_get(state.ema_batch_stats),
             },
-            meta={"names": self.data["names"], "train_args": {k: v for k, v in self.args if v is None or isinstance(v, (int, float, str, bool))}},
+            meta={
+                "names": self.data["names"],
+                "epoch": int(epoch),
+                "best_fitness": float(best_fitness),
+                "train_args": {k: v for k, v in self.args if v is None or isinstance(v, (int, float, str, bool))},
+            },
         )
+        if name == "last":  # resume state (optimizer, EMA counters, WIoU mean)
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save((path / "train_state").resolve(), jax.device_get(state), force=True)
+            ckptr.wait_until_finished()
         if name == "best":
             self.best_variables = {
                 "params": jax.device_get(state.ema_params),
                 "batch_stats": jax.device_get(state.ema_batch_stats),
             }
+
+    def _load_resume_state(self, template: TrainState):
+        """Restore the full TrainState from <resume>/train_state.
+
+        args.resume may be a checkpoint dir (…/weights/last) or True, which
+        resolves to this run directory's last checkpoint (reference
+        check_resume/get_latest_run, trainer.py:1050).
+        """
+        import orbax.checkpoint as ocp
+
+        from experiment_yolo_tpu.utils import yaml_load
+
+        if isinstance(self.args.resume, (str, Path)) and str(self.args.resume) not in ("True", "true"):
+            ckpt = Path(self.args.resume)
+        else:
+            candidates = sorted(Path(self.args.project or "runs/detect").glob("*/weights/last/train_state"))
+            if not candidates:
+                raise FileNotFoundError("resume=True but no previous run with a train_state was found")
+            ckpt = candidates[-1].parent
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore((Path(ckpt) / "train_state").resolve(), template)
+        meta = yaml_load(Path(ckpt) / "meta.yaml")
+        return state, int(meta.get("epoch", -1)) + 1, float(meta.get("best_fitness", 0.0))

@@ -43,6 +43,16 @@ class LossConfig:
     wiou_ltype: str = "WIoU"
     nwd: bool = False  # NWD blend (DEAL-YOLO paper runs)
     iou_ratio: float = 0.5  # weight of IoU term when nwd=True
+    # classification loss: the reference's commented-out zoo (loss.py:303-308)
+    # exposed as a real option: bce | focal | varifocal | qualityfocal |
+    # slide | emaslide
+    cls_loss: str = "bce"
+    focal_gamma: float = 1.5
+    focal_alpha: float = 0.25
+    vfl_gamma: float = 2.0
+    vfl_alpha: float = 0.75
+    qfl_beta: float = 2.0
+    assigner: str = "tal"  # tal | atss
 
 
 def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -68,12 +78,16 @@ def detection_loss(
     strides: Sequence[int],
     cfg: LossConfig,
     iou_mean: jnp.ndarray | None = None,  # Wise-IoU running state (scalar)
+    slide_mean: jnp.ndarray | None = None,  # EMASlide running IoU (scalar)
+    step: jnp.ndarray | None = None,  # optimizer step (EMASlide decay ramp)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
     """Compute (total_loss, components, new_iou_mean).
 
     Total is ``(box*g_box + cls*g_cls + dfl*g_dfl) * batch_size`` — the same
     scale as the reference's ``loss.sum() * batch_size`` so LR settings
-    transfer.
+    transfer. Running states (Wise-IoU mean; EMASlide mean when
+    cls_loss='emaslide') are explicit inputs/outputs — the trainer threads
+    them through TrainState.
     """
     nc, reg_max = cfg.nc, cfg.reg_max
     no = nc + reg_max * 4
@@ -98,26 +112,43 @@ def detection_loss(
     pred_dist_decoded = dfl_decode(pred_distri, reg_max)
     pred_bboxes = dist2bbox(pred_dist_decoded, anchor_points[None], xywh=False)  # (B,A,4)
 
-    res = tal.assign(
-        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
-        jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
-        anchor_points * stride_tensor,
-        gt_labels,
-        gt_bboxes,
-        mask_gt,
-        topk=cfg.tal_topk,
-        num_classes=nc,
-        alpha=cfg.tal_alpha,
-        beta=cfg.tal_beta,
-    )
+    if cfg.assigner == "atss":
+        from experiment_yolo_tpu.utils import atss
+
+        res = atss.assign(
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+            anchor_points * stride_tensor,
+            stride_tensor,
+            tuple(tuple(s) for s in feat_shapes),
+            tuple(strides),
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+            num_classes=nc,
+        )
+    else:
+        res = tal.assign(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+            topk=cfg.tal_topk,
+            num_classes=nc,
+            alpha=cfg.tal_alpha,
+            beta=cfg.tal_beta,
+        )
     target_scores = jax.lax.stop_gradient(res.target_scores)
     fg_mask = res.fg_mask
     target_bboxes = res.target_bboxes / stride_tensor[None]  # grid units
     target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
 
-    # --- cls: BCE over all anchors (reference loss.py BCEWithLogits path) --
-    bce = _sigmoid_bce(pred_scores, target_scores)
-    loss_cls = bce.sum() / target_scores_sum
+    # --- cls loss (zoo; reference loss.py:303-308 + 396-458) ---------------
+    loss_cls, new_slide_mean = _cls_loss(
+        cfg, pred_scores, target_scores, res.target_labels, pred_bboxes, target_bboxes,
+        fg_mask, target_scores_sum, slide_mean, step,
+    )
 
     # --- box: (Wise-)IoU (+ NWD blend), weighted by target score ----------
     weight = jnp.where(fg_mask, target_scores.sum(-1), 0.0)  # (B, A)
@@ -146,12 +177,69 @@ def detection_loss(
         "dfl": loss_dfl * cfg.dfl,
     }
     total = (comps["box"] + comps["cls"] + comps["dfl"]) * b
+    if slide_mean is not None:
+        return total, comps, new_iou_mean, new_slide_mean
     return total, comps, new_iou_mean
 
 
 def _sigmoid_bce(logits, targets):
     """Elementwise binary cross-entropy with logits (no reduction)."""
     return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _cls_loss(cfg, pred_scores, target_scores, target_labels, pred_bboxes, target_bboxes,
+              fg_mask, target_scores_sum, slide_mean, step):
+    """Classification loss zoo. Returns (loss, new_slide_mean)."""
+    dtype = pred_scores.dtype
+    new_slide_mean = slide_mean
+    if cfg.cls_loss == "bce":
+        loss = _sigmoid_bce(pred_scores, target_scores).sum() / target_scores_sum
+    elif cfg.cls_loss == "focal":
+        # FocalLoss_YOLO (reference loss.py:166-186)
+        bce = _sigmoid_bce(pred_scores, target_scores)
+        p = jax.nn.sigmoid(pred_scores)
+        p_t = target_scores * p + (1 - target_scores) * (1 - p)
+        mod = (1.0 - p_t) ** cfg.focal_gamma
+        alpha_f = target_scores * cfg.focal_alpha + (1 - target_scores) * (1 - cfg.focal_alpha)
+        loss = (bce * mod * alpha_f).sum() / target_scores_sum
+    elif cfg.cls_loss == "varifocal":
+        # VarifocalLoss_YOLO (loss.py:128-143), normalized by fg count
+        q = target_scores
+        weight = cfg.vfl_alpha * jnp.abs(jax.nn.sigmoid(pred_scores) - q) ** cfg.vfl_gamma * (q <= 0) + q * (q > 0)
+        loss = (_sigmoid_bce(pred_scores, q) * jax.lax.stop_gradient(weight)).sum() / jnp.maximum(fg_mask.sum(), 1)
+    elif cfg.cls_loss == "qualityfocal":
+        # QualityfocalLoss_YOLO (loss.py:145-158): q = IoU * onehot on fg
+        iou = jnp.clip(bbox_iou(pred_bboxes, target_bboxes, xywh=False)[..., 0], 1e-6, None)
+        iou = jax.lax.stop_gradient(iou)
+        onehot = jax.nn.one_hot(target_labels, cfg.nc, dtype=dtype)
+        pos = fg_mask[..., None] * onehot
+        q = jnp.where(pos > 0, iou[..., None] * onehot, 0.0)
+        p = jax.nn.sigmoid(pred_scores)
+        scale = jnp.where(pos > 0, jnp.abs(q - p), p) ** cfg.qfl_beta
+        loss = (_sigmoid_bce(pred_scores, q) * scale).sum() / jnp.maximum(fg_mask.sum(), 1)
+    elif cfg.cls_loss in ("slide", "emaslide"):
+        # Slide / EMASlide (loss.py:15-74): modulate BCE by where the target
+        # score sits relative to auto_iou (mean fg CIoU)
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)[..., 0]
+        fg_cnt = jnp.maximum(fg_mask.sum(), 1)
+        auto_iou = jax.lax.stop_gradient(jnp.where(fg_mask, iou, 0.0).sum() / fg_cnt)
+        if cfg.cls_loss == "emaslide":
+            upd = (step if step is not None else jnp.asarray(1, jnp.int32)).astype(jnp.float32) + 1.0
+            d = 0.999 * (1.0 - jnp.exp(-upd / 2000.0))
+            sm = slide_mean if slide_mean is not None else jnp.asarray(1.0, jnp.float32)
+            new_slide_mean = d * sm + (1 - d) * auto_iou
+            auto_iou = new_slide_mean
+        auto_iou = jnp.maximum(auto_iou, 0.2)
+        t = target_scores
+        w = (
+            1.0 * (t <= auto_iou - 0.1)
+            + jnp.exp(1.0 - auto_iou) * ((t > auto_iou - 0.1) & (t < auto_iou))
+            + jnp.exp(-(t - 1.0)) * (t >= auto_iou)
+        )
+        loss = (_sigmoid_bce(pred_scores, t) * w).sum() / target_scores_sum
+    else:
+        raise ValueError(f"unknown cls_loss {cfg.cls_loss!r}")
+    return loss, new_slide_mean
 
 
 def _masked_wise_iou(pred, target, fg_mask, iou_mean, ltype):
