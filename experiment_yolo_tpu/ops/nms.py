@@ -55,6 +55,7 @@ def _nms_single(
     agnostic: bool,
     max_wh: float,
     in_xywh: bool,
+    use_pallas: bool,
 ):
     """NMS for one image. boxes (A,4), scores (A,nc). Returns ((max_det,6), n)."""
     if in_xywh:
@@ -71,18 +72,26 @@ def _nms_single(
     # class-offset trick: shift boxes per class so cross-class IoU is ~0
     offset = jnp.where(agnostic, 0.0, cand_cls * max_wh)[:, None]
     shifted = cand_boxes + offset
-    iou = box_iou(shifted, shifted)  # (K, K)
 
-    # Greedy suppression: candidates are already score-sorted (top_k sorts
-    # descending). keep[i] survives unless an earlier kept box overlaps it.
-    def body(i, keep):
-        suppress = (iou[i] > iou_thres) & keep[i] & valid[i]
-        suppress = suppress.at[i].set(False)
-        # only suppress lower-scored (later) candidates
-        later = jnp.arange(k) > i
-        return keep & ~(suppress & later)
+    if use_pallas:
+        # fused VMEM suppression kernel: no (K, K) HBM intermediate
+        from experiment_yolo_tpu.ops.pallas.nms_kernel import nms_suppress
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
+        keep = nms_suppress(shifted, valid, iou_thres)
+    else:
+        iou = box_iou(shifted, shifted)  # (K, K)
+
+        # Greedy suppression: candidates are already score-sorted (top_k
+        # sorts descending). keep[i] survives unless an earlier kept box
+        # overlaps it.
+        def body(i, keep):
+            suppress = (iou[i] > iou_thres) & keep[i] & valid[i]
+            suppress = suppress.at[i].set(False)
+            # only suppress lower-scored (later) candidates
+            later = jnp.arange(k) > i
+            return keep & ~(suppress & later)
+
+        keep = jax.lax.fori_loop(0, k, body, valid)
 
     # pack kept detections into fixed (max_det, 6), score-sorted
     keep_scores = jnp.where(keep, cand_scores, -1.0)
@@ -106,7 +115,7 @@ def _nms_single(
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "max_wh", "in_xywh"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "max_wh", "in_xywh", "use_pallas"),
 )
 def non_max_suppression(
     boxes: jnp.ndarray,
@@ -119,6 +128,7 @@ def non_max_suppression(
     agnostic: bool = False,
     max_wh: float = 7680.0,
     in_xywh: bool = True,
+    use_pallas: bool = False,
 ):
     """Batched static-shape NMS.
 
@@ -140,5 +150,6 @@ def non_max_suppression(
         agnostic=agnostic,
         max_wh=max_wh,
         in_xywh=in_xywh,
+        use_pallas=use_pallas,
     )
     return jax.vmap(fn)(boxes, scores)
