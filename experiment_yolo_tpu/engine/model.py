@@ -79,6 +79,36 @@ class YOLO:
             self.predictor = DetectionPredictor(self.model, self.variables, overrides={**self.overrides, **kwargs})
         return self.predictor(source)
 
+    def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs):
+        """Predict + multi-object tracking over an ordered frame sequence.
+
+        Counterpart of the reference's Model.track (engine/model.py:411 +
+        trackers/track.py). Returns Results with a (N, 7) boxes array
+        [x1, y1, x2, y2, track_id, conf, cls] per frame.
+        """
+        import numpy as np
+
+        from experiment_yolo_tpu.engine.results import Results
+        from experiment_yolo_tpu.trackers import TRACKER_MAP
+
+        if not persist or getattr(self, "_tracker", None) is None:
+            self._tracker = TRACKER_MAP[tracker]()
+        results = self.predict(source, **kwargs)
+        tracked = []
+        for r in results:
+            xywh = r.boxes.xywh
+            out = (
+                self._tracker.update(xywh, r.boxes.conf, r.boxes.cls, frame=r.orig_img)
+                if tracker == "botsort"
+                else self._tracker.update(xywh, r.boxes.conf, r.boxes.cls)
+            )
+            # repack [x1,y1,x2,y2,id,score,cls] -> Results boxes (xyxy, conf, cls)
+            boxes6 = out[:, [0, 1, 2, 3, 5, 6]] if len(out) else np.zeros((0, 6), np.float32)
+            res = Results(r.orig_img, r.path, r.names, boxes6, speed=r.speed)
+            res.track_ids = out[:, 4].astype(int) if len(out) else np.zeros((0,), int)
+            tracked.append(res)
+        return tracked
+
     def benchmark(self, **kwargs):
         from experiment_yolo_tpu.utils.benchmarks import benchmark_model
 
