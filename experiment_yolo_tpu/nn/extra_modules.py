@@ -1,0 +1,584 @@
+"""Extra module zoo, tranche 1: attention blocks, rep/ghost convs,
+v9 ELAN blocks, dynamic upsamplers.
+
+Rebuild of the most-used entries of the reference's
+``nn/extra_modules/{attention.py,block.py,RFAConv.py}`` and the remaining
+``nn/modules/{conv.py,block.py}`` classes, as flax modules (NHWC).
+Each class cites its reference counterpart. All are registered in
+``nn/tasks.py`` so model YAMLs can instantiate them.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from experiment_yolo_tpu.nn.modules import (
+    Bottleneck,
+    ConvBN,
+    DWConv,
+    GhostConv,
+    _act,
+    _max_pool_same,
+    autopad,
+    ldconv_bilinear_gather,
+)
+
+Dtype = Any
+
+
+def _h_sigmoid(x):
+    return jax.nn.relu6(x + 3.0) / 6.0
+
+
+def _h_swish(x):
+    return x * _h_sigmoid(x)
+
+
+def _conv2d(x, features, k, s=1, p=None, g=1, use_bias=True, dtype=jnp.float32, name="conv"):
+    """Bare nn.Conv with torch-style symmetric padding (helper)."""
+    pad = autopad(k, p)
+    return nn.Conv(
+        features, (k, k), strides=(s, s), padding=[(pad, pad), (pad, pad)],
+        feature_group_count=g, use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32, name=name,
+    )(x)
+
+
+# ---------------------------------------------------------------------------
+# attention (reference: nn/extra_modules/attention.py)
+# ---------------------------------------------------------------------------
+
+
+class SEAttention(nn.Module):
+    """Squeeze-and-Excitation (attention.py:896)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = x.mean(axis=(1, 2))
+        y = nn.Dense(max(c // self.reduction, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(y)
+        return x * jax.nn.sigmoid(y)[:, None, None, :]
+
+
+class EffectiveSE(nn.Module):
+    """Effective squeeze-excite with hard sigmoid (attention.py:1052)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = x.mean(axis=(1, 2), keepdims=True)
+        y = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="fc")(y)
+        return x * _h_sigmoid(y)
+
+
+class SimAM(nn.Module):
+    """Parameter-free SimAM attention (attention.py:53)."""
+
+    e_lambda: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1:3]
+        n = h * w - 1
+        mu = x.mean(axis=(1, 2), keepdims=True)
+        d2 = (x - mu) ** 2
+        y = d2 / (4 * (d2.sum(axis=(1, 2), keepdims=True) / n + self.e_lambda)) + 0.5
+        return x * jax.nn.sigmoid(y)
+
+
+class CoordAtt(nn.Module):
+    """Coordinate attention (attention.py:586)."""
+
+    reduction: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        mip = max(8, c // self.reduction)
+        x_h = x.mean(axis=2)[:, None]  # (B, 1, H, C)
+        x_w = x.mean(axis=1)[:, None]  # (B, 1, W, C)
+        y = jnp.concatenate([x_h, x_w], axis=2)
+        y = nn.Conv(mip, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(y)
+        y = _h_swish(y)
+        y_h, y_w = y[:, :, :h], y[:, :, h:]
+        a_h = jax.nn.sigmoid(nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv_h")(y_h))
+        a_w = jax.nn.sigmoid(nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv_w")(y_w))
+        a_h = jnp.transpose(a_h, (0, 2, 1, 3))  # (B, H, 1, C)
+        return x * a_h * a_w
+
+
+class EMAAttention(nn.Module):
+    """Efficient Multi-scale Attention (attention.py:24; 'EMA' in the yaml
+    registry — renamed to avoid clashing with the weight-averaging EMA)."""
+
+    factor: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.factor
+        cg = c // g
+        xg = x.reshape(b, h, w, g, cg).transpose(0, 3, 1, 2, 4).reshape(b * g, h, w, cg)
+        x_h = xg.mean(axis=2)[:, :, None]  # (bg, H, 1, cg)
+        x_w = xg.mean(axis=1)[:, None]  # (bg, 1, W, cg)
+        hw = jnp.concatenate([x_h.transpose(0, 2, 1, 3), x_w], axis=2)  # (bg,1,H+W,cg)
+        hw = nn.Conv(cg, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv1x1")(hw)
+        a_h, a_w = hw[:, :, :h], hw[:, :, h:]
+        a_h = a_h.transpose(0, 2, 1, 3)  # (bg, H, 1, cg)
+        x1 = xg * jax.nn.sigmoid(a_h) * jax.nn.sigmoid(a_w)
+        x1 = nn.GroupNorm(num_groups=cg, dtype=self.dtype, param_dtype=jnp.float32, name="gn")(x1)
+        x2 = _conv2d(xg, cg, 3, dtype=self.dtype, name="conv3x3")
+        x11 = jax.nn.softmax(x1.mean(axis=(1, 2)), axis=-1)[:, None]  # (bg,1,cg)
+        x12 = x2.reshape(b * g, h * w, cg)
+        x21 = jax.nn.softmax(x2.mean(axis=(1, 2)), axis=-1)[:, None]
+        x22 = x1.reshape(b * g, h * w, cg)
+        weights = (
+            jnp.einsum("bic,bnc->bn", x11, x12) + jnp.einsum("bic,bnc->bn", x21, x22)
+        ).reshape(b * g, h, w, 1)
+        out = xg * jax.nn.sigmoid(weights)
+        return out.reshape(b, g, h, w, cg).transpose(0, 2, 3, 1, 4).reshape(b, h, w, c)
+
+
+class ChannelAttention(nn.Module):
+    """CBAM channel branch (reference conv.py:ChannelAttention)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = x.mean(axis=(1, 2), keepdims=True)
+        y = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="fc")(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class SpatialAttention(nn.Module):
+    """CBAM spatial branch (reference conv.py:SpatialAttention)."""
+
+    k: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = jnp.concatenate([x.mean(-1, keepdims=True), x.max(-1, keepdims=True)], axis=-1)
+        y = _conv2d(y, 1, self.k, use_bias=False, dtype=self.dtype, name="cv1")
+        return x * jax.nn.sigmoid(y)
+
+
+class CBAM(nn.Module):
+    """Convolutional block attention module (reference conv.py:CBAM)."""
+
+    k: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(dtype=self.dtype, name="channel_attention")(x, train)
+        return SpatialAttention(self.k, dtype=self.dtype, name="spatial_attention")(x, train)
+
+
+class TripletAttention(nn.Module):
+    """Rotate-to-interact triplet attention (attention.py:661)."""
+
+    no_spatial: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _gate(self, x, train, name):
+        z = jnp.concatenate([x.max(-1, keepdims=True), x.mean(-1, keepdims=True)], axis=-1)
+        z = _conv2d(z, 1, 7, use_bias=False, dtype=self.dtype, name=f"{name}_conv")
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-5,
+                         dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_bn")(z)
+        return x * jax.nn.sigmoid(z)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # branch 1: interact C and H (rotate W->channel axis)
+        x1 = jnp.transpose(x, (0, 3, 2, 1))  # (B, C, W, H): channel-last = H
+        x1 = self._gate(x1, train, "cw")
+        x1 = jnp.transpose(x1, (0, 3, 2, 1))
+        # branch 2: interact C and W
+        x2 = jnp.transpose(x, (0, 1, 3, 2))  # (B, H, C, W)
+        x2 = self._gate(x2, train, "hc")
+        x2 = jnp.transpose(x2, (0, 1, 3, 2))
+        if self.no_spatial:
+            return (x1 + x2) / 2
+        x3 = self._gate(x, train, "hw")
+        return (x1 + x2 + x3) / 3
+
+
+# ---------------------------------------------------------------------------
+# conv variants (reference: nn/modules/conv.py, extra_modules/RFAConv.py)
+# ---------------------------------------------------------------------------
+
+
+class Conv2Mod(nn.Module):
+    """Conv with a parallel 1x1 branch sharing one BN (conv.py:Conv2)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv2d(x, self.c2, self.k, self.s, g=self.g, use_bias=False, dtype=self.dtype, name="conv")
+        y2 = _conv2d(x, self.c2, 1, self.s, g=self.g, use_bias=False, dtype=self.dtype, name="cv2")
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y + y2)
+        return _act(self.act, y)
+
+
+class DSConv(nn.Module):
+    """Depthwise-separable conv (conv.py:DSConv: DW 3x3 then PW 1x1)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = DWConv(x.shape[-1], 3, dtype=self.dtype, name="dwconv")(x, train)
+        return ConvBN(self.c2, 1, dtype=self.dtype, name="pwconv")(y, train)
+
+
+class LightConv(nn.Module):
+    """1x1 conv then DW conv with ReLU (conv.py:LightConv)."""
+
+    c2: int
+    k: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return DWConv(self.c2, self.k, act="relu", dtype=self.dtype, name="conv2")(y, train)
+
+
+class RepConv(nn.Module):
+    """RepVGG-style 3x3 + 1x1 (+BN identity) sum (conv.py:RepConv).
+
+    Training keeps the branches; at inference the branches are algebraically
+    fusable, but on TPU XLA computes the two convs as one fused graph pass
+    anyway, so no re-parameterization step is needed.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    use_bn_branch: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y1 = ConvBN(self.c2, self.k, self.s, g=self.g, act=False, dtype=self.dtype, name="conv1")(x, train)
+        y2 = ConvBN(self.c2, 1, self.s, g=self.g, act=False, dtype=self.dtype, name="conv2")(x, train)
+        out = y1 + y2
+        if self.use_bn_branch and x.shape[-1] == self.c2 and self.s == 1:
+            out = out + nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                                     dtype=self.dtype, param_dtype=jnp.float32, name="bn_id")(x)
+        return _act(self.act, out)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv + BN + act (conv.py:ConvTranspose)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    act: Any = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s), padding="VALID",
+                             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv_transpose")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
+        return _act(self.act, y)
+
+
+class RFAConv(nn.Module):
+    """Receptive-field attention conv (RFAConv.py:24).
+
+    Per-pixel softmax weights over the k*k receptive field modulate
+    depthwise-generated k*k features; the weighted field unfolds to a
+    (kh, kw)-expanded map consumed by a stride-k conv.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        kk = self.k * self.k
+        # weights: avg-pool k then grouped 1x1 -> (B, h', w', c*k^2)
+        pad = self.k // 2
+        avg = nn.avg_pool(x, (self.k, self.k), strides=(self.s, self.s), padding=[(pad, pad), (pad, pad)])
+        wgt = nn.Conv(c * kk, (1, 1), feature_group_count=c, use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="get_weight")(avg)
+        ho, wo = wgt.shape[1:3]
+        wgt = jax.nn.softmax(wgt.reshape(b, ho, wo, c, kk), axis=-1)
+        # features: grouped kxk conv -> BN -> ReLU
+        feat = nn.Conv(c * kk, (self.k, self.k), strides=(self.s, self.s), padding=[(pad, pad), (pad, pad)],
+                       feature_group_count=c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="generate_feature")(x)
+        feat = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                            dtype=self.dtype, param_dtype=jnp.float32, name="bn")(feat)
+        feat = jax.nn.relu(feat).reshape(b, ho, wo, c, kk)
+        weighted = feat * wgt  # (B, h, w, C, k^2)
+        # unfold (h n1) (w n2): expand each pixel to a kxk patch
+        weighted = weighted.reshape(b, ho, wo, c, self.k, self.k)
+        weighted = weighted.transpose(0, 1, 4, 2, 5, 3).reshape(b, ho * self.k, wo * self.k, c)
+        return ConvBN(self.c2, self.k, self.k, p=0, dtype=self.dtype, name="conv")(weighted, train)
+
+
+# ---------------------------------------------------------------------------
+# blocks (reference: nn/modules/block.py, extra_modules/block.py)
+# ---------------------------------------------------------------------------
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (block.py:299)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="gc1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="dw")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="gc2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype, name="sc_dw")(x, train)
+            sc = ConvBN(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else ConvBN(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(x, train)
+        return y + sc
+
+
+class C3Ghost(nn.Module):
+    """C3 with Ghost bottlenecks (block.py:C3Ghost)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+class C3x(nn.Module):
+    """C3 with cross convolutions (1,3)/(3,1) (block.py:C3x)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            z = _cross_conv(y1, c_, (1, 3), self.dtype, f"m{i}_cv1", train, self)
+            z = _cross_conv(z, c_, (3, 1), self.dtype, f"m{i}_cv2", train, self)
+            y1 = y1 + z if self.shortcut else z
+        y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+def _cross_conv(x, c2, kk, dtype, name, train, parent):
+    kh, kw = kk
+    y = nn.Conv(c2, (kh, kw), padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)], use_bias=False,
+                dtype=dtype, param_dtype=jnp.float32, name=f"{name}_conv")(x)
+    y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                     dtype=dtype, param_dtype=jnp.float32, name=f"{name}_bn")(y)
+    return jax.nn.silu(y)
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP bottleneck (block.py:BottleneckCSP)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y1 = _conv2d(y1, c_, 1, use_bias=False, dtype=self.dtype, name="cv3")
+        y2 = _conv2d(x, c_, 1, use_bias=False, dtype=self.dtype, name="cv2")
+        y = jnp.concatenate([y1, y2], -1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
+        y = jax.nn.silu(y)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class RepNCSP(nn.Module):
+    """C3 built from RepConv bottlenecks (block.py:RepNCSP, v9)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            z = RepConv(c_, 3, 1, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
+            z = ConvBN(c_, 3, 1, dtype=self.dtype, name=f"m{i}_cv2")(z, train)
+            y1 = y1 + z
+        y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+class RepNCSPELAN4(nn.Module):
+    """YOLOv9 CSP-ELAN block (extra block.py:4647)."""
+
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = self.c3 // 2
+        y = ConvBN(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :half], y[..., half:]]
+        z = RepNCSP(self.c4, n=self.n, dtype=self.dtype, name="cv2_csp")(ys[-1], train)
+        z = ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv2_conv")(z, train)
+        ys.append(z)
+        z = RepNCSP(self.c4, n=self.n, dtype=self.dtype, name="cv3_csp")(ys[-1], train)
+        z = ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv3_conv")(z, train)
+        ys.append(z)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+
+
+class ADown(nn.Module):
+    """YOLOv9 asymmetric downsample (extra block.py:4685)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2 // 2
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding=[(0, 1), (0, 1)], count_include_pad=False)
+        half = x.shape[-1] // 2
+        x1, x2 = x[..., :half], x[..., half:]
+        x1 = ConvBN(c, 3, 2, dtype=self.dtype, name="cv1")(x1, train)
+        x2 = _max_pool_same(x2, 3)[:, ::2, ::2]
+        x2 = ConvBN(c, 1, 1, dtype=self.dtype, name="cv2")(x2, train)
+        return jnp.concatenate([x1, x2], -1)
+
+
+class DySample(nn.Module):
+    """Dynamic upsampler with learned sub-pixel offsets (extra block.py:3819,
+    'lp' style). Bilinear resampling reuses the LDConv gather."""
+
+    scale: int = 2
+    groups: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s, g = self.scale, self.groups
+        assert c % g == 0
+        off = nn.Conv(2 * g * s * s, (1, 1), kernel_init=nn.initializers.normal(0.001),
+                      dtype=self.dtype, param_dtype=jnp.float32, name="offset")(x)
+        off = off.reshape(b, h, w, g, s * s, 2) * 0.25
+        # init_pos: sub-pixel center offsets of the s*s output cells
+        lin = (jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2) / s
+        dy, dx = jnp.meshgrid(lin, lin, indexing="ij")
+        init = jnp.stack([dy.ravel(), dx.ravel()], -1)  # (s*s, 2)
+        base_r = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+        base_c = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+        pos_r = base_r[None, :, :, None, None] + init[None, None, None, None, :, 0] + off[..., 0] - 0.5
+        pos_c = base_c[None, :, :, None, None] + init[None, None, None, None, :, 1] + off[..., 1] - 0.5
+        # sample each channel group at its positions
+        outs = []
+        cg = c // g
+        for gi in range(g):
+            p = jnp.stack([pos_r[..., gi, :], pos_c[..., gi, :]], -1)  # (B,h,w,s²,2)
+            sampled = ldconv_bilinear_gather(x[..., gi * cg : (gi + 1) * cg], p)  # (B,h,w,s²,cg)
+            sampled = sampled.reshape(b, h, w, s, s, cg).transpose(0, 1, 3, 2, 4, 5)
+            outs.append(sampled.reshape(b, h * s, w * s, cg))
+        return jnp.concatenate(outs, -1)
+
+
+class CARAFE(nn.Module):
+    """Content-aware upsampling (extra block.py:3898)."""
+
+    c2: int = 0  # unused; CARAFE preserves channels
+    k_enc: int = 3
+    k_up: int = 5
+    c_mid: int = 64
+    scale: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s, k = self.scale, self.k_up
+        ho, wo = h * s, w * s
+        wgt = ConvBN(self.c_mid, 1, dtype=self.dtype, name="comp")(x, train)
+        wgt = ConvBN((s * k) ** 2, self.k_enc, act=False, dtype=self.dtype, name="enc")(wgt, train)
+        # pixel shuffle: (B,h,w,(s*k)^2) -> (B,hs,ws,k^2)
+        wgt = wgt.reshape(b, h, w, s, s, k * k).transpose(0, 1, 3, 2, 4, 5).reshape(b, ho, wo, k * k)
+        wgt = jax.nn.softmax(wgt, axis=-1)
+        xu = jnp.repeat(jnp.repeat(x, s, 1), s, 2)  # nearest upsample
+        pad = k // 2 * s
+        xp = jnp.pad(xu, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        out = jnp.zeros_like(xu)
+        for i in range(k):
+            for j in range(k):
+                shift = xp[:, i * s : i * s + ho, j * s : j * s + wo]
+                out = out + wgt[..., i * k + j : i * k + j + 1] * shift
+        return out

@@ -28,6 +28,7 @@ import numpy as np
 from flax import linen as nn
 from flax.core import freeze, unfreeze
 
+from experiment_yolo_tpu.nn import extra_modules as X
 from experiment_yolo_tpu.nn import modules as M
 from experiment_yolo_tpu.utils import LOGGER, ROOT, yaml_load
 
@@ -40,6 +41,20 @@ from experiment_yolo_tpu.utils import LOGGER, ROOT, yaml_load
 
 def make_divisible(x: float, divisor: int = 8) -> int:
     return int(math.ceil(x / divisor) * divisor)
+
+
+# channel-preserving attention registry (reference tasks.py:962-971 branch)
+_ATTENTION = {
+    "EMA": X.EMAAttention,
+    "SimAM": X.SimAM,
+    "CoordAtt": X.CoordAtt,
+    "TripletAttention": X.TripletAttention,
+    "SEAttention": X.SEAttention,
+    "EffectiveSEModule": X.EffectiveSE,
+    "CBAM": X.CBAM,
+    "ChannelAttention": X.ChannelAttention,
+    "SpatialAttention": X.SpatialAttention,
+}
 
 
 @dataclass
@@ -149,6 +164,38 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "asf_attention_model":
             c2 = src_ch(f_list[-1])
             mod = M.AsfAttention(dtype=dtype)
+        elif mname in _ATTENTION:  # channel-preserving attention (reference tasks.py:962-971)
+            c2 = c1
+            mod = _ATTENTION[mname](*args, dtype=dtype) if mname not in ("SimAM",) else _ATTENTION[mname](*args)
+        elif mname in ("Conv2", "DSConv", "LightConv", "RepConv", "ConvTranspose", "RFAConv", "GhostBottleneck"):
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            cls = {
+                "Conv2": X.Conv2Mod, "DSConv": X.DSConv, "LightConv": X.LightConv,
+                "RepConv": X.RepConv, "ConvTranspose": X.ConvTranspose,
+                "RFAConv": X.RFAConv, "GhostBottleneck": X.GhostBottleneck,
+            }[mname]
+            mod = cls(c2, *args[1:], dtype=dtype)
+        elif mname in ("C3Ghost", "C3x", "BottleneckCSP"):
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            shortcut = args[1] if len(args) > 1 else True
+            cls = {"C3Ghost": X.C3Ghost, "C3x": X.C3x, "BottleneckCSP": X.BottleneckCSP}[mname]
+            mod = cls(c2, n=n, shortcut=shortcut, dtype=dtype)
+            n = 1
+        elif mname == "RepNCSPELAN4":
+            # args [c2, c3, c4, n] — c2/c3/c4 width-scaled (reference tasks.py:871)
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            c3 = _scale_ch(args[1], nc, width, max_channels)
+            c4 = _scale_ch(args[2], nc, width, max_channels)
+            mod = X.RepNCSPELAN4(c2, c3, c4, n=args[3] if len(args) > 3 else 1, dtype=dtype)
+        elif mname == "ADown":
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = X.ADown(c2, dtype=dtype)
+        elif mname == "DySample":
+            c2 = c1
+            mod = X.DySample(*args, dtype=dtype)
+        elif mname == "CARAFE":
+            c2 = c1
+            mod = X.CARAFE(*args, dtype=dtype)
         elif mname == "Detect":
             ch_in = tuple(src_ch(j) for j in f_list)
             c2 = 0

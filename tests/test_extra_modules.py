@@ -1,0 +1,110 @@
+"""Extra module zoo: shape/behavior tests + YAML registry integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from experiment_yolo_tpu.nn import extra_modules as X
+from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+RNG = jax.random.PRNGKey(0)
+X_IN = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 32))
+
+
+def _run(mod, x=X_IN, train=False):
+    v = mod.init(RNG, x)
+    out = mod.apply(v, x, train, mutable=["batch_stats"] if train else False)
+    return out[0] if train else out
+
+
+CH_PRESERVING = [
+    X.SEAttention(),
+    X.EffectiveSE(),
+    X.SimAM(),
+    X.CoordAtt(),
+    X.EMAAttention(factor=8),
+    X.CBAM(),
+    X.ChannelAttention(),
+    X.SpatialAttention(),
+    X.TripletAttention(),
+    X.DySample(scale=2, groups=4),
+    X.CARAFE(),
+]
+
+
+@pytest.mark.parametrize("mod", CH_PRESERVING, ids=lambda m: type(m).__name__)
+def test_channel_preserving_modules(mod):
+    out = _run(mod)
+    if isinstance(mod, (X.DySample, X.CARAFE)):
+        assert out.shape == (2, 32, 32, 32)  # 2x upsamplers
+    else:
+        assert out.shape == X_IN.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+SHAPE_CHANGING = [
+    (X.Conv2Mod(24, 3, 1), (2, 16, 16, 24)),
+    (X.DSConv(24), (2, 16, 16, 24)),
+    (X.LightConv(24, 3), (2, 16, 16, 24)),
+    (X.RepConv(24, 3, 1), (2, 16, 16, 24)),
+    (X.RepConv(24, 3, 2), (2, 8, 8, 24)),
+    (X.ConvTranspose(24), (2, 32, 32, 24)),
+    (X.RFAConv(24, 3, 1), (2, 16, 16, 24)),
+    (X.GhostBottleneck(32, 3, 1), (2, 16, 16, 32)),
+    (X.GhostBottleneck(24, 3, 2), (2, 8, 8, 24)),
+    (X.C3Ghost(24, n=1), (2, 16, 16, 24)),
+    (X.C3x(24, n=1), (2, 16, 16, 24)),
+    (X.BottleneckCSP(24, n=1), (2, 16, 16, 24)),
+    (X.RepNCSPELAN4(32, 32, 16, n=1), (2, 16, 16, 32)),
+    (X.ADown(32), (2, 8, 8, 32)),
+]
+
+
+@pytest.mark.parametrize("mod,shape", SHAPE_CHANGING, ids=lambda m: getattr(type(m), "__name__", str(m)))
+def test_shape_changing_modules(mod, shape):
+    out = _run(mod)
+    assert out.shape == shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_dysample_zero_offset_is_near_nearest():
+    """With zero offsets, DySample samples at output-cell centers — exact
+    bilinear interp of the input; on a linear ramp it must reproduce it."""
+    x = jnp.tile(jnp.arange(8.0)[None, :, None, None], (1, 1, 8, 1)).transpose(0, 1, 2, 3)
+    mod = X.DySample(scale=2, groups=1)
+    v = mod.init(RNG, x)
+    # zero the offset conv (kernel init is ~0.001 anyway; force exact)
+    v = jax.tree.map(lambda a: jnp.zeros_like(a), v)
+    out = mod.apply(v, x)
+    assert out.shape == (1, 16, 16, 1)
+    # interior rows follow the half-step bilinear ramp of the input
+    got = np.asarray(out[0, 2:14, 0, 0])
+    expect = np.interp(np.arange(2, 14) / 2 + 0.25 - 0.5, np.arange(8), np.arange(8.0))
+    np.testing.assert_allclose(got, expect, atol=0.3)
+
+
+def test_yaml_registry_builds_graph_with_extra_modules(tmp_path):
+    yaml_text = """
+nc: 2
+backbone:
+  - [-1, 1, Conv, [16, 3, 2]]
+  - [-1, 1, RepConv, [32, 3, 2]]
+  - [-1, 1, C3Ghost, [32, True]]
+  - [-1, 1, SEAttention, []]
+  - [-1, 1, ADown, [64]]
+  - [-1, 1, CBAM, []]
+  - [-1, 1, SPPF, [64, 5]]
+head:
+  - [-1, 1, DySample, []]
+  - [[-1, 2], 1, Concat, [1]]
+  - [-1, 1, C3x, [32]]
+  - [[9, 6], 1, Detect, [nc]]
+"""
+    p = tmp_path / "zoo.yaml"
+    p.write_text(yaml_text)
+    m = DetectionModel(str(p))
+    assert m.strides == (4, 8)
+    v = m.init(jax.random.PRNGKey(0))
+    outs = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[1:3] for o in outs] == [(16, 16), (8, 8)]
