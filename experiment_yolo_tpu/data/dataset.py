@@ -70,6 +70,9 @@ class YOLODataset:
         self.im_files = self._scan_images(fraction)
         self.labels = [self._load_label(f) for f in self.im_files]
         self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
+        from experiment_yolo_tpu.data import native_loader as _nl
+
+        self._native = _nl.available()
 
     def _scan_images(self, fraction: float) -> List[str]:
         p = self.img_path
@@ -105,8 +108,21 @@ class YOLODataset:
         return len(self.im_files)
 
     def _load_item(self, i: int) -> Dict:
-        """Load image + labels in pixel xyxy."""
-        img = cv2.imread(self.im_files[i])
+        """Load image + labels in pixel xyxy.
+
+        Uses the native C++ decoder (data/native_loader.py) when built —
+        bit-exact with cv2 for JPEG, GIL-free; falls back to cv2.
+        """
+        img = None
+        if self._native:
+            try:
+                from experiment_yolo_tpu.data import native_loader as nl
+
+                img = nl.decode_image(self.im_files[i])[..., ::-1]  # RGB -> BGR
+            except (ValueError, RuntimeError):
+                img = None
+        if img is None:
+            img = cv2.imread(self.im_files[i])
         if img is None:
             raise FileNotFoundError(f"could not read image {self.im_files[i]}")
         h, w = img.shape[:2]
