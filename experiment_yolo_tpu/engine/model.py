@@ -114,6 +114,19 @@ class YOLO:
 
         return benchmark_model(self.model, self.variables, **kwargs)
 
+    def export(self, format: str = "stablehlo", path: str | Path = "model_export", imgsz: int = 640, batch: int = 1):
+        """Export the fused predict path (reference Model.export, model.py:513)."""
+        from experiment_yolo_tpu.engine.exporter import Exporter
+
+        return Exporter(self.model, self.variables, imgsz=imgsz, batch=batch)(format, path)
+
+    def double_predict(self, source, **kwargs):
+        """Two-stage crop-and-refine inference (reference double_inference.py)."""
+        from experiment_yolo_tpu.engine.double_inference import DoubleInference
+
+        results = self.predict(source, **kwargs)
+        return DoubleInference(self.model, self.variables)(results)
+
     def save(self, path: str | Path):
         from experiment_yolo_tpu.engine.checkpoint import save_checkpoint
 
