@@ -114,6 +114,25 @@ class YOLO:
 
         return benchmark_model(self.model, self.variables, **kwargs)
 
+    def tune(self, iterations: int = 10, **train_kwargs):
+        """Hyperparameter evolution (reference Model.tune, engine/tuner.py)."""
+        import jax as _jax
+
+        from experiment_yolo_tpu.engine.tuner import Tuner
+        from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+        yaml_cfg = dict(self.model.yaml)
+
+        def factory():
+            m = YOLO.__new__(YOLO)
+            m.model = DetectionModel({k: v for k, v in yaml_cfg.items() if k != "yaml_file"})
+            m.variables = m.model.init(_jax.random.PRNGKey(0))
+            m.overrides, m.trainer, m.predictor, m.ckpt_path = {}, None, None, None
+            return m
+
+        tuner = Tuner(base_args=train_kwargs)
+        return tuner(factory, iterations=iterations)
+
     def export(self, format: str = "stablehlo", path: str | Path = "model_export", imgsz: int = 640, batch: int = 1):
         """Export the fused predict path (reference Model.export, model.py:513)."""
         from experiment_yolo_tpu.engine.exporter import Exporter

@@ -181,7 +181,10 @@ class DetectionTrainer:
             self.train_loader.set_epoch(epoch)
             t0 = time.time()
             mean_loss = np.zeros(3)
+            ms_rng = np.random.default_rng(args.seed + 10_000 + epoch)
             for i, batch in enumerate(self.train_loader):
+                if args.multi_scale:
+                    batch = self._rescale_batch(batch, ms_rng)
                 batch = meshlib.shard_batch(batch, self.mesh)
                 state, comps = train_step(state, batch)
                 mean_loss = (mean_loss * i + np.asarray([float(comps["box"]), float(comps["cls"]), float(comps["dfl"])])) / (i + 1)
@@ -222,6 +225,23 @@ class DetectionTrainer:
         return self.metrics
 
     # ------------------------------------------------------------------
+    def _rescale_batch(self, batch, rng) -> Dict:
+        """Multi-scale training (reference detect/train.py:60-75), TPU-shaped:
+        a FIXED bucket set (0.75/0.9/1.0/1.15/1.3 x imgsz, stride-rounded)
+        instead of a continuous range so XLA compiles a bounded number of
+        step programs. Labels are normalized, so only pixels resize."""
+        import cv2
+
+        max_stride = max(self.model.strides)
+        buckets = sorted(
+            {int(round(self.args.imgsz * s / max_stride) * max_stride) for s in (0.75, 0.9, 1.0, 1.15, 1.3)}
+        )
+        sz = int(rng.choice(buckets))
+        if sz == batch["img"].shape[1]:
+            return batch
+        imgs = np.stack([cv2.resize(im, (sz, sz), interpolation=cv2.INTER_LINEAR) for im in batch["img"]])
+        return {**batch, "img": imgs}
+
     def _make_train_step(self):
         model, tx, loss_cfg = self.model, self.tx, self.loss_cfg
         strides = model.strides
