@@ -518,6 +518,70 @@ class ADown(nn.Module):
         return jnp.concatenate([x1, x2], -1)
 
 
+class ResNetBlock(nn.Module):
+    """ResNet bottleneck block (reference block.py:360)."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.e * self.c2
+        y = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBN(self.c2, 3, self.s, dtype=self.dtype, name="cv2")(y, train)
+        y = ConvBN(c3, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        if self.s != 1 or x.shape[-1] != c3:
+            sc = ConvBN(c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut")(x, train)
+        else:
+            sc = x
+        return jax.nn.relu(y + sc)
+
+
+class ResNetLayer(nn.Module):
+    """ResNet stage (reference block.py:377). is_first => 7x7 stem + maxpool."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            y = ConvBN(self.c2, 7, 2, p=3, dtype=self.dtype, name="stem")(x, train)
+            y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+            return nn.max_pool(y, (3, 3), strides=(2, 2))
+        y = ResNetBlock(self.c2, self.s, self.e, dtype=self.dtype, name="block0")(x, train)
+        for i in range(1, self.n):
+            y = ResNetBlock(self.c2, 1, self.e, dtype=self.dtype, name=f"block{i}")(y, train)
+        return y
+
+
+class RepC3(nn.Module):
+    """RT-DETR neck block: RepConv chain + parallel 1x1 (block.py:262)."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = RepConv(c_, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        out = y1 + y2
+        if c_ != self.c2:
+            out = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(out, train)
+        return out
+
+
 class DySample(nn.Module):
     """Dynamic upsampler with learned sub-pixel offsets (extra block.py:3819,
     'lp' style). Bilinear resampling reuses the LDConv gather."""

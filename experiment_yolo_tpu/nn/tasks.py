@@ -94,7 +94,12 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
 
     rows = list(d["backbone"]) + list(d["head"])
     for i, (f, n, mname, args) in enumerate(rows):
-        args = list(args)
+        # YAML 'None'/'True'/'False' strings -> Python values (the reference
+        # runs ast.literal_eval over string args, tasks.py:816-821)
+        args = [
+            {"None": None, "True": True, "False": False}.get(a, a) if isinstance(a, str) else a
+            for a in args
+        ]
         f_list = f if isinstance(f, list) else [f]
         n = max(round(n * depth), 1) if n > 1 else n
 
@@ -196,6 +201,28 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "CARAFE":
             c2 = c1
             mod = X.CARAFE(*args, dtype=dtype)
+        elif mname == "ResNetLayer":
+            # YAML args carry c1 explicitly: [c1, c2, s, is_first, n]
+            # (reference tasks.py: c2 = args[1] if is_first else args[1]*4)
+            c2 = args[1] if args[3] else args[1] * 4
+            mod = X.ResNetLayer(args[1], s=args[2], is_first=args[3], n=args[4], dtype=dtype)
+        elif mname == "AIFI":
+            from experiment_yolo_tpu.nn import transformer as T
+
+            c2 = c1
+            mod = T.AIFI(cm=args[0], num_heads=args[1] if len(args) > 1 else 8, dtype=dtype)
+        elif mname == "RepC3":
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = X.RepC3(c2, n=n, dtype=dtype)
+            n = 1
+        elif mname == "RTDETRDecoder":
+            from experiment_yolo_tpu.nn import transformer as T
+
+            ch_in = tuple(src_ch(j) for j in f_list)
+            c2 = 0
+            mod = T.RTDETRDecoder(nc=nc, ch=ch_in, dtype=dtype)
+            detect_idx = i
+            list_input = True
         elif mname == "Detect":
             ch_in = tuple(src_ch(j) for j in f_list)
             c2 = 0
@@ -317,7 +344,11 @@ class DetectionModel:
         self.no = self.nc + 4 * self.reg_max
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.args: Dict[str, Any] = {}
-        self.strides = self._calibrate_strides(ch)
+        self.head_type = layers[detect_idx].type if detect_idx >= 0 else "Detect"
+        if self.head_type == "RTDETRDecoder":
+            self.strides = (8, 16, 32)  # query-based head: nominal pyramid strides
+        else:
+            self.strides = self._calibrate_strides(ch)
         self.nl = len(self.strides)
 
     # -- construction ------------------------------------------------------
@@ -364,11 +395,19 @@ class DetectionModel:
         return self.module.apply(variables, x, train, mutable=mutable)
 
     def predict(self, variables, x):
-        """Inference decode: (boxes xywh pixels (B,A,4), scores (B,A,nc))."""
+        """Inference decode: (boxes xywh pixels (B,A,4), scores (B,A,nc)).
+
+        RT-DETR heads decode internally (normalized cxcywh + sigmoided
+        scores over nq queries); Detect heads go through make_anchors + DFL.
+        """
         from experiment_yolo_tpu.ops.anchors import decode_detections
 
-        feats = self.module.apply(variables, x, False)
-        return decode_detections(feats, self.strides, self.nc, self.reg_max)
+        out = self.module.apply(variables, x, False)
+        if self.head_type == "RTDETRDecoder":
+            h, w = x.shape[1:3]
+            scale = jnp.asarray([w, h, w, h], out.dtype)
+            return out[..., :4] * scale, out[..., 4:]
+        return decode_detections(out, self.strides, self.nc, self.reg_max)
 
     def num_params(self, variables) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
