@@ -199,6 +199,7 @@ class DetectionTrainer:
             fitness = None
             if args.val:
                 fitness = self._validate(state)
+            self._save_metrics_csv(epoch)
             self.callbacks.run("on_fit_epoch_end", trainer=self)
 
             if args.save:
@@ -315,6 +316,22 @@ class DetectionTrainer:
         stats = validator(model=self.model, variables=ema_vars)
         self.metrics.update(stats)
         return stats.get("fitness")
+
+    def _save_metrics_csv(self, epoch: int) -> None:
+        """Append per-epoch metrics to results.csv (reference
+        trainer.py:1021 save_metrics)."""
+        import csv
+
+        row = {"epoch": epoch + 1, **{f"train/{k}": round(v, 5) for k, v in self.loss_items.items()}}
+        row.update({f"metrics/{k}": round(v, 5) for k, v in self.metrics.items() if isinstance(v, float)})
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        path = self.save_dir / "results.csv"
+        exists = path.exists()
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
 
     def _save(self, state: TrainState, name: str, epoch: int = 0, best_fitness: float = 0.0) -> None:
         """Save weights+EMA (inference ckpt) and, for 'last', the FULL train

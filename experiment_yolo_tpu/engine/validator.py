@@ -57,6 +57,7 @@ class DetectionValidator:
         n_images = len(dataset)
         seen = 0
         t0 = time.time()
+        json_dets = []  # COCO-style records when save_json (detect/val.py:261)
         for batch in loader:
             imgs = jnp.asarray(batch["img"])  # uint8; normalized on device
             det, counts = jax.device_get(infer(variables, imgs))
@@ -98,6 +99,32 @@ class DetectionValidator:
                     iou = box_iou_np(pb, gt)
                     tp = match_predictions(d[:, 5], cls, iou)
                 metrics.update(tp, d[:, 4], d[:, 5], cls)
+                if args.save_json:
+                    from pathlib import Path as _P
+
+                    stem = _P(dataset.im_files[seen - 1]).stem
+                    for k in range(n):
+                        json_dets.append(
+                            {
+                                "image_id": stem,
+                                "category_id": int(d[k, 5]),
+                                "bbox": [  # COCO xywh (top-left)
+                                    float(pb[k, 0]),
+                                    float(pb[k, 1]),
+                                    float(pb[k, 2] - pb[k, 0]),
+                                    float(pb[k, 3] - pb[k, 1]),
+                                ],
+                                "score": float(d[k, 4]),
+                            }
+                        )
+        if args.save_json:
+            import json
+            from pathlib import Path as _P
+
+            out = _P(args.project or "runs/detect") / "predictions.json"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(json.dumps(json_dets))
+            LOGGER.info(f"val: saved {len(json_dets)} detections to {out}")
         stats = metrics.result()
         dt = time.time() - t0
         if getattr(args, "verbose", True):
