@@ -518,6 +518,106 @@ class ADown(nn.Module):
         return jnp.concatenate([x1, x2], -1)
 
 
+class SConvBank(nn.Module):
+    """Template-bank shared convolution (the fork's TemplateBank + SConv2d,
+    reference nn/modules/block.py:397-422): a small bank of full kernels is
+    combined by per-site learned coefficients into one conv kernel — soft
+    parameter sharing across the network."""
+
+    c2: int
+    k: int = 3
+    num_templates: int = 4
+    p: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        bank = self.param(
+            "templates",
+            nn.initializers.he_normal(),
+            (self.num_templates, self.k, self.k, c1, self.c2),
+            jnp.float32,
+        )
+        coeff = self.param("coefficients", nn.initializers.normal(0.01), (self.num_templates, 1, 1, 1, 1), jnp.float32)
+        kernel = (bank * coeff).sum(0)  # (k, k, c1, c2)
+        pad = self.k // 2 if self.p is None else self.p
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class SC2f(nn.Module):
+    """C2f with shared-template convs + channel attention (the fork's SC2f,
+    reference block.py:420)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    num_templates: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn_input")(x)
+        y = SConvBank(2 * c, 3, self.num_templates, dtype=self.dtype, name="cv1")(x, train)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(y)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(Bottleneck(c, True, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        cat = jnp.concatenate(ys, -1)
+        # channel attention (squeeze -> 1x1 -> SiLU -> 1x1 -> sigmoid)
+        a = cat.mean(axis=(1, 2), keepdims=True)
+        cc = cat.shape[-1]
+        a = nn.Conv(cc, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="ca1")(a)
+        a = nn.Conv(cc, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="ca2")(jax.nn.silu(a))
+        cat = cat * jax.nn.sigmoid(a)
+        out = SConvBank(self.c2, 3, self.num_templates, dtype=self.dtype, name="cv2")(cat, train)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                            dtype=self.dtype, param_dtype=jnp.float32, name="bn2")(out)
+
+
+class ESC2f(nn.Module):
+    """Efficient SC2f: reduced template banks, GroupNorm, factorized
+    bottlenecks, lightweight attention (the fork's ESC2f, block.py:508)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    num_templates: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        nt = max(2, self.num_templates // 2)
+        y = SConvBank(2 * c, 3, nt, dtype=self.dtype, name="cv1")(x, train)
+        y = nn.GroupNorm(num_groups=min(8, 2 * c), dtype=self.dtype, param_dtype=jnp.float32, name="gn1")(y)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, True, max(self.g * 2, 2), k=(1, 3), e=0.5, dtype=self.dtype, name=f"m{i}")(ys[-1], train)
+            )
+        cat = jnp.concatenate(ys, -1)
+        cc = cat.shape[-1]
+        mid = max(8, cc // 8)
+        a = cat.mean(axis=(1, 2), keepdims=True)
+        a = nn.Conv(mid, (1, 1), feature_group_count=math.gcd(mid, cc), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="ca1")(a)
+        a = nn.Conv(cc, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="ca2")(jax.nn.silu(a))
+        cat = cat * jax.nn.sigmoid(a)
+        out = SConvBank(self.c2, 1, nt, p=0, dtype=self.dtype, name="cv2")(cat, train)
+        return nn.GroupNorm(num_groups=min(8, self.c2), dtype=self.dtype, param_dtype=jnp.float32, name="gn2")(out)
+
+
 class ResNetBlock(nn.Module):
     """ResNet bottleneck block (reference block.py:360)."""
 

@@ -135,10 +135,10 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             stride = args[4] if len(args) > 4 else 1
             mod = M.MBConv(c2, n=n, e=e, act=str(act).lower(), drop_path=drop, stride=stride, dtype=dtype)
             n = 1
-        elif mname in ("C2f", "C3", "C2f_LDConv"):
+        elif mname in ("C2f", "C3", "C2f_LDConv", "SC2f", "ESC2f"):
             c2 = _scale_ch(args[0], nc, width, max_channels)
             shortcut = args[1] if len(args) > 1 else (mname == "C3")
-            cls = {"C2f": M.C2f, "C3": M.C3, "C2f_LDConv": M.C2fLD}[mname]
+            cls = {"C2f": M.C2f, "C3": M.C3, "C2f_LDConv": M.C2fLD, "SC2f": X.SC2f, "ESC2f": X.ESC2f}[mname]
             mod = cls(c2, n=n, shortcut=shortcut, dtype=dtype)
             n = 1
         elif mname == "Bottleneck":

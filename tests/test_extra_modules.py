@@ -58,6 +58,11 @@ SHAPE_CHANGING = [
     (X.BottleneckCSP(24, n=1), (2, 16, 16, 24)),
     (X.RepNCSPELAN4(32, 32, 16, n=1), (2, 16, 16, 32)),
     (X.ADown(32), (2, 8, 8, 32)),
+    (X.SC2f(32, n=2), (2, 16, 16, 32)),  # fork's template-bank C2f
+    (X.ESC2f(32, n=2), (2, 16, 16, 32)),
+    (X.ResNetLayer(16, s=1, is_first=True), (2, 4, 4, 16)),
+    (X.ResNetLayer(8, s=2, n=2), (2, 8, 8, 32)),
+    (X.RepC3(24, n=2), (2, 16, 16, 24)),
 ]
 
 
