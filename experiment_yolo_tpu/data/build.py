@@ -74,9 +74,8 @@ class DataLoader:
                         return
                     batch_idx = idxs[b * self.batch_size : (b + 1) * self.batch_size]
                     if len(batch_idx) < self.batch_size and not self.drop_last:
-                        batch_idx = np.concatenate(
-                            [batch_idx, batch_idx[: self.batch_size - len(batch_idx)] * 0]
-                        )  # pad by repeating index 0
+                        pad = np.zeros(self.batch_size - len(batch_idx), batch_idx.dtype)
+                        batch_idx = np.concatenate([batch_idx, pad])  # pad with index 0
                     seeds = [self.seed * 1_000_003 + self.epoch * 10_007 + int(i) for i in batch_idx]
                     if self.shuffle:
                         samples = list(
