@@ -79,6 +79,20 @@ def _coerce(k: str, v: Any) -> Any:
     return v
 
 
+def check_imgsz(imgsz: int, stride: int = 32, min_dim: int = 0) -> int:
+    """Round imgsz up to a multiple of the max stride (reference
+    utils/checks.py:check_imgsz) — closes the raw-XLA-error failure mode for
+    non-divisible sizes."""
+    import math
+
+    new = max(int(math.ceil(imgsz / stride) * stride), min_dim)
+    if new != imgsz:
+        from experiment_yolo_tpu.utils import LOGGER
+
+        LOGGER.info(f"imgsz={imgsz} is not a multiple of max stride {stride}; using imgsz={new}")
+    return new
+
+
 def get_cfg(
     cfg: Union[str, Path, dict, IterableSimpleNamespace] = DEFAULT_CFG_DICT,
     overrides: Optional[dict] = None,

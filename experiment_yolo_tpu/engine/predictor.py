@@ -58,7 +58,9 @@ class DetectionPredictor:
             self.args.conf = 0.25
         self.model = model
         self.variables = variables
-        self.imgsz = int(self.args.imgsz)
+        from experiment_yolo_tpu.cfg import check_imgsz
+
+        self.imgsz = check_imgsz(int(self.args.imgsz), max(model.strides))
         self.batch = max(int(self.args.batch), 1)
         self._infer = jax.jit(self._infer_fn)
 

@@ -91,6 +91,9 @@ class DetectionTrainer:
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
         args = self.args
+        from experiment_yolo_tpu.cfg import check_imgsz
+
+        args.imgsz = check_imgsz(int(args.imgsz), max(self.model.strides))
         data = check_det_dataset(args.data)
         if data["nc"] != self.model.nc:
             raise ValueError(

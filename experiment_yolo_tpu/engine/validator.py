@@ -33,6 +33,9 @@ class DetectionValidator:
 
     def __call__(self, model, variables) -> Dict[str, float]:
         args = self.args
+        from experiment_yolo_tpu.cfg import check_imgsz
+
+        args.imgsz = check_imgsz(int(args.imgsz), max(model.strides))
         data = check_det_dataset(args.data)
         split = data.get(args.split or "val") or data["val"]
         dataset = build_yolo_dataset(args, split, mode="val")
