@@ -253,24 +253,29 @@ class DetectionTrainer:
         ema_decay, ema_tau = self.args.ema_decay, self.args.ema_tau
         use_ema = self.args.ema
 
+        is_rtdetr = model.head_type == "RTDETRDecoder"
+
         def step_fn(state: TrainState, batch):
             imgs = batch["img"].astype(dtype) / 255.0
 
             def loss_fn(params):
-                feats, upd = model.module.apply(
+                out, upd = model.module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     imgs,
                     True,
                     mutable=["batch_stats"],
                 )
-                feats = [f.astype(jnp.float32) for f in feats]
-                total, comps, new_iou = detection_loss(
-                    feats,
-                    {"bboxes": batch["bboxes"], "cls": batch["cls"], "mask": batch["mask"]},
-                    strides,
-                    loss_cfg,
-                    state.iou_mean,
-                )
+                tb = {"bboxes": batch["bboxes"], "cls": batch["cls"], "mask": batch["mask"]}
+                if is_rtdetr:
+                    from experiment_yolo_tpu.utils.detr_loss import rtdetr_loss
+
+                    out = jax.tree.map(lambda f: f.astype(jnp.float32), out)
+                    total, c = rtdetr_loss(out, tb, model.nc)
+                    comps = {"box": c["bbox"] + c["giou"], "cls": c["cls"], "dfl": jnp.asarray(0.0)}
+                    new_iou = state.iou_mean
+                else:
+                    feats = [f.astype(jnp.float32) for f in out]
+                    total, comps, new_iou = detection_loss(feats, tb, strides, loss_cfg, state.iou_mean)
                 return total, (upd["batch_stats"], comps, new_iou)
 
             (loss, (new_stats, comps, new_iou)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
