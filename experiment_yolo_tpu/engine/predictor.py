@@ -79,41 +79,59 @@ class DetectionPredictor:
             agnostic=bool(self.args.agnostic_nms),
         )
 
+    def _preprocess_chunk(self, chunk):
+        pre = [letterbox(img, (self.imgsz, self.imgsz)) for _, img in chunk]
+        batch_np = np.stack([p[0][..., ::-1] for p in pre])  # BGR->RGB
+        n_pad = self.batch - len(chunk)
+        if n_pad:
+            batch_np = np.concatenate([batch_np, np.zeros((n_pad, *batch_np.shape[1:]), batch_np.dtype)])
+        return pre, batch_np
+
     def __call__(self, source: Source) -> List[Results]:
         items = load_source(source)
         names = self.model.names
         results: List[Results] = []
         bs = self.batch
-        for start in range(0, len(items), bs):
-            chunk = items[start : start + bs]
-            t0 = time.time()
-            pre = [letterbox(img, (self.imgsz, self.imgsz)) for _, img in chunk]
-            batch_np = np.stack([p[0][..., ::-1] for p in pre])  # BGR->RGB
-            n_pad = bs - len(chunk)
-            if n_pad:
-                batch_np = np.concatenate([batch_np, np.zeros((n_pad, *batch_np.shape[1:]), batch_np.dtype)])
-            t1 = time.time()
-            det, counts = jax.device_get(self._infer(self.variables, jnp.asarray(batch_np)))
-            t2 = time.time()
-            for i, ((path, orig), (pimg, gain, (padw, padh))) in enumerate(zip(chunk, pre)):
-                n = int(counts[i])
-                d = det[i, :n].copy()
-                oh, ow = orig.shape[:2]
-                d[:, [0, 2]] = ((d[:, [0, 2]] - padw) / gain).clip(0, ow)
-                d[:, [1, 3]] = ((d[:, [1, 3]] - padh) / gain).clip(0, oh)
-                if self.args.classes is not None:
-                    keep = np.isin(d[:, 5].astype(int), np.atleast_1d(self.args.classes))
-                    d = d[keep]
-                results.append(
-                    Results(
-                        orig,
-                        path,
-                        names,
-                        d,
-                        speed={
-                            "preprocess": (t1 - t0) * 1000 / len(chunk),
-                            "inference": (t2 - t1) * 1000 / len(chunk),
-                        },
-                    )
+        chunks = [items[s : s + bs] for s in range(0, len(items), bs)]
+        # software pipeline: device inference for chunk i runs while the host
+        # letterboxes chunk i+1 (JAX dispatch is async; device_get happens at
+        # consume time) — the reference's dataloader-worker overlap, inline
+        pending = []  # (chunk, pre, async device result, t0, t1)
+        for ci, chunk in enumerate(chunks + [None]):
+            if chunk is not None:
+                t0 = time.time()
+                pre, batch_np = self._preprocess_chunk(chunk)
+                t1 = time.time()
+                fut = self._infer(self.variables, jnp.asarray(batch_np))
+                pending.append((chunk, pre, fut, t0, t1))
+            if chunk is None or len(pending) > 1:
+                chunk_i, pre, fut, t0, t1 = pending.pop(0)
+                det, counts = jax.device_get(fut)
+                t2 = time.time()
+                results.extend(self._postprocess(chunk_i, pre, det, counts, names, t0, t1, t2))
+        return results
+
+    def _postprocess(self, chunk, pre, det, counts, names, t0, t1, t2):
+        results = []
+        for i, ((path, orig), (pimg, gain, (padw, padh))) in enumerate(zip(chunk, pre)):
+            n = int(counts[i])
+            d = det[i, :n].copy()
+            oh, ow = orig.shape[:2]
+            d[:, [0, 2]] = ((d[:, [0, 2]] - padw) / gain).clip(0, ow)
+            d[:, [1, 3]] = ((d[:, [1, 3]] - padh) / gain).clip(0, oh)
+            if self.args.classes is not None:
+                keep = np.isin(d[:, 5].astype(int), np.atleast_1d(self.args.classes))
+                d = d[keep]
+            results.append(
+                Results(
+                    orig,
+                    path,
+                    names,
+                    d,
+                    speed={
+                        "preprocess": (t1 - t0) * 1000 / len(chunk),
+                        "inference": (t2 - t1) * 1000 / len(chunk),
+                    },
                 )
+            )
         return results
