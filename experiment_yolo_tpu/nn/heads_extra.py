@@ -1,0 +1,155 @@
+"""Segmentation / Pose / OBB heads.
+
+Rebuild of the reference's other task heads (nn/modules/head.py: Segment:90,
+OBB:116, Pose:147) and Proto (block.py). Each returns the Detect maps plus
+its task branch; decode helpers turn raw outputs into task predictions
+(mask assembly, keypoint decode, rotated boxes). Training losses for these
+tasks are queued (SURVEY §2.6 v8Segmentation/Pose/OBB losses).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from experiment_yolo_tpu.nn.modules import ConvBN, Detect
+
+Dtype = Any
+
+
+class Proto(nn.Module):
+    """Mask prototype generator (reference block.py:Proto): conv -> 2x
+    transposed upsample -> conv -> conv to nm prototype channels."""
+
+    c_: int = 256
+    nm: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), use_bias=True,
+                             dtype=self.dtype, param_dtype=jnp.float32, name="upsample")(x)
+        x = ConvBN(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class Segment(nn.Module):
+    """Detect + per-level mask coefficients + prototypes (head.py:90).
+
+    Returns (detect_maps, coeff_maps, protos): detect maps per level
+    (B,H,W,4*reg_max+nc); coeffs per level (B,H,W,nm); protos
+    (B, H0*2, W0*2, nm).
+    """
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = Detect(nc=self.nc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        coeffs = []
+        for i, x in enumerate(xs):
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(self.nm, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            coeffs.append(y)
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        return det, coeffs, protos
+
+
+class Pose(nn.Module):
+    """Detect + keypoint regression branch (head.py:147).
+
+    kpt_shape (nk, dims): 17x3 COCO default. Returns (detect_maps,
+    kpt_maps) with kpt maps (B,H,W,nk*dims).
+    """
+
+    nc: int = 1
+    kpt_shape: Tuple[int, int] = (17, 3)
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = Detect(nc=self.nc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        kpts = []
+        for i, x in enumerate(xs):
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(nk, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            kpts.append(y)
+        return det, kpts
+
+
+class OBB(nn.Module):
+    """Detect + rotation-angle branch (head.py:116). Angle maps
+    (B,H,W,ne); decode maps sigmoid to (-pi/4, 3pi/4)."""
+
+    nc: int = 80
+    ne: int = 1
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = Detect(nc=self.nc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.ne)
+        angles = []
+        for i, x in enumerate(xs):
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(self.ne, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            angles.append(y)
+        return det, angles
+
+
+# ---------------------------------------------------------------------------
+# decode helpers
+# ---------------------------------------------------------------------------
+
+
+def assemble_masks(coeffs: jnp.ndarray, protos: jnp.ndarray) -> jnp.ndarray:
+    """sigmoid(coeff . protos) per detection (reference ops.py:process_mask).
+
+    coeffs (B, K, nm) for K selected detections; protos (B, Hp, Wp, nm).
+    Returns (B, K, Hp, Wp) mask probabilities.
+    """
+    return jax.nn.sigmoid(jnp.einsum("bkn,bhwn->bkhw", coeffs, protos))
+
+
+def decode_kpts(kpt_maps, strides, kpt_shape=(17, 3)):
+    """Decode per-level keypoint maps to image coordinates.
+
+    Reference Pose.kpts_decode: xy = (2*sigmoid-ish offsets + anchor-0.5) *
+    stride — here the raw regression form (2*pred + anchor - 0.5) * stride,
+    visibility sigmoided. Returns (B, A, nk, dims).
+    """
+    from experiment_yolo_tpu.ops.anchors import make_anchors
+
+    b = kpt_maps[0].shape[0]
+    nk, nd = kpt_shape
+    flat = jnp.concatenate([k.reshape(b, -1, nk, nd) for k in kpt_maps], axis=1)  # (B, A, nk, nd)
+    feat_shapes = [k.shape[1:3] for k in kpt_maps]
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+    xy = (flat[..., :2] * 2.0 + (anchors[None, :, None] - 0.5)) * stride_t[None, :, None]
+    if nd == 3:
+        vis = jax.nn.sigmoid(flat[..., 2:3])
+        return jnp.concatenate([xy, vis], -1)
+    return xy
+
+
+def decode_obb_angle(angle_maps):
+    """(B, A, ne) angles in (-pi/4, 3pi/4) (reference OBB.forward)."""
+    b = angle_maps[0].shape[0]
+    flat = jnp.concatenate([a.reshape(b, -1, a.shape[-1]) for a in angle_maps], axis=1)
+    return (jax.nn.sigmoid(flat) - 0.25) * jnp.pi
