@@ -67,6 +67,16 @@ def bench_batch(model, variables, batch: int, imgsz: int = 640) -> float:
 def main() -> None:
     from experiment_yolo_tpu.nn.tasks import DetectionModel
 
+    # secondary diagnostic: the DEAL-YOLO flagship's throughput (P2 head,
+    # 34k anchors) at its best batch — stderr only, headline stays yolov8n
+    try:
+        deal = DetectionModel("yolov8-ASF-P2P2.yaml", dtype=jnp.bfloat16)
+        dv = deal.init(jax.random.PRNGKey(0))
+        v = bench_batch(deal, dv, 128)
+        print(f"deal-yolo ASF-P2P2 batch 128: {v:.1f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"deal bench skipped: {type(e).__name__}", file=sys.stderr)
+
     model = DetectionModel("yolov8n.yaml", nc=80, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0))
 
