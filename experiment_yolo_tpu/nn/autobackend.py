@@ -1,0 +1,93 @@
+"""AutoBackend: uniform inference interface over model formats.
+
+Rebuild of the reference's ``nn/autobackend.py:53`` (13 torch-world
+runtimes) for the XLA world's formats:
+
+- **yaml**  — fresh DetectionModel (random init; for benchmarking)
+- **checkpoint dir** — orbax weights (EMA preferred)
+- **.stablehlo** — a serialized ``jax.export`` artifact (deployment)
+- **.tflite** — runs through the TFLite interpreter (edge parity checks)
+
+Every backend exposes ``forward(uint8 NHWC batch) -> (boxes, scores)`` in
+input-pixel units, plus ``names``/``nc`` metadata, so the predictor and
+validator are backend-agnostic.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from experiment_yolo_tpu.utils import LOGGER
+
+
+class AutoBackend:
+    def __init__(self, model: str | Path, nc: Optional[int] = None, dtype=jnp.float32):
+        src = str(model)
+        self.format = self._model_type(src)
+        self.names: Dict[int, str] = {}
+        self.nc = nc or 0
+        if self.format == "yaml":
+            from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+            self.model = DetectionModel(src, nc=nc, dtype=dtype)
+            self.variables = self.model.init(jax.random.PRNGKey(0))
+            self.nc = self.model.nc
+            self.names = self.model.names
+        elif self.format == "checkpoint":
+            from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
+
+            self.model, self.variables = load_checkpoint(src, dtype=dtype)
+            self.nc = self.model.nc
+            self.names = self.model.names
+        elif self.format == "stablehlo":
+            from experiment_yolo_tpu.engine.exporter import load_stablehlo
+
+            self._fn = load_stablehlo(src)
+        elif self.format == "tflite":
+            import tensorflow as tf
+
+            self._interp = tf.lite.Interpreter(model_path=src)
+            self._interp.allocate_tensors()
+        else:
+            raise ValueError(f"unsupported model source {src!r}")
+        if not self.names and self.nc:
+            self.names = {i: str(i) for i in range(self.nc)}
+
+    @staticmethod
+    def _model_type(src: str) -> str:
+        p = Path(src)
+        if src.endswith((".yaml", ".yml")):
+            return "yaml"
+        if src.endswith(".stablehlo"):
+            return "stablehlo"
+        if src.endswith(".tflite"):
+            return "tflite"
+        if p.is_dir() and (p / "meta.yaml").exists():
+            return "checkpoint"
+        return "unknown"
+
+    def forward(self, imgs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 NHWC batch -> (boxes xywh pixels (B,A,4), scores (B,A,nc))."""
+        if self.format in ("yaml", "checkpoint"):
+            x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+            boxes, scores = self.model.predict(self.variables, x)
+            return np.asarray(boxes), np.asarray(scores)
+        if self.format == "stablehlo":
+            boxes, scores = self._fn(jnp.asarray(imgs))
+            return np.asarray(boxes), np.asarray(scores)
+        # tflite: fixed signature (uint8 in, two outputs)
+        inp = self._interp.get_input_details()[0]
+        self._interp.set_tensor(inp["index"], np.asarray(imgs, np.uint8))
+        self._interp.invoke()
+        outs = [self._interp.get_tensor(o["index"]) for o in self._interp.get_output_details()]
+        boxes = next(o for o in outs if o.shape[-1] == 4)
+        scores = next(o for o in outs if o.shape[-1] != 4)
+        return boxes, scores
+
+    def warmup(self, imgsz: int = 640, batch: int = 1) -> None:
+        self.forward(np.zeros((batch, imgsz, imgsz, 3), np.uint8))
