@@ -123,6 +123,82 @@ def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
     return np.convolve(yp, np.ones(nf) / nf, mode="valid")
 
 
+class ConfusionMatrix:
+    """Detection confusion matrix (reference metrics.py:903).
+
+    (nc+1) x (nc+1): last row/col is background (FP row, FN col). Matching
+    at IoU >= iou_thres, predictions gated at conf >= conf_thres.
+    """
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
+        self.nc = nc
+        self.conf = conf
+        self.iou_thres = iou_thres
+        self.matrix = np.zeros((nc + 1, nc + 1), dtype=np.int64)
+
+    def process_batch(self, detections: np.ndarray, gt_bboxes: np.ndarray, gt_cls: np.ndarray) -> None:
+        """detections (N, 6) [xyxy, conf, cls]; gt_bboxes (M, 4); gt_cls (M,)."""
+        gt_cls = np.asarray(gt_cls, int)
+        if detections is None or len(detections) == 0:
+            for c in gt_cls:
+                self.matrix[self.nc, c] += 1  # background FN
+            return
+        detections = detections[detections[:, 4] >= self.conf]
+        det_cls = detections[:, 5].astype(int)
+        if len(gt_cls) == 0:
+            for c in det_cls:
+                self.matrix[c, self.nc] += 1  # background FP
+            return
+        iou = box_iou_np(gt_bboxes, detections[:, :4])
+        x = np.argwhere(iou >= self.iou_thres)
+        if x.shape[0]:
+            ious = iou[x[:, 0], x[:, 1]]
+            order = ious.argsort()[::-1]
+            x = x[order]
+            # unique gt then unique det (reference's match dedup)
+            _, keep_g = np.unique(x[:, 0], return_index=True)
+            x = x[np.sort(keep_g)]
+            _, keep_d = np.unique(x[:, 1], return_index=True)
+            x = x[np.sort(keep_d)]
+        matched_gt = set(x[:, 0].tolist()) if x.shape[0] else set()
+        matched_det = set(x[:, 1].tolist()) if x.shape[0] else set()
+        for gi, di in x:
+            self.matrix[det_cls[di], gt_cls[gi]] += 1
+        for gi, c in enumerate(gt_cls):
+            if gi not in matched_gt:
+                self.matrix[self.nc, c] += 1  # FN
+        for di, c in enumerate(det_cls):
+            if di not in matched_det:
+                self.matrix[c, self.nc] += 1  # FP
+
+    def tp_fp(self):
+        tp = self.matrix.diagonal()[: self.nc]
+        fp = self.matrix[: self.nc].sum(1) - tp
+        return tp, fp
+
+    def plot(self, path, names: dict | None = None, normalize: bool = True):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        m = self.matrix.astype(float)
+        if normalize:
+            m = m / (m.sum(0, keepdims=True) + 1e-9)
+        labels = [str((names or {}).get(i, i)) for i in range(self.nc)] + ["background"]
+        fig, ax = plt.subplots(figsize=(max(6, self.nc), max(5, self.nc * 0.8)))
+        im = ax.imshow(m, cmap="Blues")
+        ax.set_xticks(range(self.nc + 1), labels, rotation=90, fontsize=8)
+        ax.set_yticks(range(self.nc + 1), labels, fontsize=8)
+        ax.set_xlabel("True")
+        ax.set_ylabel("Predicted")
+        fig.colorbar(im)
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+
+
 class DetMetrics:
     """Accumulates (tp, conf, pred_cls, target_cls) and computes summary.
 
