@@ -110,7 +110,10 @@ class DetectionTrainer:
         if nb == 0:
             raise ValueError(f"training set smaller than batch size {args.batch}")
 
-        # mesh / sharding
+        # mesh / sharding (multi-host: one process per host, see
+        # parallel/mesh.maybe_init_distributed — the reference's DDP spawn)
+        rank = meshlib.maybe_init_distributed()
+        self.is_main = meshlib.is_main_process()
         self.mesh = meshlib.make_mesh(getattr(args, "n_devices", None))
         n_dev = self.mesh.devices.size
         if args.batch % n_dev:
@@ -205,7 +208,7 @@ class DetectionTrainer:
             self._save_metrics_csv(epoch)
             self.callbacks.run("on_fit_epoch_end", trainer=self)
 
-            if args.save:
+            if args.save and self.is_main:  # rank-0-only checkpoints
                 self._save(state, "last", epoch=epoch, best_fitness=best_fitness)
                 if fitness is not None and fitness >= best_fitness:
                     best_fitness = fitness

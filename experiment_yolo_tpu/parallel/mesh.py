@@ -28,6 +28,25 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def maybe_init_distributed() -> int:
+    """Multi-host init (reference's dist.init_process_group equivalent).
+
+    Call before building the mesh when launched as one process per host
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env, the
+    standard jax.distributed contract). No-op single-process. Returns the
+    process index (the reference's RANK)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """Rank-0 check (reference's RANK in (-1, 0) gating)."""
+    return jax.process_index() == 0
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
