@@ -82,6 +82,16 @@ class DetectionTrainer:
         self.metrics: Dict[str, float] = {}
         self.save_dir = self._get_save_dir()
         self.dtype = jnp.bfloat16 if self.args.amp else jnp.float32
+        if self.args.amp and getattr(model, "yaml", None):
+            # rebuild the graph with bf16 compute (params stay fp32 and are
+            # name/shape-identical, so the caller's variables plug in) —
+            # flax modules pin their compute dtype at construction
+            from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+            self.model = DetectionModel(
+                {k: v for k, v in model.yaml.items() if k != "yaml_file"}, dtype=jnp.bfloat16
+            )
+            self.model.names = model.names
 
     def _get_save_dir(self) -> Path:
         project = self.args.project or "runs/detect"
@@ -166,6 +176,8 @@ class DetectionTrainer:
         if args.resume:
             state, start_epoch, best_fitness = self._load_resume_state(state)
             LOGGER.info(f"Resuming from epoch {start_epoch + 1} (best_fitness {best_fitness:.4f})")
+        if args.amp:
+            self._check_amp()
         state = meshlib.replicate(state, self.mesh)
         train_step = self._make_train_step()
 
@@ -232,6 +244,32 @@ class DetectionTrainer:
         return self.metrics
 
     # ------------------------------------------------------------------
+    def _check_amp(self) -> None:
+        """bf16 sanity check (reference utils/checks.py:check_amp): compare a
+        real forward in fp32 vs bf16 and disable AMP on divergence. bf16
+        needs no loss scaling, so unlike the GradScaler path this is purely
+        a numerical-health check."""
+        import jax
+
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        try:
+            from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+            m32 = DetectionModel({k: v for k, v in self.model.yaml.items() if k != "yaml_file"}, dtype=jnp.float32)
+            f32 = m32.apply(self.variables, x)
+            f16 = self.model.apply(self.variables, x) if self.dtype == jnp.bfloat16 else f32
+            rel = max(
+                float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max() / (jnp.abs(b).max() + 1e-6))
+                for a, b in zip(f16, f32)
+            )
+            if rel > 0.5:
+                LOGGER.info(f"AMP check failed (rel err {rel:.3f}) — disabling bf16 compute")
+                self.dtype = jnp.float32
+            else:
+                LOGGER.info(f"AMP check ok (bf16 rel err {rel:.4f})")
+        except Exception as e:  # never block training on the health check
+            LOGGER.info(f"AMP check skipped ({type(e).__name__})")
+
     def _rescale_batch(self, batch, rng) -> Dict:
         """Multi-scale training (reference detect/train.py:60-75), TPU-shaped:
         a FIXED bucket set (0.75/0.9/1.0/1.15/1.3 x imgsz, stride-rounded)
