@@ -1,0 +1,105 @@
+"""DCNv3 deformable sampling core + module — pure jnp.
+
+Rebuild of the reference's DCNv3 CUDA extension
+(``nn/extra_modules/ops_dcnv3/``: im2col kernels + ``dcnv3_core_pytorch``
+fallback). The core is grouped bilinear sampling at offset-deformed kernel
+taps with a softmax modulation mask — expressed as one fused XLA program
+(gathers + weighted sums), equivalence-tested against the reference's
+pure-torch fallback in tests/test_dcnv3.py.
+
+Layout: channels-last throughout (the reference's DCNv3 is also NHWC).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from experiment_yolo_tpu.nn.transformer import _bilinear_sample_zeros
+
+Dtype = Any
+
+
+def dcnv3_core(
+    x: jnp.ndarray,  # (B, H, W, g*gc) channels-last input (pre-padding)
+    offset: jnp.ndarray,  # (B, Ho, Wo, g*P*2)
+    mask: jnp.ndarray,  # (B, Ho, Wo, g*P), already softmaxed over P
+    kernel: int = 3,
+    stride: int = 1,
+    pad: int = 1,
+    dilation: int = 1,
+    group: int = 1,
+    offset_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Deformable grouped sampling (dcnv3_func.py:dcnv3_core_pytorch)."""
+    b, h, w, c = x.shape
+    gc = c // group
+    p = kernel * kernel
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+    ho, wo = offset.shape[1:3]
+
+    # reference points: output centers in normalized padded coords
+    base = (dilation * (kernel - 1)) // 2 + 0.5
+    ref_y = (base + jnp.arange(ho, dtype=jnp.float32) * stride) / hp
+    ref_x = (base + jnp.arange(wo, dtype=jnp.float32) * stride) / wp
+    ref = jnp.stack(jnp.meshgrid(ref_x, ref_y, indexing="xy"), -1)  # (Ho, Wo, 2) (x, y)
+
+    # dilation grid: kernel tap offsets, normalized; tap order (x-major like
+    # torch.meshgrid(x, y) flatten)
+    lin_w = -((dilation * (kernel - 1)) // 2) + jnp.arange(kernel, dtype=jnp.float32) * dilation
+    gx, gy = jnp.meshgrid(lin_w, lin_w, indexing="ij")  # torch meshgrid(x, y)
+    grid = jnp.stack([gx.reshape(-1) / wp, gy.reshape(-1) / hp], -1)  # (P, 2)
+
+    loc = ref[None, :, :, None, None] + grid[None, None, None, None] * offset_scale  # (1,Ho,Wo,1,P,2)
+    loc = jnp.broadcast_to(loc, (b, ho, wo, group, p, 2)).reshape(b, ho, wo, group * p, 2)
+    spatial_norm = jnp.asarray([wp, hp], jnp.float32)
+    loc = loc + offset.reshape(b, ho, wo, group * p, 2) * offset_scale / spatial_norm
+
+    # per-group bilinear sampling (normalized [0,1] coords, zero padding)
+    xg = xp.reshape(b, hp, wp, group, gc).transpose(0, 3, 1, 2, 4).reshape(b * group, hp, wp, gc)
+    locg = loc.reshape(b, ho * wo, group, p, 2).transpose(0, 2, 1, 3, 4).reshape(b * group, ho * wo * p, 2)
+    sampled = _bilinear_sample_zeros(xg, locg).reshape(b, group, ho * wo, p, gc)
+    m = mask.reshape(b, ho * wo, group, p).transpose(0, 2, 1, 3)[..., None]  # (B,g,HoWo,P,1)
+    out = (sampled * m).sum(3)  # (B, g, HoWo, gc)
+    return out.transpose(0, 2, 1, 3).reshape(b, ho, wo, group * gc)
+
+
+class DCNv3(nn.Module):
+    """DCNv3 block (reference ops_dcnv3/modules/dcnv3.py): depthwise context
+    conv -> offset/mask heads -> deformable core -> output projection."""
+
+    channels: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+    group: int = 4
+    offset_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        p = self.kernel * self.kernel
+        y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="input_proj")(x)
+        ctx = nn.Conv(
+            self.channels, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding=[(self.pad, self.pad)] * 2, feature_group_count=self.channels,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="dw_conv",
+        )(y)
+        ctx = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="dw_norm")(ctx)
+        ctx = jax.nn.gelu(ctx)
+        offset = nn.Dense(self.group * p * 2, kernel_init=nn.initializers.zeros,
+                          dtype=self.dtype, param_dtype=jnp.float32, name="offset")(ctx)
+        mask = nn.Dense(self.group * p, kernel_init=nn.initializers.zeros,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="mask")(ctx)
+        mask = jax.nn.softmax(mask.reshape(*mask.shape[:-1], self.group, p), -1).reshape(mask.shape)
+        out = dcnv3_core(
+            y, offset, mask, self.kernel, self.stride, self.pad, self.dilation,
+            self.group, self.offset_scale,
+        )
+        return nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="output_proj")(out)
