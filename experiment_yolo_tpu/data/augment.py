@@ -58,8 +58,10 @@ def letterbox(
     return img, r, (left, top)
 
 
-def letterbox_labels(labels: Dict, imgsz: int, scaleup: bool = True) -> Dict:
-    img, r, (padw, padh) = letterbox(labels["img"], (imgsz, imgsz), scaleup=scaleup)
+def letterbox_labels(labels: Dict, imgsz, scaleup: bool = True) -> Dict:
+    """imgsz: int (square) or (h, w) tuple (rect batching)."""
+    shape = (imgsz, imgsz) if isinstance(imgsz, int) else tuple(imgsz)
+    img, r, (padw, padh) = letterbox(labels["img"], shape, scaleup=scaleup)
     bboxes = labels["bboxes"].copy()
     if len(bboxes):
         bboxes = bboxes * r

@@ -40,6 +40,8 @@ class DataLoader:
         drop_last: bool = True,
         prefetch: int = 4,
         mosaic: Optional[bool] = None,
+        rect: bool = False,
+        stride: int = 32,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -49,7 +51,33 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.mosaic = mosaic  # None = dataset default; False forces close_mosaic
+        self.rect = rect and not shuffle  # rect batching is a val feature
+        self.stride = stride
         self.epoch = 0
+        if self.rect:
+            # sort by aspect ratio; per-batch shape = imgsz scaled by the
+            # batch's extreme aspect, stride-rounded (reference
+            # data/base.py:set_rectangle). Distinct shapes are few, so XLA
+            # compiles a bounded set of programs.
+            shapes = dataset.image_shapes().astype(np.float64)
+            ar = shapes[:, 0] / shapes[:, 1]  # h / w
+            self._rect_order = np.argsort(ar)
+            nb = (len(dataset) + batch_size - 1) // batch_size
+            self._batch_shapes = []
+            s = dataset.imgsz
+            for b in range(nb):
+                ari = ar[self._rect_order[b * batch_size : (b + 1) * batch_size]]
+                mini, maxi = ari.min(), ari.max()
+                hw = [1.0, 1.0]
+                if maxi < 1:
+                    hw = [maxi, 1.0]
+                elif mini > 1:
+                    hw = [1.0, 1.0 / mini]
+                shape = (
+                    int(np.ceil(hw[0] * s / self.stride) * self.stride),
+                    int(np.ceil(hw[1] * s / self.stride) * self.stride),
+                )
+                self._batch_shapes.append(shape)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -58,9 +86,13 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def image_order(self) -> np.ndarray:
+        """Dataset indices in iteration order (valid for shuffle=False)."""
+        return self._rect_order.copy() if self.rect else np.arange(len(self.dataset))
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed + self.epoch)
-        idxs = np.arange(len(self.dataset))
+        idxs = self._rect_order.copy() if self.rect else np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(idxs)
         nb = len(self)
@@ -85,7 +117,10 @@ class DataLoader:
                             )
                         )
                     else:
-                        samples = list(pool.map(self.dataset.get_val_sample, batch_idx.tolist()))
+                        shape = self._batch_shapes[b] if self.rect else None
+                        samples = list(
+                            pool.map(lambda i: self.dataset.get_val_sample(i, shape=shape), batch_idx.tolist())
+                        )
                     q.put(_stack(samples))
             q.put(None)
 

@@ -188,11 +188,26 @@ class YOLODataset:
             lab = A.random_flip(lab, "horizontal", getattr(hyp, "fliplr", 0.5), rng)
         return A.format_sample(lab, self.imgsz, self.max_labels)
 
-    def get_val_sample(self, i: int) -> Dict[str, np.ndarray]:
-        """Deterministic letterboxed sample + original-space metadata."""
+    def get_val_sample(self, i: int, shape=None) -> Dict[str, np.ndarray]:
+        """Deterministic letterboxed sample + original-space metadata.
+
+        `shape` (h, w) overrides the square imgsz (rect batching)."""
         item = self._load_item(i)
-        lab = A.letterbox_labels(item, self.imgsz, scaleup=True)
+        lab = A.letterbox_labels(item, shape or self.imgsz, scaleup=True)
         out = A.format_sample(lab, self.imgsz, self.max_labels)
         out["ori_shape"] = np.asarray(item["ori_shape"], np.int32)
         out["ratio_pad"] = np.asarray([lab["ratio_pad"][0], *lab["ratio_pad"][1]], np.float32)
         return out
+
+    def image_shapes(self) -> np.ndarray:
+        """(N, 2) original (h, w) per image, from headers (no full decode)."""
+        if not hasattr(self, "_shapes"):
+            from PIL import Image
+
+            shapes = []
+            for f in self.im_files:
+                with Image.open(f) as im:
+                    w, h = im.size
+                shapes.append((h, w))
+            self._shapes = np.asarray(shapes, np.int32)
+        return self._shapes

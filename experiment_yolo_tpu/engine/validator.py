@@ -40,8 +40,10 @@ class DetectionValidator:
         split = data.get(args.split or "val") or data["val"]
         dataset = build_yolo_dataset(args, split, mode="val")
         loader = DataLoader(
-            dataset, args.batch, shuffle=False, workers=args.workers, drop_last=False
+            dataset, args.batch, shuffle=False, workers=args.workers, drop_last=False,
+            rect=bool(args.rect), stride=max(model.strides),
         )
+        order = loader.image_order()
         metrics = DetMetrics(data["names"])
 
         @jax.jit
@@ -105,7 +107,7 @@ class DetectionValidator:
                 if args.save_json:
                     from pathlib import Path as _P
 
-                    stem = _P(dataset.im_files[seen - 1]).stem
+                    stem = _P(dataset.im_files[int(order[seen - 1])]).stem
                     for k in range(n):
                         json_dets.append(
                             {
