@@ -201,6 +201,19 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "CARAFE":
             c2 = c1
             mod = X.CARAFE(*args, dtype=dtype)
+        elif mname == "FasterNet":
+            from experiment_yolo_tpu.nn import backbones as BB
+
+            variant = args[0] if args else "t0"
+            c2 = list(BB.FasterNet.channels(variant))  # multi-output node
+            mod = BB.FasterNet(variant=variant, dtype=dtype)
+        elif mname == "Index":
+            src = src_ch(f_list[0])
+            assert isinstance(src, list), "Index must follow a multi-output backbone"
+            c2 = src[args[0]]
+            from experiment_yolo_tpu.nn import backbones as BB
+
+            mod = BB.Index(k=args[0])
         elif mname == "ResNetLayer":
             # YAML args carry c1 explicitly: [c1, c2, s, is_first, n]
             # (reference tasks.py: c2 = args[1] if is_first else args[1]*4)
