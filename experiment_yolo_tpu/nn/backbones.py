@@ -75,6 +75,71 @@ class _PConvMLPBlock(nn.Module):
         return x + y
 
 
+CONVNEXTV2_CFGS = {
+    "atto": ((40, 80, 160, 320), (2, 2, 6, 2)),
+    "femto": ((48, 96, 192, 384), (2, 2, 6, 2)),
+    "pico": ((64, 128, 256, 512), (2, 2, 6, 2)),
+    "nano": ((80, 160, 320, 640), (2, 2, 8, 2)),
+    "tiny": ((96, 192, 384, 768), (3, 3, 9, 3)),
+}
+
+
+class _GRN(nn.Module):
+    """Global response normalization (the V2 addition, arXiv:2301.00808)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
+        gx = jnp.sqrt((x**2).sum(axis=(1, 2), keepdims=True) + 1e-12)  # (B,1,1,C)
+        nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
+        return gamma * (x * nx) + beta + x
+
+
+class _ConvNeXtV2Block(nn.Module):
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="dwconv")(x)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(y)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="pwconv1")(y)
+        y = _GRN(4 * self.dim, name="grn")(jax.nn.gelu(y))
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="pwconv2")(y)
+        return x + y
+
+
+class ConvNeXtV2(nn.Module):
+    """ConvNeXt V2 backbone (reference nn/backbone/convnextv2.py) ->
+    [P2, P3, P4, P5]."""
+
+    variant: str = "atto"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return CONVNEXTV2_CFGS[variant][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, depths = CONVNEXTV2_CFGS[self.variant]
+        x = nn.Conv(dims[0], (4, 4), strides=(4, 4), dtype=self.dtype, param_dtype=jnp.float32, name="stem")(x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="stem_norm")(x)
+        outs = []
+        for si, (dim, depth) in enumerate(zip(dims, depths)):
+            if si > 0:
+                x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=f"down_norm{si}")(x)
+                x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype, param_dtype=jnp.float32, name=f"down{si}")(x)
+            for bi in range(depth):
+                x = _ConvNeXtV2Block(dim, dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+            outs.append(x)
+        return outs
+
+
 class FasterNet(nn.Module):
     """FasterNet backbone -> [P2, P3, P4, P5] at strides 4/8/16/32."""
 

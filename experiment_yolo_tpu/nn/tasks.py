@@ -201,12 +201,13 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "CARAFE":
             c2 = c1
             mod = X.CARAFE(*args, dtype=dtype)
-        elif mname == "FasterNet":
+        elif mname in ("FasterNet", "ConvNeXtV2"):
             from experiment_yolo_tpu.nn import backbones as BB
 
-            variant = args[0] if args else "t0"
-            c2 = list(BB.FasterNet.channels(variant))  # multi-output node
-            mod = BB.FasterNet(variant=variant, dtype=dtype)
+            cls = {"FasterNet": BB.FasterNet, "ConvNeXtV2": BB.ConvNeXtV2}[mname]
+            variant = args[0] if args else ("t0" if mname == "FasterNet" else "atto")
+            c2 = list(cls.channels(variant))  # multi-output node
+            mod = cls(variant=variant, dtype=dtype)
         elif mname == "Index":
             src = src_ch(f_list[0])
             assert isinstance(src, list), "Index must follow a multi-output backbone"

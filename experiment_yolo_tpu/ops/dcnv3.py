@@ -68,6 +68,43 @@ def dcnv3_core(
     return out.transpose(0, 2, 1, 3).reshape(b, ho, wo, group * gc)
 
 
+class DCNv4(nn.Module):
+    """DCNv4 block (reference DCNv4_op/DCNv4/modules/dcnv4.py): like DCNv3
+    but with UNNORMALIZED aggregation weights (no softmax over the taps —
+    the v4 paper's main change) and a fused offset+mask head."""
+
+    channels: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+    group: int = 4
+    offset_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.kernel * self.kernel
+        y = nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="value_proj")(x)
+        ctx = nn.Conv(
+            self.channels, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding=[(self.pad, self.pad)] * 2, feature_group_count=self.channels,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="dw_conv",
+        )(y)
+        ctx = jax.nn.gelu(nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="dw_norm")(ctx))
+        om = nn.Dense(self.group * p * 3, kernel_init=nn.initializers.zeros,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="offset_mask")(ctx)
+        b, ho, wo, _ = om.shape
+        om = om.reshape(b, ho, wo, self.group, p, 3)
+        offset = om[..., :2].reshape(b, ho, wo, self.group * p * 2)
+        mask = om[..., 2].reshape(b, ho, wo, self.group * p)  # raw, no softmax
+        out = dcnv3_core(
+            y, offset, mask, self.kernel, self.stride, self.pad, self.dilation,
+            self.group, self.offset_scale,
+        )
+        return nn.Dense(self.channels, dtype=self.dtype, param_dtype=jnp.float32, name="output_proj")(out)
+
+
 class DCNv3(nn.Module):
     """DCNv3 block (reference ops_dcnv3/modules/dcnv3.py): depthwise context
     conv -> offset/mask heads -> deformable core -> output projection."""

@@ -21,6 +21,21 @@ def test_fasternet_pyramid_shapes():
     ]
 
 
+def test_convnextv2_pyramid_shapes():
+    from experiment_yolo_tpu.nn.backbones import ConvNeXtV2
+
+    m = ConvNeXtV2(variant="atto")
+    x = jnp.zeros((1, 128, 128, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape for o in outs] == [
+        (1, 32, 32, 40),
+        (1, 16, 16, 80),
+        (1, 8, 8, 160),
+        (1, 4, 4, 320),
+    ]
+
+
 def test_fasternet_detection_model(tmp_path):
     yaml_text = """
 nc: 3
