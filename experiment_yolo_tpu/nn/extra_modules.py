@@ -219,6 +219,77 @@ class TripletAttention(nn.Module):
         return (x1 + x2 + x3) / 3
 
 
+class ELA(nn.Module):
+    """Efficient local attention (attention.py:1747): 1D convs over pooled
+    H and W profiles with GroupNorm gates."""
+
+    dtype: Dtype = jnp.float32
+
+    def _gate(self, v, c, name):
+        # v: (B, L, C) pooled profile; conv1d over L per channel? reference
+        # uses Conv1d(C, C, 1) == pointwise dense over channels
+        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_fc")(v)
+        y = nn.GroupNorm(num_groups=min(16, c), dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_gn")(y)
+        return jax.nn.sigmoid(y)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        x_h = self._gate(x.mean(axis=2), c, "h")[:, :, None, :]  # (B, H, 1, C)
+        x_w = self._gate(x.mean(axis=1), c, "w")[:, None, :, :]  # (B, 1, W, C)
+        return x * x_h * x_w
+
+
+class CAA(nn.Module):
+    """Context anchor attention (PKINet, attention.py:1765): avg pool +
+    factorized large-kernel depthwise convs -> sigmoid gate."""
+
+    h_kernel: int = 11
+    v_kernel: int = 11
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        a = nn.avg_pool(x, (7, 7), strides=(1, 1), padding=[(3, 3), (3, 3)])
+        a = ConvBN(c, 1, dtype=self.dtype, name="conv1")(a, train)
+        a = nn.Conv(c, (1, self.h_kernel), padding=[(0, 0), (self.h_kernel // 2, self.h_kernel // 2)],
+                    feature_group_count=c, dtype=self.dtype, param_dtype=jnp.float32, name="h_conv")(a)
+        a = nn.Conv(c, (self.v_kernel, 1), padding=[(self.v_kernel // 2, self.v_kernel // 2), (0, 0)],
+                    feature_group_count=c, dtype=self.dtype, param_dtype=jnp.float32, name="v_conv")(a)
+        a = ConvBN(c, 1, dtype=self.dtype, name="conv2")(a, train)
+        return x * jax.nn.sigmoid(a)
+
+
+class LSKBlock(nn.Module):
+    """Large selective kernel block (attention.py:878): dual-branch large
+    receptive field depthwise convs with spatial selection."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_1")(x)
+        y = jax.nn.gelu(y)
+        # spatial gating unit
+        a1 = nn.Conv(c, (5, 5), padding=[(2, 2)] * 2, feature_group_count=c,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="conv0")(y)
+        a2 = nn.Conv(c, (7, 7), padding=[(9, 9)] * 2, kernel_dilation=(3, 3), feature_group_count=c,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="conv_spatial")(a1)
+        b1 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(a1)
+        b2 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(a2)
+        cat = jnp.concatenate([b1, b2], -1)
+        agg = jnp.concatenate([cat.mean(-1, keepdims=True), cat.max(-1, keepdims=True)], -1)
+        sig = jax.nn.sigmoid(
+            nn.Conv(2, (7, 7), padding=[(3, 3)] * 2, dtype=self.dtype, param_dtype=jnp.float32, name="conv_squeeze")(agg)
+        )
+        attn = b1 * sig[..., 0:1] + b2 * sig[..., 1:2]
+        attn = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv")(attn)
+        y = y * attn
+        return x + nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_2")(y)
+
+
 # ---------------------------------------------------------------------------
 # conv variants (reference: nn/modules/conv.py, extra_modules/RFAConv.py)
 # ---------------------------------------------------------------------------

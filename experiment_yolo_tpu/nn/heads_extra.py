@@ -113,6 +113,36 @@ class OBB(nn.Module):
         return det, angles
 
 
+class DetectEfficient(nn.Module):
+    """Lightweight shared-stem detect head (extra head.py:175
+    Detect_Efficient): two shared 3x3 convs per level feed bare 1x1 box/cls
+    projections (vs Detect's two branches x two convs each). Same output
+    contract as Detect — raw (B, H, W, 4*reg_max+nc) maps."""
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        outs = []
+        for i, x in enumerate(xs):
+            c = self.ch[i]
+            y = ConvBN(c, 3, dtype=self.dtype, name=f"stem_{i}_0")(x, train)
+            y = ConvBN(c, 3, dtype=self.dtype, name=f"stem_{i}_1")(y, train)
+            box = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                          name=f"cv2_{i}_2")(y)
+            cls = nn.Conv(self.nc, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                          name=f"cv3_{i}_2")(y)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
 # ---------------------------------------------------------------------------
 # decode helpers
 # ---------------------------------------------------------------------------

@@ -54,6 +54,9 @@ _ATTENTION = {
     "CBAM": X.CBAM,
     "ChannelAttention": X.ChannelAttention,
     "SpatialAttention": X.SpatialAttention,
+    "ELA": X.ELA,
+    "CAA": X.CAA,
+    "LSKBlock": X.LSKBlock,
 }
 
 
@@ -237,10 +240,15 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             mod = T.RTDETRDecoder(nc=nc, ch=ch_in, dtype=dtype)
             detect_idx = i
             list_input = True
-        elif mname == "Detect":
+        elif mname in ("Detect", "Detect_Efficient"):
             ch_in = tuple(src_ch(j) for j in f_list)
             c2 = 0
-            mod = M.Detect(nc=nc, ch=ch_in, dtype=dtype)
+            if mname == "Detect":
+                mod = M.Detect(nc=nc, ch=ch_in, dtype=dtype)
+            else:
+                from experiment_yolo_tpu.nn.heads_extra import DetectEfficient
+
+                mod = DetectEfficient(nc=nc, ch=ch_in, dtype=dtype)
             detect_idx = i
             reg_max = mod.reg_max
             list_input = True

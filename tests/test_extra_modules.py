@@ -30,6 +30,9 @@ CH_PRESERVING = [
     X.TripletAttention(),
     X.DySample(scale=2, groups=4),
     X.CARAFE(),
+    X.ELA(),
+    X.CAA(),
+    X.LSKBlock(),
 ]
 
 
