@@ -689,6 +689,31 @@ class ESC2f(nn.Module):
         return nn.GroupNorm(num_groups=min(8, self.c2), dtype=self.dtype, param_dtype=jnp.float32, name="gn2")(out)
 
 
+class DynamicScalSeq(nn.Module):
+    """ScalSeq with DySample learned upsamplers instead of nearest
+    (reference block.py:3445 DynamicScalSeq)."""
+
+    c2: int
+    inc: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        p3, p4, p5 = xs
+        if self.inc and self.inc[0] != self.c2:
+            p3 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="conv0")(p3, train)
+        p4 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="conv1")(p4, train)
+        p5 = ConvBN(self.c2, 1, 1, dtype=self.dtype, name="conv2")(p5, train)
+        g = 4 if self.c2 % 4 == 0 else 1
+        p4 = DySample(scale=2, groups=g, dtype=self.dtype, name="dysample1")(p4, train)
+        p5 = DySample(scale=4, groups=g, dtype=self.dtype, name="dysample2")(p5, train)
+        stack = jnp.stack([p3, p4, p5], axis=1)
+        stack = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32, name="conv3d")(stack)
+        stack = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                             dtype=self.dtype, param_dtype=jnp.float32, name="bn")(stack)
+        return jax.nn.leaky_relu(stack, 0.1).max(axis=1)
+
+
 class ResNetBlock(nn.Module):
     """ResNet bottleneck block (reference block.py:360)."""
 

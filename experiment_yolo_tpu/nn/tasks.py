@@ -168,7 +168,8 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             # reference tasks.py:1005: c2 = make_divisible(args[0]*width, 8)
             inc = tuple(src_ch(j) for j in f_list)
             c2 = make_divisible(args[0] * width, 8)
-            mod = M.ScalSeq(c2, inc=inc, dtype=dtype)
+            cls = M.ScalSeq if mname == "ScalSeq" else X.DynamicScalSeq
+            mod = cls(c2, inc=inc, dtype=dtype)
         elif mname == "asf_attention_model":
             c2 = src_ch(f_list[-1])
             mod = M.AsfAttention(dtype=dtype)

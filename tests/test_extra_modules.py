@@ -76,6 +76,27 @@ def test_shape_changing_modules(mod, shape):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_dynamic_scalseq_and_asf_attention():
+    import jax.numpy as jnp
+
+    from experiment_yolo_tpu.nn.modules import AsfAttention
+
+    p3 = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 32))
+    p4 = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 64))
+    p5 = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 128))
+    m = X.DynamicScalSeq(32, inc=(32, 64, 128))
+    v = m.init(jax.random.PRNGKey(3), [p3, p4, p5])
+    out = m.apply(v, [p3, p4, p5])
+    assert out.shape == (1, 16, 16, 32)
+
+    a = AsfAttention()
+    b = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 32))
+    va = a.init(jax.random.PRNGKey(5), [out, b])
+    y = a.apply(va, [out, b])
+    assert y.shape == (1, 16, 16, 32)
+    assert bool(jnp.isfinite(y).all())
+
+
 def test_dysample_zero_offset_is_near_nearest():
     """With zero offsets, DySample samples at output-cell centers — exact
     bilinear interp of the input; on a linear ramp it must reproduce it."""
