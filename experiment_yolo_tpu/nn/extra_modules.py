@@ -429,6 +429,53 @@ class RFAConv(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 convs + parallel maxpool branch (block.py:79)."""
+
+    cm: int
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem1")(x, train)
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBN(self.cm // 2, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2a")(xp, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBN(self.cm, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2b")(x2, train)
+        x1 = nn.max_pool(xp, (2, 2), strides=(1, 1))  # k2 s1 on the padded map
+        x = jnp.concatenate([x1, x2], -1)
+        x = ConvBN(self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem3")(x, train)
+        return ConvBN(self.c2, 1, 1, act="relu", dtype=self.dtype, name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 HG block: n (Light)Convs densely concatenated, then
+    squeeze/excitation convs (block.py:110)."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+            else:
+                ys.append(ConvBN(self.cm, self.k, act="relu", dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        y = ConvBN(self.c2 // 2, 1, 1, act="relu", dtype=self.dtype, name="sc")(jnp.concatenate(ys, -1), train)
+        y = ConvBN(self.c2, 1, 1, act="relu", dtype=self.dtype, name="ec")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return y + x
+        return y
+
+
 class GhostBottleneck(nn.Module):
     """Ghost bottleneck (block.py:299)."""
 

@@ -219,6 +219,19 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             from experiment_yolo_tpu.nn import backbones as BB
 
             mod = BB.Index(k=args[0])
+        elif mname in ("HGStem", "HGBlock"):
+            # reference tasks.py:813: args [cm, c2]; both width-scaled; HGBlock
+            # also takes repeats n at arg index 4
+            cm = _scale_ch(args[0], nc, width, max_channels)
+            c2 = _scale_ch(args[1], nc, width, max_channels)
+            if mname == "HGStem":
+                mod = X.HGStem(cm, c2, dtype=dtype)
+            else:
+                extra = args[2:]
+                mod = X.HGBlock(cm, c2, *(extra[:1]), n=n, dtype=dtype,
+                                lightconv=bool(extra[1]) if len(extra) > 1 else False,
+                                shortcut=bool(extra[2]) if len(extra) > 2 else False)
+                n = 1
         elif mname == "ResNetLayer":
             # YAML args carry c1 explicitly: [c1, c2, s, is_first, n]
             # (reference tasks.py: c2 = args[1] if is_first else args[1]*4)

@@ -66,6 +66,9 @@ SHAPE_CHANGING = [
     (X.ResNetLayer(16, s=1, is_first=True), (2, 4, 4, 16)),
     (X.ResNetLayer(8, s=2, n=2), (2, 8, 8, 32)),
     (X.RepC3(24, n=2), (2, 16, 16, 24)),
+    (X.HGStem(16, 32), (2, 4, 4, 32)),
+    (X.HGBlock(16, 32, n=3), (2, 16, 16, 32)),
+    (X.HGBlock(16, 32, n=2, lightconv=True, shortcut=True), (2, 16, 16, 32)),
 ]
 
 
