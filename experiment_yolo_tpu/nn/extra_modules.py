@@ -429,6 +429,75 @@ class RFAConv(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _adaptive_avg_to(x, h, w):
+    """Adaptive average pool to (h, w) for integer downscale factors."""
+    b, hh, ww, c = x.shape
+    fh, fw = hh // h, ww // w
+    return x[:, : h * fh, : w * fw].reshape(b, h, fh, w, fw, c).mean(axis=(2, 4))
+
+
+def _bilinear_to(x, h, w):
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
+
+
+class SimFusion3in(nn.Module):
+    """GOLD-YOLO 3-level fusion (extra block.py:1923): pool the finer level,
+    upsample the coarser, 1x1-project all to a common width, fuse."""
+
+    c2: int
+    inc: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        l, m, s = xs
+        h, w = m.shape[1:3]
+        l = _adaptive_avg_to(l, h, w)
+        s = _bilinear_to(s, h, w)
+        outs = []
+        for i, (t, cin) in enumerate(zip((l, m, s), self.inc or (0, 0, 0))):
+            if cin != self.c2:
+                t = ConvBN(self.c2, 1, act="relu", dtype=self.dtype, name=f"cv{i + 1}")(t, train)
+            outs.append(t)
+        return ConvBN(self.c2, 1, act="relu", dtype=self.dtype, name="cv_fuse")(jnp.concatenate(outs, -1), train)
+
+
+class SimFusion4in(nn.Module):
+    """GOLD-YOLO 4-level gather: pool/upsample everything to the 3rd level's
+    size and concat (extra block.py:1945)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x_l, x_m, x_s, x_n = xs
+        h, w = x_s.shape[1:3]
+        return jnp.concatenate(
+            [_adaptive_avg_to(x_l, h, w), _adaptive_avg_to(x_m, h, w), x_s, _bilinear_to(x_n, h, w)], -1
+        )
+
+
+class AdvPoolFusion(nn.Module):
+    """GOLD-YOLO pool-then-concat of two levels (extra block.py:2188)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        a, b = xs
+        h, w = b.shape[1:3]
+        return jnp.concatenate([_adaptive_avg_to(a, h, w), b], -1)
+
+
+class PyramidPoolAgg(nn.Module):
+    """GOLD-YOLO pyramid pooling aggregation: pool all levels to the
+    (stride-derived) smallest grid and concat (extra block.py:2039)."""
+
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        h, w = xs[-1].shape[1:3]
+        th, tw = max((h - 1) // self.stride + 1, 1), max((w - 1) // self.stride + 1, 1)
+        return jnp.concatenate([_adaptive_avg_to(x, th, tw) for x in xs], -1)
+
+
 class HGStem(nn.Module):
     """PPHGNetV2 stem: 5 convs + parallel maxpool branch (block.py:79)."""
 

@@ -219,6 +219,17 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             from experiment_yolo_tpu.nn import backbones as BB
 
             mod = BB.Index(k=args[0])
+        elif mname == "SimFusion_3in":
+            # reference tasks.py: args [[ch...], c2 scaled]
+            inc = tuple(src_ch(j) for j in f_list)
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = X.SimFusion3in(c2, inc=inc, dtype=dtype)
+        elif mname in ("SimFusion_4in", "AdvPoolFusion"):
+            c2 = sum(src_ch(j) for j in f_list)
+            mod = X.SimFusion4in() if mname == "SimFusion_4in" else X.AdvPoolFusion()
+        elif mname == "PyramidPoolAgg":
+            c2 = sum(src_ch(j) for j in f_list)
+            mod = X.PyramidPoolAgg(stride=args[0] if args else 2)
         elif mname in ("HGStem", "HGBlock"):
             # reference tasks.py:813: args [cm, c2]; both width-scaled; HGBlock
             # also takes repeats n at arg index 4

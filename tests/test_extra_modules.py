@@ -79,6 +79,29 @@ def test_shape_changing_modules(mod, shape):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_gold_yolo_fusion_ops():
+    p2 = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 16))
+    p3 = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 32))
+    p4 = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 64))
+    p5 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 128))
+
+    m3 = X.SimFusion3in(32, inc=(16, 32, 64))
+    v = m3.init(jax.random.PRNGKey(4), [p2, p3, p4])
+    assert m3.apply(v, [p2, p3, p4]).shape == (1, 16, 16, 32)
+
+    m4 = X.SimFusion4in()
+    out = m4.apply(m4.init(jax.random.PRNGKey(5), [p2, p3, p4, p5]), [p2, p3, p4, p5])
+    assert out.shape == (1, 8, 8, 16 + 32 + 64 + 128)
+
+    ap = X.AdvPoolFusion()
+    out = ap.apply(ap.init(jax.random.PRNGKey(6), [p3, p4]), [p3, p4])
+    assert out.shape == (1, 8, 8, 32 + 64)
+
+    pp = X.PyramidPoolAgg(stride=2)
+    out = pp.apply(pp.init(jax.random.PRNGKey(7), [p3, p4, p5]), [p3, p4, p5])
+    assert out.shape == (1, 2, 2, 32 + 64 + 128)
+
+
 def test_dynamic_scalseq_and_asf_attention():
     import jax.numpy as jnp
 
