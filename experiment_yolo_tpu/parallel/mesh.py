@@ -20,11 +20,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first n devices."""
-    devs = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None, axis: str = "data", devices=None
+) -> Mesh:
+    """1-D data-parallel mesh over the first n devices.
+
+    ``devices`` overrides device discovery (e.g. ``jax.devices("cpu")`` for a
+    virtual host mesh when the default platform exposes fewer chips)."""
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # Default platform has too few chips (e.g. single-chip TPU via a
+            # relay plugin): fall back to virtual host CPU devices, which
+            # honour --xla_force_host_platform_device_count.
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n_devices:
+                devs = cpu
         devs = devs[:n_devices]
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"need {n_devices} devices for the mesh, have {len(devs)}"
+            )
     return Mesh(np.asarray(devs), (axis,))
 
 
