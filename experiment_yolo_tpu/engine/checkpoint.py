@@ -34,6 +34,8 @@ def save_checkpoint(
     state: Dict[str, Any] = {"variables": variables}
     if ema_variables is not None:
         state["ema_variables"] = ema_variables
+    if opt_state is not None:
+        state["opt_state"] = opt_state
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path / "state", jax.tree.map(jnp.asarray, state), force=True)
     ckptr.wait_until_finished()

@@ -265,6 +265,11 @@ class DetectionTrainer:
             if rel > 0.5:
                 LOGGER.info(f"AMP check failed (rel err {rel:.3f}) — disabling bf16 compute")
                 self.dtype = jnp.float32
+                # flax modules pin compute dtype at construction, so flipping
+                # self.dtype (the input-cast dtype) alone is not enough: swap
+                # in the fp32-compute rebuild (params are name/shape-identical)
+                m32.names = getattr(self.model, "names", None)
+                self.model = m32
             else:
                 LOGGER.info(f"AMP check ok (bf16 rel err {rel:.4f})")
         except Exception as e:  # never block training on the health check

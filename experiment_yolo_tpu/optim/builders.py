@@ -26,10 +26,13 @@ def param_group_label(path: tuple, leaf) -> str:
     """
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     leaf_name = names[-1] if names else ""
-    if any("bn" in str(n) for n in names[:-1]) or leaf_name == "scale":
-        return "norm"
+    # Reference build_optimizer (trainer.py:1144-1152) checks 'bias' in the
+    # fullname FIRST, so BN biases land in g2 (bias, warmup from
+    # warmup_bias_lr) — not the norm group.
     if leaf_name == "bias":
         return "bias"
+    if any("bn" in str(n) for n in names[:-1]) or leaf_name == "scale":
+        return "norm"
     return "weight"
 
 
@@ -151,6 +154,15 @@ def build_optimizer(
     lr_fn, bias_lr_fn, momentum_fn = warmup_schedules(
         lr0, lf, nb, warmup_epochs, warmup_bias_lr, warmup_momentum, momentum
     )
+    if accumulate > 1:
+        # The chain is wrapped in optax.MultiSteps below, so the inner step
+        # counter advances once per `accumulate` micro-batches. The reference
+        # indexes its warmup/decay schedules by the micro-batch counter ni
+        # (trainer.py:785-794), so map inner step -> ni before evaluating.
+        def _microstep(f):
+            return lambda step: f(step * accumulate)
+
+        lr_fn, bias_lr_fn, momentum_fn = map(_microstep, (lr_fn, bias_lr_fn, momentum_fn))
 
     if name == "SGD":
         opt = yolo_sgd(lr_fn, bias_lr_fn, momentum_fn, weight_decay, labels, nesterov=True)
@@ -176,7 +188,16 @@ def build_optimizer(
     else:
         raise ValueError(f"unknown optimizer {name!r}")
 
-    chain = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     if accumulate > 1:
+        # optax.MultiSteps delivers the MEAN of the k accumulated gradients;
+        # the reference accumulates grad SUMS via repeated .backward() before
+        # stepping (trainer.py:798-817). Scale back to the sum before the
+        # global-norm clip so both the clip threshold and the effective step
+        # magnitude match torch semantics.
+        chain = optax.chain(
+            optax.scale(float(accumulate)), optax.clip_by_global_norm(clip_norm), opt
+        )
         chain = optax.MultiSteps(chain, every_k_schedule=accumulate)
+    else:
+        chain = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     return chain

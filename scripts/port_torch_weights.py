@@ -32,8 +32,11 @@ def main(argv):
     kv = parse_key_value(argv)
     import torch
 
+    # weights_only=False unpickles arbitrary code — only port checkpoints you
+    # trust (Ultralytics .pt files store full nn.Module objects, so the safe
+    # loader cannot read them).
     ckpt = torch.load(kv["pt"], map_location="cpu", weights_only=False)
-    tmodel = ckpt.get("ema") or ckpt["model"] if isinstance(ckpt, dict) else ckpt
+    tmodel = (ckpt.get("ema") or ckpt["model"]) if isinstance(ckpt, dict) else ckpt
     tmodel = tmodel.float()
     state = {k: v.detach().cpu().numpy().astype(np.float32) for k, v in tmodel.state_dict().items()}
     names = getattr(tmodel, "names", None)

@@ -46,7 +46,9 @@ def test_param_group_labels():
     labels = jax.tree_util.tree_map_with_path(param_group_label, params)
     assert labels["layers_0"]["conv"]["kernel"] == "weight"
     assert labels["layers_0"]["bn"]["scale"] == "norm"
-    assert labels["layers_0"]["bn"]["bias"] == "norm"
+    # the reference checks 'bias' in fullname FIRST (trainer.py:1144-1152),
+    # so BN biases join g2 and warm up from warmup_bias_lr
+    assert labels["layers_0"]["bn"]["bias"] == "bias"
     assert labels["head"]["proj"]["bias"] == "bias"
 
 
@@ -95,3 +97,45 @@ def test_soap_preconditioner_state_updates():
     # eigenbases orthogonal (fp32 eigh on a near-rank-1 GG: loose tol)
     q = state.leaves["w"].q[0]
     np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(6), atol=1e-2)
+
+
+def test_grad_accumulation_torch_semantics():
+    """With accumulate=k the chain must (a) step only every k micro-batches,
+    (b) apply the SUM of the k gradients (reference accumulates .backward()
+    sums, trainer.py:798-817), and (c) index warmup schedules by the
+    micro-batch counter ni, not the inner optimizer-step count."""
+    k = 4
+    params = {"w": jnp.ones((4, 4)), "head": {"bias": jnp.zeros(4)}}
+    kw = dict(
+        name="SGD", lr0=0.01, momentum=0.9, weight_decay=0.0, nb=8, epochs=10,
+        lrf=0.01, cos_lr=False, warmup_epochs=0.0, warmup_bias_lr=0.1,
+        warmup_momentum=0.8, clip_norm=1e9,
+    )
+    tx = build_optimizer(params, accumulate=k, **kw)
+    state = tx.init(params)
+    g = {"w": jnp.full((4, 4), 0.01), "head": {"bias": jnp.full((4,), 0.01)}}
+    p = params
+    for i in range(2 * k):
+        upd, state = tx.update(g, state, p)
+        if (i + 1) % k:
+            assert float(jnp.abs(upd["w"]).max()) == 0.0  # mid-accumulation: no step
+        p = optax.apply_updates(p, upd)
+
+    # hand-rolled torch-SGD on summed grads, schedules at ni = step * k
+    from experiment_yolo_tpu.optim.builders import lr_lambda, warmup_schedules
+
+    lf = lr_lambda(kw["epochs"], kw["lrf"], kw["cos_lr"])
+    lr_fn, bias_lr_fn, mom_fn = warmup_schedules(
+        kw["lr0"], lf, kw["nb"], kw["warmup_epochs"], kw["warmup_bias_lr"],
+        kw["warmup_momentum"], 0.9)
+    ref = {"w": np.ones((4, 4)), "b": np.zeros(4)}
+    buf = {"w": np.zeros((4, 4)), "b": np.zeros(4)}
+    for s in range(2):
+        ni = s * k
+        mu, lw, lb = float(mom_fn(ni)), float(lr_fn(ni)), float(bias_lr_fn(ni))
+        for key, lr in (("w", lw), ("b", lb)):
+            G = np.full_like(ref[key], 0.01) * k  # summed over k micro-batches
+            buf[key] = mu * buf[key] + G
+            ref[key] -= lr * (G + mu * buf[key])  # nesterov
+    np.testing.assert_allclose(np.asarray(p["w"]), ref["w"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p["head"]["bias"]), ref["b"], rtol=1e-5)
