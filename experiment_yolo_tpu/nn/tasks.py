@@ -277,6 +277,26 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             detect_idx = i
             reg_max = mod.reg_max
             list_input = True
+        elif mname in ("Segment", "Pose", "OBB"):
+            # task heads (reference head.py:90/147/116); args after nc:
+            # Segment [nm, npr(width-scaled)], Pose [kpt_shape], OBB [ne]
+            from experiment_yolo_tpu.nn import heads_extra as H
+
+            ch_in = tuple(src_ch(j) for j in f_list)
+            c2 = 0
+            if mname == "Segment":
+                nm = args[1] if len(args) > 1 else 32
+                npr = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
+                mod = H.Segment(nc=nc, nm=nm, npr=npr, ch=ch_in, dtype=dtype)
+            elif mname == "Pose":
+                ks = args[1] if len(args) > 1 else (17, 3)
+                if isinstance(ks, str):  # literal 'kpt_shape' -> top-level key
+                    ks = d.get("kpt_shape", (17, 3))
+                mod = H.Pose(nc=nc, kpt_shape=tuple(ks), ch=ch_in, dtype=dtype)
+            else:
+                mod = H.OBB(nc=nc, ne=args[1] if len(args) > 1 else 1, ch=ch_in, dtype=dtype)
+            detect_idx = i
+            list_input = True
         else:
             raise NotImplementedError(
                 f"module {mname!r} is not yet in the TPU registry (layer {i}); "
@@ -405,6 +425,8 @@ class DetectionModel:
         rng = jax.random.PRNGKey(0)
         vars_shape = jax.eval_shape(lambda r, xx: self.module.init(r, xx, False), rng, x)
         outs = jax.eval_shape(lambda v, xx: self.module.apply(v, xx, False), vars_shape, x)
+        if self.head_type in ("Segment", "Pose", "OBB"):
+            outs = outs[0]  # (det_maps, task_branch...) -> det maps
         return tuple(int(imgsz // o.shape[1]) for o in outs)
 
     def init(self, rng, imgsz: int = 64) -> dict:
@@ -424,6 +446,8 @@ class DetectionModel:
         params = variables["params"]
         dname = f"layers_{self.detect_idx}"
         head = params.get(dname)
+        if head is not None and "detect" in head:  # Segment/Pose/OBB nest Detect
+            head = head["detect"]
         if head is not None:
             for i, s in enumerate(self.strides):
                 if f"cv2_{i}_2" in head:
@@ -469,3 +493,94 @@ class DetectionModel:
     def info(self, variables=None) -> str:
         n = self.num_params(variables) if variables else -1
         return f"DetectionModel(nc={self.nc}, strides={self.strides}, params={n:,})"
+
+
+class SegmentationModel(DetectionModel):
+    """Instance segmentation model (reference nn/tasks.py:392).
+
+    ``predict`` returns (boxes xywh px, scores, coeffs (B,A,nm),
+    protos (B,Hp,Wp,nm)); mask assembly for post-NMS detections lives in
+    ``nn.heads_extra.assemble_masks``.
+    """
+
+    task = "segment"
+
+    def predict(self, variables, x):
+        from experiment_yolo_tpu.ops.anchors import decode_detections
+
+        det, coeffs, protos = self.module.apply(variables, x, False)
+        boxes, scores = decode_detections(det, self.strides, self.nc, self.reg_max)
+        b = x.shape[0]
+        nm = protos.shape[-1]
+        flat_coeffs = jnp.concatenate([c.reshape(b, -1, nm) for c in coeffs], axis=1)
+        return boxes, scores, flat_coeffs, protos
+
+    def info(self, variables=None) -> str:
+        n = self.num_params(variables) if variables else -1
+        return f"SegmentationModel(nc={self.nc}, strides={self.strides}, params={n:,})"
+
+
+class PoseModel(DetectionModel):
+    """Pose/keypoints model (reference nn/tasks.py:404).
+
+    ``predict`` returns (boxes xywh px, scores, kpts (B,A,nk,nd) in px)."""
+
+    task = "pose"
+
+    def __init__(self, cfg="yolov8-pose.yaml", *a, **kw):
+        super().__init__(cfg, *a, **kw)
+        self.kpt_shape = tuple(self.specs[self.detect_idx].module.kpt_shape)
+
+    def predict(self, variables, x):
+        from experiment_yolo_tpu.nn.heads_extra import decode_kpts
+        from experiment_yolo_tpu.ops.anchors import decode_detections
+
+        det, kpt_maps = self.module.apply(variables, x, False)
+        boxes, scores = decode_detections(det, self.strides, self.nc, self.reg_max)
+        kpts = decode_kpts(kpt_maps, self.strides, self.kpt_shape)
+        return boxes, scores, kpts
+
+    def info(self, variables=None) -> str:
+        n = self.num_params(variables) if variables else -1
+        return f"PoseModel(nc={self.nc}, kpt_shape={self.kpt_shape}, params={n:,})"
+
+
+class OBBModel(DetectionModel):
+    """Oriented-box model (reference nn/tasks.py:380).
+
+    ``predict`` returns (rboxes (B,A,5) xywhr px, scores)."""
+
+    task = "obb"
+
+    def predict(self, variables, x):
+        from experiment_yolo_tpu.nn.heads_extra import decode_obb_angle
+        from experiment_yolo_tpu.ops.anchors import decode_rboxes
+
+        det, angle_maps = self.module.apply(variables, x, False)
+        angle = decode_obb_angle(angle_maps)  # (B, A, 1)
+        return decode_rboxes(det, angle, self.strides, self.nc, self.reg_max)
+
+    def info(self, variables=None) -> str:
+        n = self.num_params(variables) if variables else -1
+        return f"OBBModel(nc={self.nc}, strides={self.strides}, params={n:,})"
+
+
+def guess_model_task(cfg) -> str:
+    """Task from a model yaml path/dict (reference tasks.py:1102)."""
+    name = str(cfg.get("yaml_file", "")) if isinstance(cfg, dict) else str(cfg)
+    head = ""
+    if isinstance(cfg, dict):
+        rows = list(cfg.get("head", [])) or list(cfg.get("backbone", []))
+        head = rows[-1][2] if rows else ""
+    for key, task in (("-seg", "segment"), ("-pose", "pose"), ("-obb", "obb"), ("-cls", "classify")):
+        if key in name:
+            return task
+    return {"Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify"}.get(head, "detect")
+
+
+TASK_MODELS = {
+    "detect": DetectionModel,
+    "segment": SegmentationModel,
+    "pose": PoseModel,
+    "obb": OBBModel,
+}

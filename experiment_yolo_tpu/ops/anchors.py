@@ -96,3 +96,38 @@ def decode_detections(feats, strides, nc: int, reg_max: int = 16):
     dist = dfl_decode(box, reg_max)  # (B, A, 4)
     dbox = dist2bbox(dist, anchor_points[None], xywh=True) * stride_tensor[None]
     return dbox, jax.nn.sigmoid(cls)
+
+
+def dist2rbox(distance, angle, anchor_points):
+    """Rotated-box decode (reference tal.py:327 dist2rbox).
+
+    distance (..., 4) ltrb in grid units; angle (..., 1) rad;
+    anchor_points (..., 2). Returns (..., 4) xywh with the center offset
+    rotated by the angle.
+    """
+    lt, rb = distance[..., :2], distance[..., 2:4]
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    off = (rb - lt) / 2.0
+    xf, yf = off[..., :1], off[..., 1:2]
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], -1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], -1)
+
+
+def decode_rboxes(feats, angle, strides, nc: int, reg_max: int = 16):
+    """OBB inference decode: (rboxes (B,A,5) xywhr px, scores (B,A,nc)).
+
+    Rebuild of the reference OBB.forward inference branch (head.py:116):
+    DFL -> dist2rbox with the sigmoid-mapped angle -> *stride; the angle is
+    NOT scaled by stride.
+    """
+    b = feats[0].shape[0]
+    no = 4 * reg_max + nc
+    flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)
+    box, cls = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+    feat_shapes = [f.shape[1:3] for f in feats]
+    anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
+    dist = dfl_decode(box, reg_max)
+    rbox = dist2rbox(dist, angle, anchor_points[None]) * stride_tensor[None]
+    return jnp.concatenate([rbox, angle], -1), jax.nn.sigmoid(cls)

@@ -249,3 +249,45 @@ def wise_iou_loss(
             divisor = WIOU_DELTA * jnp.power(WIOU_ALPHA, beta - WIOU_DELTA)
             loss = loss * beta / divisor
     return loss, new_mean
+
+
+def _rbox_covariance(boxes):
+    """Gaussian covariance terms (a, b, c) of xywhr boxes (reference
+    metrics.py:784 _get_covariance_matrix)."""
+    a = boxes[..., 2:3] ** 2 / 12.0
+    b = boxes[..., 3:4] ** 2 / 12.0
+    r = boxes[..., 4:5]
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    return (
+        a * cos**2 + b * sin**2,
+        a * sin**2 + b * cos**2,
+        a * cos * sin - b * sin * cos,
+    )
+
+
+def probiou(obb1: jnp.ndarray, obb2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Probabilistic IoU of rotated boxes xywhr (reference metrics.py:804,
+    arXiv:2106.06072). Broadcasts over leading dims; returns (...,)."""
+    x1, y1 = obb1[..., 0:1], obb1[..., 1:2]
+    x2, y2 = obb2[..., 0:1], obb2[..., 1:2]
+    a1, b1, c1 = _rbox_covariance(obb1)
+    a2, b2, c2 = _rbox_covariance(obb2)
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    det1 = jnp.clip(a1 * b1 - c1**2, 0.0, None)
+    det2 = jnp.clip(a2 * b2 - c2**2, 0.0, None)
+    t3 = jnp.log(((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2) / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return (1.0 - hd)[..., 0]
+
+
+def xywhr2xyxyxyxy(rboxes: jnp.ndarray) -> jnp.ndarray:
+    """xywhr -> 4 corner points (..., 4, 2) (reference ops.py:xywhr2xyxyxyxy)."""
+    c, s = jnp.cos(rboxes[..., 4]), jnp.sin(rboxes[..., 4])
+    ctr = rboxes[..., :2]
+    w2, h2 = rboxes[..., 2] / 2.0, rboxes[..., 3] / 2.0
+    v1 = jnp.stack([w2 * c, w2 * s], -1)
+    v2 = jnp.stack([-h2 * s, h2 * c], -1)
+    return jnp.stack([ctr + v1 + v2, ctr + v1 - v2, ctr - v1 - v2, ctr - v1 + v2], -2)

@@ -80,6 +80,7 @@ def detection_loss(
     iou_mean: jnp.ndarray | None = None,  # Wise-IoU running state (scalar)
     slide_mean: jnp.ndarray | None = None,  # EMASlide running IoU (scalar)
     step: jnp.ndarray | None = None,  # optimizer step (EMASlide decay ramp)
+    return_aux: bool = False,  # also return assignment internals (task losses)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
     """Compute (total_loss, components, new_iou_mean).
 
@@ -88,6 +89,12 @@ def detection_loss(
     transfer. Running states (Wise-IoU mean; EMASlide mean when
     cls_loss='emaslide') are explicit inputs/outputs — the trainer threads
     them through TrainState.
+
+    With ``return_aux=True`` a dict of assignment internals (fg_mask,
+    target_gt_idx, target_bboxes in grid units, target_scores_sum,
+    stride_tensor, imgsz) is appended to the return tuple — the shared core
+    for v8Segmentation/Pose losses (reference loss.py:526,709 reuse the
+    same assign + BboxLoss machinery).
     """
     nc, reg_max = cfg.nc, cfg.reg_max
     no = nc + reg_max * 4
@@ -177,9 +184,22 @@ def detection_loss(
         "dfl": loss_dfl * cfg.dfl,
     }
     total = (comps["box"] + comps["cls"] + comps["dfl"]) * b
+    out = (total, comps, new_iou_mean)
     if slide_mean is not None:
-        return total, comps, new_iou_mean, new_slide_mean
-    return total, comps, new_iou_mean
+        out = out + (new_slide_mean,)
+    if return_aux:
+        aux = {
+            "fg_mask": fg_mask,
+            "target_gt_idx": res.target_gt_idx,
+            "target_bboxes": target_bboxes,  # grid units
+            "target_scores_sum": target_scores_sum,
+            "weight": weight,
+            "stride_tensor": stride_tensor,
+            "anchor_points": anchor_points,
+            "imgsz": (imgsz_h, imgsz_w),
+        }
+        out = out + (aux,)
+    return out
 
 
 def _sigmoid_bce(logits, targets):

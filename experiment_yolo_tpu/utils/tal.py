@@ -45,6 +45,25 @@ def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, ep
     return deltas.min(-1) > eps
 
 
+def select_candidates_in_rotated_gts(xy_centers: jnp.ndarray, gt_rboxes: jnp.ndarray) -> jnp.ndarray:
+    """Anchor centers inside rotated gt boxes: (A,2) x (B,M,5 xywhr) -> (B,M,A).
+
+    Reference RotatedTaskAlignedAssigner.select_candidates_in_gts
+    (tal.py:266): project the center onto the box edge vectors."""
+    from experiment_yolo_tpu.ops.boxes import xywhr2xyxyxyxy
+
+    corners = xywhr2xyxyxyxy(gt_rboxes)  # (B, M, 4, 2)
+    a, b_, d = corners[..., 0, :], corners[..., 1, :], corners[..., 3, :]
+    ab = (b_ - a)[..., None, :]  # (B, M, 1, 2)
+    ad = (d - a)[..., None, :]
+    ap = xy_centers[None, None] - a[..., None, :]  # (B, M, A, 2)
+    norm_ab = (ab * ab).sum(-1)
+    norm_ad = (ad * ad).sum(-1)
+    ap_ab = (ap * ab).sum(-1)
+    ap_ad = (ap * ad).sum(-1)
+    return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
+
+
 def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) -> jnp.ndarray:
     """Top-k per gt as a (B, M, A) 0/1 mask, reproducing the reference's
     scatter-count semantics (indices appearing more than once are dropped)."""
@@ -56,35 +75,48 @@ def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) ->
     return jnp.where(count > 1, 0, count).astype(metrics.dtype)
 
 
-@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "rotated"))
 def assign(
     pd_scores: jnp.ndarray,  # (B, A, nc) sigmoided
-    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy, pixel units
+    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy px (rotated: (B, A, 5) xywhr px)
     anc_points: jnp.ndarray,  # (A, 2) pixel units
     gt_labels: jnp.ndarray,  # (B, M) int
-    gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy pixel units (zero rows = padding)
+    gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy px (rotated: (B, M, 5) xywhr; zero rows = padding)
     mask_gt: jnp.ndarray,  # (B, M) bool
     topk: int = 10,
     num_classes: int = 80,
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
+    rotated: bool = False,
 ) -> AssignResult:
-    """Task-aligned assignment (s^alpha * u^beta), static shapes throughout."""
+    """Task-aligned assignment (s^alpha * u^beta), static shapes throughout.
+
+    ``rotated=True`` is the RotatedTaskAlignedAssigner (reference
+    tal.py:261): xywhr boxes, probiou overlaps, point-in-rotated-rect
+    candidate test."""
     b, a, nc = pd_scores.shape
     m = gt_bboxes.shape[1]
     gt_labels = gt_labels.astype(jnp.int32)
     mask_gt = mask_gt.astype(jnp.bool_)
 
     # --- positive-candidate mask -----------------------------------------
-    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B,M,A)
+    if rotated:
+        mask_in_gts = select_candidates_in_rotated_gts(anc_points, gt_bboxes)
+    else:
+        mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B,M,A)
     pre_mask = mask_in_gts & mask_gt[..., None]
 
     # scores of each anchor for each gt's class: (B, M, A)
     cls_scores = jnp.take_along_axis(
         pd_scores.transpose(0, 2, 1), jnp.clip(gt_labels, 0, nc - 1)[..., None], axis=1
     )
-    overlaps = bbox_iou(gt_bboxes[:, :, None], pd_bboxes[:, None], xywh=False, CIoU=True)[..., 0]
+    if rotated:
+        from experiment_yolo_tpu.ops.boxes import probiou
+
+        overlaps = probiou(gt_bboxes[:, :, None], pd_bboxes[:, None])
+    else:
+        overlaps = bbox_iou(gt_bboxes[:, :, None], pd_bboxes[:, None], xywh=False, CIoU=True)[..., 0]
     overlaps = jnp.clip(jnp.where(pre_mask, overlaps, 0.0), 0.0, None)
     cls_scores = jnp.where(pre_mask, cls_scores, 0.0)
     align_metric = cls_scores**alpha * overlaps**beta
