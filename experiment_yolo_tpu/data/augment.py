@@ -8,7 +8,12 @@ CPU like the reference's dataloader workers; the device step consumes fixed
 static-shape.
 
 Labels here are dicts: {'img': HWC uint8 BGR, 'bboxes': (N,4) xyxy pixels,
-'cls': (N,)}.
+'cls': (N,)}, with optional task geometry carried through every transform
+(reference utils/instance.py Instances semantics):
+
+- 'segments': list of (Si, 2) float32 pixel polygons, one per instance;
+- 'keypoints': (N, nk, 3) float32 pixel keypoints (x, y, visibility);
+- 'obb': (N, 4, 2) float32 pixel corner points of rotated boxes.
 """
 
 from __future__ import annotations
@@ -18,6 +23,50 @@ from typing import Dict, List, Optional, Tuple
 
 import cv2
 import numpy as np
+
+
+def _scale_shift_points(labels: Dict, r: float, padw: float, padh: float) -> Dict:
+    """Apply x' = x*r + pad to every point-geometry field in-place-ish."""
+    out = dict(labels)
+    if labels.get("segments") is not None:
+        out["segments"] = [s * r + np.asarray([padw, padh], np.float32) for s in labels["segments"]]
+    if labels.get("keypoints") is not None:
+        kp = labels["keypoints"].copy()
+        kp[..., 0] = kp[..., 0] * r + padw
+        kp[..., 1] = kp[..., 1] * r + padh
+        out["keypoints"] = kp
+    if labels.get("obb") is not None:
+        out["obb"] = labels["obb"] * r + np.asarray([padw, padh], np.float32)
+    return out
+
+
+def _take_instances(labels: Dict, keep) -> Dict:
+    """Index every per-instance field by a boolean/int index array."""
+    out = dict(labels)
+    out["bboxes"] = labels["bboxes"][keep]
+    out["cls"] = labels["cls"][keep]
+    if labels.get("segments") is not None:
+        idx = np.flatnonzero(keep) if np.asarray(keep).dtype == bool else np.asarray(keep)
+        out["segments"] = [labels["segments"][i] for i in idx]
+    if labels.get("keypoints") is not None:
+        out["keypoints"] = labels["keypoints"][keep]
+    if labels.get("obb") is not None:
+        out["obb"] = labels["obb"][keep]
+    return out
+
+
+def _cat_instances(l1: Dict, l2: Dict) -> Dict:
+    out = {
+        "bboxes": np.concatenate([l1["bboxes"], l2["bboxes"]]).astype(np.float32),
+        "cls": np.concatenate([l1["cls"], l2["cls"]]),
+    }
+    if l1.get("segments") is not None or l2.get("segments") is not None:
+        out["segments"] = list(l1.get("segments") or []) + list(l2.get("segments") or [])
+    if l1.get("keypoints") is not None:
+        out["keypoints"] = np.concatenate([l1["keypoints"], l2["keypoints"]])
+    if l1.get("obb") is not None:
+        out["obb"] = np.concatenate([l1["obb"], l2["obb"]])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -67,6 +116,7 @@ def letterbox_labels(labels: Dict, imgsz, scaleup: bool = True) -> Dict:
         bboxes = bboxes * r
         bboxes[:, [0, 2]] += padw
         bboxes[:, [1, 3]] += padh
+    labels = _scale_shift_points(labels, r, padw, padh)
     return {**labels, "img": img, "bboxes": bboxes, "ratio_pad": (r, (padw, padh))}
 
 
@@ -85,7 +135,7 @@ def mosaic4(items: List[Dict], imgsz: int, rng: np.random.Generator) -> Dict:
     yc = int(rng.uniform(s // 2, 2 * s - s // 2))
     xc = int(rng.uniform(s // 2, 2 * s - s // 2))
     canvas = np.full((2 * s, 2 * s, 3), 114, dtype=np.uint8)
-    all_boxes, all_cls = [], []
+    all_shifted = []
     for i, it in enumerate(items):
         img = it["img"]
         h, w = img.shape[:2]
@@ -112,12 +162,29 @@ def mosaic4(items: List[Dict], imgsz: int, rng: np.random.Generator) -> Dict:
             b = it["bboxes"] * r
             b[:, [0, 2]] += padw
             b[:, [1, 3]] += padh
-            all_boxes.append(b)
-            all_cls.append(it["cls"])
-    bboxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
-    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
-    bboxes = np.clip(bboxes, 0, 2 * s)
-    return {"img": canvas, "bboxes": bboxes.astype(np.float32), "cls": cls, "mosaic_border": (-s // 2, -s // 2)}
+            shifted = _scale_shift_points(it, r, padw, padh)
+            shifted["bboxes"] = b
+            all_shifted.append(shifted)
+    if all_shifted:
+        merged = all_shifted[0]
+        for nxt in all_shifted[1:]:
+            merged = _cat_instances(merged, nxt)
+    else:
+        merged = {"bboxes": np.zeros((0, 4), np.float32), "cls": np.zeros((0,), np.float32)}
+        for k in ("segments", "keypoints", "obb"):
+            if items[0].get(k) is not None:
+                merged[k] = [] if k == "segments" else np.zeros((0,) + items[0][k].shape[1:], np.float32)
+    merged["bboxes"] = np.clip(merged["bboxes"], 0, 2 * s).astype(np.float32)
+    if merged.get("segments") is not None:
+        merged["segments"] = [np.clip(p, 0, 2 * s) for p in merged["segments"]]
+    if merged.get("obb") is not None:
+        merged["obb"] = np.clip(merged["obb"], 0, 2 * s)
+    if merged.get("keypoints") is not None:  # out-of-canvas kpts -> invisible
+        kp = merged["keypoints"]
+        oob = (kp[..., 0] < 0) | (kp[..., 0] >= 2 * s) | (kp[..., 1] < 0) | (kp[..., 1] >= 2 * s)
+        kp[..., 2] = np.where(oob, 0.0, kp[..., 2])
+        merged["keypoints"] = kp
+    return {"img": canvas, **merged, "mosaic_border": (-s // 2, -s // 2)}
 
 
 # ---------------------------------------------------------------------------
@@ -166,20 +233,48 @@ def random_perspective(
         else:
             img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
 
+    def warp_pts(pts):  # (..., 2) -> transformed (..., 2)
+        shape = pts.shape
+        xy = np.ones((int(np.prod(shape[:-1])), 3))
+        xy[:, :2] = pts.reshape(-1, 2)
+        xy = xy @ M.T
+        out = xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]
+        return out.reshape(shape).astype(np.float32)
+
+    labels = dict(labels)
     bboxes, cls = labels["bboxes"], labels["cls"]
     if len(bboxes):
         n = len(bboxes)
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)  # corners
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        if labels.get("segments"):
+            # reference recomputes boxes from warped segments (augment.py:480)
+            segs = [np.clip(warp_pts(p), [0, 0], [width, height]) for p in labels["segments"]]
+            new = np.stack(
+                [np.concatenate([p.min(0), p.max(0)]) for p in segs], 0
+            ).astype(np.float32)
+            labels["segments"] = segs
+        elif labels.get("obb") is not None:
+            corners = warp_pts(labels["obb"])  # (N, 4, 2); NOT clipped (rotation-safe)
+            labels["obb"] = corners
+            new = np.concatenate([corners.min(1), corners.max(1)], -1).astype(np.float32)
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        else:
+            xy = warp_pts(bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n, 4, 2)).reshape(n, 8)
+            x = xy[:, [0, 2, 4, 6]]
+            y = xy[:, [1, 3, 5, 7]]
+            new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        if labels.get("keypoints") is not None:
+            kp = labels["keypoints"].copy()
+            kp[..., :2] = warp_pts(kp[..., :2])
+            oob = (kp[..., 0] < 0) | (kp[..., 0] >= width) | (kp[..., 1] < 0) | (kp[..., 1] >= height)
+            kp[..., 2] = np.where(oob, 0.0, kp[..., 2])  # reference apply_keypoints
+            labels["keypoints"] = kp
         keep = _box_candidates(bboxes.T * s, new.T)
-        bboxes, cls = new[keep].astype(np.float32), cls[keep]
+        labels["bboxes"] = new
+        labels = _take_instances(labels, keep)
+        bboxes, cls = labels["bboxes"].astype(np.float32), labels["cls"]
     return {**labels, "img": img, "bboxes": bboxes, "cls": cls}
 
 
@@ -209,12 +304,23 @@ def random_hsv(img: np.ndarray, hgain=0.015, sgain=0.7, vgain=0.4, rng=None) -> 
     return img
 
 
-def random_flip(labels: Dict, direction: str, p: float, rng=None) -> Dict:
+def random_flip(labels: Dict, direction: str, p: float, rng=None, flip_idx=None) -> Dict:
+    """Image + geometry flip; ``flip_idx`` swaps left/right keypoints on a
+    horizontal flip (reference augment.py:RandomFlip, data.yaml flip_idx)."""
     rng = rng or np.random.default_rng()
     if rng.random() >= p:
         return labels
+    labels = dict(labels)
     img, bboxes = labels["img"], labels["bboxes"].copy()
     h, w = img.shape[:2]
+    axis = 0 if direction == "horizontal" else 1
+    extent = w if direction == "horizontal" else h
+
+    def flip_pts(pts):
+        pts = pts.copy()
+        pts[..., axis] = extent - pts[..., axis]
+        return pts
+
     if direction == "horizontal":
         img = np.fliplr(img)
         if len(bboxes):
@@ -223,6 +329,16 @@ def random_flip(labels: Dict, direction: str, p: float, rng=None) -> Dict:
         img = np.flipud(img)
         if len(bboxes):
             bboxes[:, [1, 3]] = h - bboxes[:, [3, 1]]
+    if labels.get("segments"):
+        labels["segments"] = [flip_pts(p) for p in labels["segments"]]
+    if labels.get("obb") is not None:
+        labels["obb"] = flip_pts(labels["obb"])
+    if labels.get("keypoints") is not None:
+        kp = labels["keypoints"].copy()
+        kp[..., axis] = extent - kp[..., axis]
+        if direction == "horizontal" and flip_idx is not None:
+            kp = kp[:, np.asarray(flip_idx, np.int64)]
+        labels["keypoints"] = kp
     return {**labels, "img": np.ascontiguousarray(img), "bboxes": bboxes}
 
 
@@ -231,45 +347,115 @@ def mixup(l1: Dict, l2: Dict, rng=None) -> Dict:
     rng = rng or np.random.default_rng()
     r = rng.beta(32.0, 32.0)
     img = (l1["img"].astype(np.float32) * r + l2["img"].astype(np.float32) * (1 - r)).astype(np.uint8)
-    return {
-        **l1,
-        "img": img,
-        "bboxes": np.concatenate([l1["bboxes"], l2["bboxes"]]).astype(np.float32),
-        "cls": np.concatenate([l1["cls"], l2["cls"]]),
-    }
+    return {**l1, "img": img, **_cat_instances(l1, l2)}
 
 
 # ---------------------------------------------------------------------------
 # Format: pad to static label count (TPU-specific; replaces torch collate)
 # ---------------------------------------------------------------------------
 
-def format_sample(labels: Dict, imgsz: int, max_labels: int) -> Dict[str, np.ndarray]:
-    """Finalize one sample: BGR->RGB, normalized xywh labels padded to a
-    fixed count so the device batch is static-shape."""
+def polygons2mask_overlap(segments, shape, downsample: int = 4):
+    """Rasterize polygons into ONE overlap-index image + area-sorted order.
+
+    Reference data/utils.py:polygons2masks_overlap: instances sorted by
+    area descending are drawn with value i+1 (later/smaller instances
+    overwrite), and the sort order is returned so boxes/cls can be
+    reordered to match the index values.
+    """
+    h, w = shape[0] // downsample, shape[1] // downsample
+    mask = np.zeros((h, w), np.uint8 if len(segments) < 255 else np.int32)
+    areas = []
+    polys = []
+    for seg in segments:
+        p = np.asarray(seg, np.float64) / downsample
+        polys.append(p.astype(np.int32))
+        areas.append(cv2.contourArea(p.astype(np.float32)) if len(p) >= 3 else 0.0)
+    order = np.argsort(-np.asarray(areas)) if areas else np.zeros(0, np.int64)
+    for new_i, src_i in enumerate(order):
+        cv2.fillPoly(mask, [polys[src_i]], color=int(new_i + 1))
+    return mask.astype(np.int32), order
+
+
+def xyxyxyxy2xywhr(corners: np.ndarray) -> np.ndarray:
+    """(N, 4, 2) corner points -> (N, 5) xywhr via minAreaRect (reference
+    ops.py:xyxyxyxy2xywhr; angle normalized to [0, pi/2))."""
+    out = np.zeros((len(corners), 5), np.float32)
+    for i, pts in enumerate(corners):
+        (cx, cy), (rw, rh), angle = cv2.minAreaRect(pts.astype(np.float32))
+        out[i] = cx, cy, rw, rh, angle / 180 * np.pi
+    return out
+
+
+def format_sample(
+    labels: Dict,
+    imgsz: int,
+    max_labels: int,
+    task: str = "detect",
+    kpt_shape=(17, 3),
+    mask_ratio: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Finalize one sample: BGR->RGB, normalized labels padded to a fixed
+    count so the device batch is static-shape. Task extras (reference
+    augment.py:Format):
+
+    - segment: 'masks' (H/r, W/r) int32 overlap-index image; instances
+      reordered by area desc to match the mask values;
+    - pose: 'keypoints' (max_labels, nk, 3) normalized xy + visibility;
+    - obb: 'bboxes' becomes (max_labels, 5) normalized xywh + angle rad.
+    """
     img = labels["img"]
     h, w = img.shape[:2]
     bboxes, cls = labels["bboxes"], labels["cls"]
+    out: Dict[str, np.ndarray] = {}
+
+    if task == "segment":
+        segs = labels.get("segments") or []
+        masks, order = polygons2mask_overlap(segs, (h, w), mask_ratio)
+        out["masks"] = masks
+        if len(order):
+            bboxes, cls = bboxes[order], cls[order]
+    if task == "obb" and labels.get("obb") is not None and len(labels["obb"]):
+        rb = xyxyxyxy2xywhr(labels["obb"])
+        bboxes = rb  # replaces xyxy below
+
     n = min(len(bboxes), max_labels)
-    out_boxes = np.zeros((max_labels, 4), np.float32)
+    nd = 5 if task == "obb" else 4
+    out_boxes = np.zeros((max_labels, nd), np.float32)
     out_cls = np.zeros((max_labels,), np.int32)
     mask = np.zeros((max_labels,), bool)
     if n:
         b = bboxes[:n]
-        xywh = np.stack(
-            [
-                (b[:, 0] + b[:, 2]) / 2 / w,
-                (b[:, 1] + b[:, 3]) / 2 / h,
-                (b[:, 2] - b[:, 0]) / w,
-                (b[:, 3] - b[:, 1]) / h,
-            ],
-            axis=1,
-        )
-        out_boxes[:n] = xywh
+        if task == "obb":
+            norm = np.asarray([w, h, w, h, 1.0], np.float32)
+            out_boxes[:n] = b / norm
+        else:
+            out_boxes[:n] = np.stack(
+                [
+                    (b[:, 0] + b[:, 2]) / 2 / w,
+                    (b[:, 1] + b[:, 3]) / 2 / h,
+                    (b[:, 2] - b[:, 0]) / w,
+                    (b[:, 3] - b[:, 1]) / h,
+                ],
+                axis=1,
+            )
         out_cls[:n] = cls[:n].astype(np.int32)
         mask[:n] = True
-    return {
-        "img": np.ascontiguousarray(img[..., ::-1]),  # BGR -> RGB, HWC uint8
-        "bboxes": out_boxes,
-        "cls": out_cls,
-        "mask": mask,
-    }
+    if task == "pose":
+        nk, ndim = kpt_shape
+        kp_out = np.zeros((max_labels, nk, ndim), np.float32)
+        kp = labels.get("keypoints")
+        if kp is not None and n:
+            kp = kp[:n].astype(np.float32).copy()
+            kp[..., 0] /= w
+            kp[..., 1] /= h
+            kp_out[:n] = kp[..., :ndim]
+        out["keypoints"] = kp_out
+    out.update(
+        {
+            "img": np.ascontiguousarray(img[..., ::-1]),  # BGR -> RGB, HWC uint8
+            "bboxes": out_boxes,
+            "cls": out_cls,
+            "mask": mask,
+        }
+    )
+    return out

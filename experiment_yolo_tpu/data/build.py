@@ -136,8 +136,9 @@ class DataLoader:
             stop.set()
 
 
-def build_yolo_dataset(cfg, img_path, mode: str = "train") -> YOLODataset:
-    """Dataset factory (reference data/build.py:85)."""
+def build_yolo_dataset(cfg, img_path, mode: str = "train", data: dict | None = None) -> YOLODataset:
+    """Dataset factory (reference data/build.py:85). ``data`` is the resolved
+    dataset-yaml dict (supplies kpt_shape/flip_idx for pose)."""
     return YOLODataset(
         img_path=img_path,
         imgsz=cfg.imgsz,
@@ -146,6 +147,9 @@ def build_yolo_dataset(cfg, img_path, mode: str = "train") -> YOLODataset:
         max_labels=getattr(cfg, "max_labels", 128),
         fraction=getattr(cfg, "fraction", 1.0) if mode == "train" else 1.0,
         single_cls=getattr(cfg, "single_cls", False),
+        task=getattr(cfg, "task", "detect") or "detect",
+        kpt_shape=(data or {}).get("kpt_shape", (17, 3)),
+        flip_idx=(data or {}).get("flip_idx"),
     )
 
 

@@ -39,6 +39,9 @@ def check_det_dataset(data: str | Path | dict) -> dict:
         names = dict(enumerate(names))
     out["names"] = names or {}
     out["nc"] = d.get("nc", len(out["names"]))
+    for k in ("kpt_shape", "flip_idx"):  # pose dataset extras
+        if k in d:
+            out[k] = d[k]
     return out
 
 
@@ -60,6 +63,9 @@ class YOLODataset:
         max_labels: int = 128,
         fraction: float = 1.0,
         single_cls: bool = False,
+        task: str = "detect",
+        kpt_shape=(17, 3),
+        flip_idx=None,
     ):
         self.img_path = Path(img_path)
         self.imgsz = imgsz
@@ -67,6 +73,9 @@ class YOLODataset:
         self.hyp = hyp
         self.max_labels = max_labels
         self.single_cls = single_cls
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape)
+        self.flip_idx = flip_idx
         self.im_files = self._scan_images(fraction)
         self.labels = [self._load_label(f) for f in self.im_files]
         self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
@@ -91,18 +100,57 @@ class YOLODataset:
         return files
 
     def _load_label(self, img_file: str) -> Dict:
+        """Parse one YOLO txt label file by task (reference data/utils.py
+        verify_image_label formats):
+
+        - detect: ``cls cx cy w h`` normalized;
+        - segment: ``cls x1 y1 x2 y2 ...`` normalized polygon (bbox = hull);
+        - pose: ``cls cx cy w h  kx ky [kv] * nk`` normalized;
+        - obb: ``cls x1 y1 ... x4 y4`` normalized corner points.
+        """
         lp = img2label_path(img_file)
         cls, boxes = [], []
+        segments, keypoints, corners = [], [], []
+        nk, ndim = self.kpt_shape
         if os.path.isfile(lp):
             for ln in Path(lp).read_text().splitlines():
                 parts = ln.split()
-                if len(parts) >= 5:
-                    cls.append(0.0 if self.single_cls else float(parts[0]))
-                    boxes.append([float(x) for x in parts[1:5]])
-        return {
+                if len(parts) < 5:
+                    continue
+                c = 0.0 if self.single_cls else float(parts[0])
+                vals = np.asarray([float(x) for x in parts[1:]], np.float32)
+                if self.task == "segment":
+                    pts = vals.reshape(-1, 2)
+                    segments.append(pts)
+                    lo, hi = pts.min(0), pts.max(0)
+                    boxes.append([(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]])
+                elif self.task == "obb" and len(vals) == 8:
+                    pts = vals.reshape(4, 2)
+                    corners.append(pts)
+                    lo, hi = pts.min(0), pts.max(0)
+                    boxes.append([(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]])
+                elif self.task == "pose":
+                    boxes.append(vals[:4].tolist())
+                    kp = vals[4 : 4 + nk * ndim].reshape(nk, ndim)
+                    if ndim == 2:  # synthesize full visibility
+                        kp = np.concatenate([kp, np.ones((nk, 1), np.float32)], -1)
+                    keypoints.append(kp)
+                else:
+                    boxes.append(vals[:4].tolist())
+                cls.append(c)
+        out = {
             "cls": np.asarray(cls, np.float32),
             "bboxes_n": np.asarray(boxes, np.float32).reshape(-1, 4),  # normalized xywh
         }
+        if self.task == "segment":
+            out["segments_n"] = segments
+        elif self.task == "pose":
+            out["keypoints_n"] = (
+                np.stack(keypoints) if keypoints else np.zeros((0, nk, 3), np.float32)
+            )
+        elif self.task == "obb":
+            out["obb_n"] = np.stack(corners) if corners else np.zeros((0, 4, 2), np.float32)
+        return out
 
     def __len__(self) -> int:
         return len(self.im_files)
@@ -141,7 +189,17 @@ class YOLODataset:
             ).astype(np.float32)
         else:
             xyxy = np.zeros((0, 4), np.float32)
-        return {"img": img, "bboxes": xyxy, "cls": lab["cls"].copy(), "im_file": self.im_files[i], "ori_shape": (h, w)}
+        out = {"img": img, "bboxes": xyxy, "cls": lab["cls"].copy(), "im_file": self.im_files[i], "ori_shape": (h, w)}
+        wh = np.asarray([w, h], np.float32)
+        if self.task == "segment":
+            out["segments"] = [p * wh for p in lab["segments_n"]]
+        elif self.task == "pose":
+            kp = lab["keypoints_n"].copy()
+            kp[..., :2] *= wh
+            out["keypoints"] = kp
+        elif self.task == "obb":
+            out["obb"] = lab["obb_n"] * wh
+        return out
 
     def get_sample(self, i: int, rng: np.random.Generator, mosaic: Optional[bool] = None) -> Dict[str, np.ndarray]:
         """One augmented, formatted sample (static shapes)."""
@@ -185,8 +243,10 @@ class YOLODataset:
                 rng,
             )
             lab = A.random_flip(lab, "vertical", getattr(hyp, "flipud", 0.0), rng)
-            lab = A.random_flip(lab, "horizontal", getattr(hyp, "fliplr", 0.5), rng)
-        return A.format_sample(lab, self.imgsz, self.max_labels)
+            lab = A.random_flip(
+                lab, "horizontal", getattr(hyp, "fliplr", 0.5), rng, flip_idx=self.flip_idx
+            )
+        return A.format_sample(lab, self.imgsz, self.max_labels, task=self.task, kpt_shape=self.kpt_shape)
 
     def get_val_sample(self, i: int, shape=None) -> Dict[str, np.ndarray]:
         """Deterministic letterboxed sample + original-space metadata.
@@ -194,7 +254,7 @@ class YOLODataset:
         `shape` (h, w) overrides the square imgsz (rect batching)."""
         item = self._load_item(i)
         lab = A.letterbox_labels(item, shape or self.imgsz, scaleup=True)
-        out = A.format_sample(lab, self.imgsz, self.max_labels)
+        out = A.format_sample(lab, self.imgsz, self.max_labels, task=self.task, kpt_shape=self.kpt_shape)
         out["ori_shape"] = np.asarray(item["ori_shape"], np.int32)
         out["ratio_pad"] = np.asarray([lab["ratio_pad"][0], *lab["ratio_pad"][1]], np.float32)
         return out

@@ -40,7 +40,10 @@ def save_checkpoint(
     ckptr.save(path / "state", jax.tree.map(jnp.asarray, state), force=True)
     ckptr.wait_until_finished()
     model_yaml = {k: v for k, v in model.yaml.items() if k != "yaml_file"}
-    yaml_save(path / "meta.yaml", {"model_yaml": model_yaml, "nc": model.nc, **(meta or {})})
+    yaml_save(
+        path / "meta.yaml",
+        {"model_yaml": model_yaml, "nc": model.nc, "task": getattr(model, "task", "detect"), **(meta or {})},
+    )
 
 
 def load_checkpoint(path: str | Path, dtype=jnp.float32, prefer_ema: bool = True) -> Tuple[Any, Dict]:
@@ -49,11 +52,12 @@ def load_checkpoint(path: str | Path, dtype=jnp.float32, prefer_ema: bool = True
     Prefers EMA weights for inference (the reference validates/exports the
     EMA model — trainer.py:909).
     """
-    from experiment_yolo_tpu.nn.tasks import DetectionModel
+    from experiment_yolo_tpu.nn.tasks import DetectionModel, TASK_MODELS
 
     path = Path(path).resolve()
     meta = yaml_load(path / "meta.yaml")
-    model = DetectionModel(meta["model_yaml"], dtype=dtype)
+    cls = TASK_MODELS.get(meta.get("task", "detect"), DetectionModel)
+    model = cls(meta["model_yaml"], dtype=dtype)
     ckptr = ocp.StandardCheckpointer()
     state = ckptr.restore(path / "state")
     variables = state.get("ema_variables") if prefer_ema and state.get("ema_variables") is not None else state["variables"]

@@ -27,11 +27,14 @@ class YOLO:
         results = model.predict('image.jpg')
     """
 
-    def __init__(self, model: str | Path = "yolov8n.yaml", nc: Optional[int] = None, dtype=jnp.float32, seed: int = 0):
+    def __init__(self, model: str | Path = "yolov8n.yaml", nc: Optional[int] = None, dtype=jnp.float32, seed: int = 0, task: Optional[str] = None):
         model = str(model)
         self.ckpt_path: Optional[str] = None
         if model.endswith((".yaml", ".yml")):
-            self.model = DetectionModel(model, nc=nc, dtype=dtype)
+            from experiment_yolo_tpu.nn.tasks import TASK_MODELS, guess_model_task
+
+            task = task or guess_model_task(model)
+            self.model = TASK_MODELS.get(task, DetectionModel)(model, nc=nc, dtype=dtype)
             self.variables = self.model.init(jax.random.PRNGKey(seed))
         elif model.endswith(".ckpt") or Path(model).is_dir():
             from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
@@ -64,38 +67,52 @@ class YOLO:
         self.trainer = DetectionTrainer(model=self.model, variables=self.variables, overrides={**self.overrides, **kwargs})
         results = self.trainer.train()
         self.variables = self.trainer.best_variables or self.trainer.variables
+        if getattr(self.trainer, "_rebuilt_model", False):  # e.g. dataset kpt_shape
+            self.model = self.trainer.model
         return results
 
     def val(self, **kwargs):
         from experiment_yolo_tpu.engine.validator import DetectionValidator
 
-        validator = DetectionValidator(args={**self.overrides, **kwargs})
+        task = getattr(self.model, "task", "detect")
+        if task in ("segment", "pose", "obb"):
+            from experiment_yolo_tpu.engine.validators_extra import TASK_VALIDATORS
+
+            val_cls = TASK_VALIDATORS[task]
+        else:
+            val_cls = DetectionValidator
+        validator = val_cls(args={**self.overrides, **kwargs})
         return validator(model=self.model, variables=self.variables)
 
-    def predict(self, source, **kwargs):
+    def predict(self, source, stream: bool = False, **kwargs):
         from experiment_yolo_tpu.engine.predictor import DetectionPredictor
 
         if self.predictor is None:
             self.predictor = DetectionPredictor(self.model, self.variables, overrides={**self.overrides, **kwargs})
-        return self.predictor(source)
+        return self.predictor(source, stream=stream)
 
-    def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs):
+    def track(self, source, tracker: str = "bytetrack", persist: bool = False, stream: bool = False, **kwargs):
         """Predict + multi-object tracking over an ordered frame sequence.
 
         Counterpart of the reference's Model.track (engine/model.py:411 +
-        trackers/track.py). Returns Results with a (N, 7) boxes array
-        [x1, y1, x2, y2, track_id, conf, cls] per frame.
+        trackers/track.py). Accepts video files and live streams (frames
+        arrive in order through the streaming predictor). Returns Results
+        with a (N, 7) boxes array [x1, y1, x2, y2, track_id, conf, cls]
+        per frame; ``stream=True`` returns a lazy generator instead.
         """
+        if not persist or getattr(self, "_tracker", None) is None:
+            from experiment_yolo_tpu.trackers import TRACKER_MAP
+
+            self._tracker = TRACKER_MAP[tracker]()
+        gen = self._track_stream(source, tracker, **kwargs)
+        return gen if stream else list(gen)
+
+    def _track_stream(self, source, tracker: str, **kwargs):
         import numpy as np
 
         from experiment_yolo_tpu.engine.results import Results
-        from experiment_yolo_tpu.trackers import TRACKER_MAP
 
-        if not persist or getattr(self, "_tracker", None) is None:
-            self._tracker = TRACKER_MAP[tracker]()
-        results = self.predict(source, **kwargs)
-        tracked = []
-        for r in results:
+        for r in self.predict(source, stream=True, **kwargs):
             xywh = r.boxes.xywh
             out = (
                 self._tracker.update(xywh, r.boxes.conf, r.boxes.cls, frame=r.orig_img)
@@ -106,8 +123,7 @@ class YOLO:
             boxes6 = out[:, [0, 1, 2, 3, 5, 6]] if len(out) else np.zeros((0, 6), np.float32)
             res = Results(r.orig_img, r.path, r.names, boxes6, speed=r.speed)
             res.track_ids = out[:, 4].astype(int) if len(out) else np.zeros((0,), int)
-            tracked.append(res)
-        return tracked
+            yield res
 
     def benchmark(self, **kwargs):
         from experiment_yolo_tpu.utils.benchmarks import benchmark_model

@@ -13,14 +13,12 @@ import time
 from pathlib import Path
 from typing import Dict, Iterable, List, Optional, Union
 
-import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from experiment_yolo_tpu.cfg import get_cfg
 from experiment_yolo_tpu.data.augment import letterbox
-from experiment_yolo_tpu.data.dataset import IMG_FORMATS
 from experiment_yolo_tpu.engine.results import Results
 from experiment_yolo_tpu.ops import non_max_suppression
 from experiment_yolo_tpu.utils import LOGGER
@@ -28,27 +26,29 @@ from experiment_yolo_tpu.utils import LOGGER
 Source = Union[str, Path, np.ndarray, List]
 
 
-def load_source(source: Source) -> List[tuple]:
-    """Resolve a source to [(path, BGR image), ...] (reference data/loaders.py)."""
-    if isinstance(source, (list, tuple)):
-        out = []
-        for s in source:
-            out.extend(load_source(s))
-        return out
-    if isinstance(source, np.ndarray):
-        return [("array", source)]
-    p = Path(source)
-    if p.is_dir():
-        files = sorted(f for f in p.rglob("*") if f.suffix.lstrip(".").lower() in IMG_FORMATS)
-        if not files:
-            raise FileNotFoundError(f"no images in {p}")
-        return [(str(f), cv2.imread(str(f))) for f in files]
-    if p.is_file():
-        img = cv2.imread(str(p))
-        if img is None:
-            raise ValueError(f"could not read image {p}")
-        return [(str(p), img)]
-    raise FileNotFoundError(f"source {source} not found")
+def load_source(source: Source, vid_stride: int = 1):
+    """Resolve a source into a frame iterator of (label, BGR image) pairs.
+
+    Images, directories, video files (frame-by-frame), and live streams
+    (webcam index / RTSP / *.streams) all flow through here — the rebuild
+    of the reference's load_inference_source (data/build.py:153) over
+    data/loaders.py.
+    """
+    from experiment_yolo_tpu.data import loaders
+
+    if loaders.is_stream_source(source):
+        streams = loaders.LoadStreams(source, vid_stride=vid_stride)
+
+        def gen():
+            try:
+                for tick in streams:
+                    for label, frame, _meta in tick:
+                        yield label, frame
+            finally:
+                streams.close()
+
+        return gen()
+    return ((label, frame) for label, frame, _meta in loaders.iter_images_and_videos(source, vid_stride))
 
 
 class DetectionPredictor:
@@ -87,29 +87,49 @@ class DetectionPredictor:
             batch_np = np.concatenate([batch_np, np.zeros((n_pad, *batch_np.shape[1:]), batch_np.dtype)])
         return pre, batch_np
 
-    def __call__(self, source: Source) -> List[Results]:
-        items = load_source(source)
+    def __call__(self, source: Source, stream: bool = False):
+        """Run inference. Returns a list of Results, or a lazy generator with
+        ``stream=True`` (reference stream_inference, predictor.py:243) —
+        required for unbounded sources (live streams, long videos)."""
+        gen = self.stream_inference(source)
+        return gen if stream else list(gen)
+
+    def stream_inference(self, source: Source):
+        frames = load_source(source, vid_stride=int(getattr(self.args, "vid_stride", 1) or 1))
         names = self.model.names
-        results: List[Results] = []
         bs = self.batch
-        chunks = [items[s : s + bs] for s in range(0, len(items), bs)]
+
+        def chunks():
+            chunk = []
+            for item in frames:
+                chunk.append(item)
+                if len(chunk) == bs:
+                    yield chunk
+                    chunk = []
+            if chunk:
+                yield chunk
+
         # software pipeline: device inference for chunk i runs while the host
         # letterboxes chunk i+1 (JAX dispatch is async; device_get happens at
         # consume time) — the reference's dataloader-worker overlap, inline
         pending = []  # (chunk, pre, async device result, t0, t1)
-        for ci, chunk in enumerate(chunks + [None]):
-            if chunk is not None:
-                t0 = time.time()
-                pre, batch_np = self._preprocess_chunk(chunk)
-                t1 = time.time()
-                fut = self._infer(self.variables, jnp.asarray(batch_np))
-                pending.append((chunk, pre, fut, t0, t1))
-            if chunk is None or len(pending) > 1:
-                chunk_i, pre, fut, t0, t1 = pending.pop(0)
-                det, counts = jax.device_get(fut)
-                t2 = time.time()
-                results.extend(self._postprocess(chunk_i, pre, det, counts, names, t0, t1, t2))
-        return results
+
+        def flush():
+            chunk_i, pre, fut, t0, t1 = pending.pop(0)
+            det, counts = jax.device_get(fut)
+            t2 = time.time()
+            return self._postprocess(chunk_i, pre, det, counts, names, t0, t1, t2)
+
+        for chunk in chunks():
+            t0 = time.time()
+            pre, batch_np = self._preprocess_chunk(chunk)
+            t1 = time.time()
+            fut = self._infer(self.variables, jnp.asarray(batch_np))
+            pending.append((chunk, pre, fut, t0, t1))
+            if len(pending) > 1:
+                yield from flush()
+        while pending:
+            yield from flush()
 
     def _postprocess(self, chunk, pre, det, counts, names, t0, t1, t2):
         results = []

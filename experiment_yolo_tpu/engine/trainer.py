@@ -75,6 +75,7 @@ class DetectionTrainer:
 
     def __init__(self, model, variables, overrides: Optional[Dict] = None):
         self.args = get_cfg(overrides=overrides or {})
+        self.args.task = getattr(model, "task", "detect")
         self.model = model
         self.variables = variables
         self.callbacks = Callbacks()
@@ -86,9 +87,7 @@ class DetectionTrainer:
             # rebuild the graph with bf16 compute (params stay fp32 and are
             # name/shape-identical, so the caller's variables plug in) —
             # flax modules pin their compute dtype at construction
-            from experiment_yolo_tpu.nn.tasks import DetectionModel
-
-            self.model = DetectionModel(
+            self.model = type(model)(
                 {k: v for k, v in model.yaml.items() if k != "yaml_file"}, dtype=jnp.bfloat16
             )
             self.model.names = model.names
@@ -110,9 +109,20 @@ class DetectionTrainer:
                 f"dataset nc={data['nc']} but model nc={self.model.nc} — build the model with nc={data['nc']}"
             )
         self.data = data
+        if self.args.task == "pose":
+            # model kpt_shape follows the DATASET (reference PoseTrainer
+            # builds PoseModel with data_kpt_shape and re-inits the head)
+            dk = tuple(data.get("kpt_shape", self.model.kpt_shape))
+            if dk != tuple(self.model.kpt_shape):
+                LOGGER.info(f"rebuilding pose head: model kpt_shape {self.model.kpt_shape} -> dataset {dk}")
+                yaml_cfg = {k: v for k, v in self.model.yaml.items() if k != "yaml_file"}
+                yaml_cfg["kpt_shape"] = list(dk)
+                self.model = type(self.model)(yaml_cfg, dtype=self.dtype)
+                self.variables = self.model.init(jax.random.PRNGKey(args.seed))
+                self._rebuilt_model = True
         self.model.names = data["names"]
 
-        train_set = build_yolo_dataset(args, data["train"], mode="train")
+        train_set = build_yolo_dataset(args, data["train"], mode="train", data=data)
         self.train_loader = DataLoader(
             train_set, args.batch, shuffle=True, workers=args.workers, seed=args.seed
         )
@@ -157,6 +167,9 @@ class DetectionTrainer:
             wiou_ltype=args.wiou_ltype,
             nwd=args.nwd,
             iou_ratio=args.iou_ratio,
+            iou_type=getattr(args, "iou_type", "CIoU") or "CIoU",
+            inner_iou=bool(getattr(args, "inner_iou", False)),
+            focaler_iou=bool(getattr(args, "focaler_iou", False)),
         )
 
         # EMA starts as a COPY of params: sharing buffers would alias two
@@ -198,21 +211,24 @@ class DetectionTrainer:
                 self.train_loader.mosaic = False
             self.train_loader.set_epoch(epoch)
             t0 = time.time()
-            mean_loss = np.zeros(3)
+            mean_loss = None
+            loss_keys = None
             ms_rng = np.random.default_rng(args.seed + 10_000 + epoch)
             for i, batch in enumerate(self.train_loader):
                 if args.multi_scale:
                     batch = self._rescale_batch(batch, ms_rng)
                 batch = meshlib.shard_batch(batch, self.mesh)
                 state, comps = train_step(state, batch)
-                mean_loss = (mean_loss * i + np.asarray([float(comps["box"]), float(comps["cls"]), float(comps["dfl"])])) / (i + 1)
+                if loss_keys is None:
+                    loss_keys = sorted(comps)
+                    mean_loss = np.zeros(len(loss_keys))
+                vals = np.asarray([float(comps[k]) for k in loss_keys])
+                mean_loss = (mean_loss * i + vals) / (i + 1)
             dt = time.time() - t0
             imgs_s = len(self.train_loader) * args.batch / dt
-            LOGGER.info(
-                f"epoch {epoch + 1}/{args.epochs}  box {mean_loss[0]:.4f}  cls {mean_loss[1]:.4f}  "
-                f"dfl {mean_loss[2]:.4f}  {imgs_s:.1f} img/s"
-            )
-            self.loss_items = dict(zip(("box", "cls", "dfl"), mean_loss))
+            loss_str = "  ".join(f"{k} {v:.4f}" for k, v in zip(loss_keys, mean_loss))
+            LOGGER.info(f"epoch {epoch + 1}/{args.epochs}  {loss_str}  {imgs_s:.1f} img/s")
+            self.loss_items = dict(zip(loss_keys, mean_loss))
 
             fitness = None
             if args.val:
@@ -253,14 +269,14 @@ class DetectionTrainer:
 
         x = jax.random.uniform(jax.random.PRNGKey(0), (1, 64, 64, 3))
         try:
-            from experiment_yolo_tpu.nn.tasks import DetectionModel
-
-            m32 = DetectionModel({k: v for k, v in self.model.yaml.items() if k != "yaml_file"}, dtype=jnp.float32)
+            m32 = type(self.model)({k: v for k, v in self.model.yaml.items() if k != "yaml_file"}, dtype=jnp.float32)
             f32 = m32.apply(self.variables, x)
             f16 = self.model.apply(self.variables, x) if self.dtype == jnp.bfloat16 else f32
+            f32_leaves = jax.tree.leaves(f32)
+            f16_leaves = jax.tree.leaves(f16)
             rel = max(
                 float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max() / (jnp.abs(b).max() + 1e-6))
-                for a, b in zip(f16, f32)
+                for a, b in zip(f16_leaves, f32_leaves)
             )
             if rel > 0.5:
                 LOGGER.info(f"AMP check failed (rel err {rel:.3f}) — disabling bf16 compute")
@@ -300,6 +316,9 @@ class DetectionTrainer:
         use_ema = self.args.ema
 
         is_rtdetr = model.head_type == "RTDETRDecoder"
+        task = getattr(model, "task", "detect")
+        pose_gain, kobj_gain = float(self.args.pose), float(self.args.kobj)
+        kpt_shape = getattr(model, "kpt_shape", (17, 3))
 
         def step_fn(state: TrainState, batch):
             imgs = batch["img"].astype(dtype) / 255.0
@@ -318,6 +337,32 @@ class DetectionTrainer:
                     out = jax.tree.map(lambda f: f.astype(jnp.float32), out)
                     total, c = rtdetr_loss(out, tb, model.nc)
                     comps = {"box": c["bbox"] + c["giou"], "cls": c["cls"], "dfl": jnp.asarray(0.0)}
+                    new_iou = state.iou_mean
+                elif task == "segment":
+                    from experiment_yolo_tpu.utils.task_losses import segmentation_loss
+
+                    det, coeffs, protos = out
+                    feats = [f.astype(jnp.float32) for f in det]
+                    total, comps, new_iou = segmentation_loss(
+                        feats, coeffs, protos, {**tb, "masks": batch["masks"]},
+                        strides, loss_cfg, state.iou_mean,
+                    )
+                elif task == "pose":
+                    from experiment_yolo_tpu.utils.task_losses import pose_loss
+
+                    det, kmaps = out
+                    feats = [f.astype(jnp.float32) for f in det]
+                    total, comps, new_iou = pose_loss(
+                        feats, kmaps, {**tb, "keypoints": batch["keypoints"]},
+                        strides, loss_cfg, state.iou_mean,
+                        kpt_shape=kpt_shape, pose_gain=pose_gain, kobj_gain=kobj_gain,
+                    )
+                elif task == "obb":
+                    from experiment_yolo_tpu.utils.task_losses import obb_loss
+
+                    det, amaps = out
+                    feats = [f.astype(jnp.float32) for f in det]
+                    total, comps = obb_loss(feats, amaps, tb, strides, loss_cfg)
                     new_iou = state.iou_mean
                 else:
                     feats = [f.astype(jnp.float32) for f in out]
@@ -352,8 +397,15 @@ class DetectionTrainer:
     def _validate(self, state: TrainState) -> Optional[float]:
         from experiment_yolo_tpu.engine.validator import DetectionValidator
 
+        task = getattr(self.model, "task", "detect")
+        if task in ("segment", "pose", "obb"):
+            from experiment_yolo_tpu.engine.validators_extra import TASK_VALIDATORS
+
+            val_cls = TASK_VALIDATORS[task]
+        else:
+            val_cls = DetectionValidator
         ema_vars = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
-        validator = DetectionValidator(
+        validator = val_cls(
             args={
                 "data": self.args.data,
                 "imgsz": self.args.imgsz,

@@ -392,6 +392,8 @@ class DetectionModel:
     run; Detect class/box bias priors are written into the init params.
     """
 
+    task = "detect"
+
     def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None, dtype=jnp.float32, verbose: bool = False):
         self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
         if nc and nc != self.yaml.get("nc"):

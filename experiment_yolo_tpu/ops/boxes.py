@@ -81,6 +81,22 @@ def box_iou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndar
     return inter / (area1 + area2 - inter + eps)
 
 
+def get_inner_iou(box1: jnp.ndarray, box2: jnp.ndarray, xywh: bool = True, ratio: float = 0.7, eps: float = 1e-7) -> jnp.ndarray:
+    """Inner-IoU: IoU of ratio-shrunk boxes (reference metrics.py:189,
+    arXiv:2311.02877). Returns (..., 1)."""
+    if not xywh:
+        box1, box2 = xyxy2xywh(box1), xyxy2xywh(box2)
+    (x1, y1, w1, h1) = jnp.split(box1, 4, -1)
+    (x2, y2, w2, h2) = jnp.split(box2, 4, -1)
+    b1_x1, b1_x2, b1_y1, b1_y2 = x1 - w1 * ratio / 2, x1 + w1 * ratio / 2, y1 - h1 * ratio / 2, y1 + h1 * ratio / 2
+    b2_x1, b2_x2, b2_y1, b2_y2 = x2 - w2 * ratio / 2, x2 + w2 * ratio / 2, y2 - h2 * ratio / 2, y2 + h2 * ratio / 2
+    inter = jnp.clip(jnp.minimum(b1_x2, b2_x2) - jnp.maximum(b1_x1, b2_x1), 0, None) * jnp.clip(
+        jnp.minimum(b1_y2, b2_y2) - jnp.maximum(b1_y1, b2_y1), 0, None
+    )
+    union = w1 * h1 * ratio * ratio + w2 * h2 * ratio * ratio - inter + eps
+    return inter / union
+
+
 def bbox_iou(
     box1: jnp.ndarray,
     box2: jnp.ndarray,
@@ -90,9 +106,24 @@ def bbox_iou(
     CIoU: bool = False,
     EIoU: bool = False,
     SIoU: bool = False,
+    ShapeIoU: bool = False,
+    PIoU: bool = False,
+    PIoU2: bool = False,
+    MPDIoU: bool = False,
+    inner: bool = False,
+    focaler: bool = False,
+    ratio: float = 0.7,
+    d: float = 0.0,
+    u: float = 0.95,
+    scale: float = 0.0,
+    Lambda: float = 1.3,
+    mpdiou_hw=None,
     eps: float = 1e-7,
 ) -> jnp.ndarray:
-    """Elementwise IoU (optionally Generalized/Distance/Complete/Efficient/SCYLLA).
+    """Elementwise IoU with the full reference variant zoo
+    (metrics.py:75-539): G/D/C/E/S/Shape/P/P2/MPD IoU, each composable with
+    the Inner (ratio-shrunk boxes, bbox_inner_iou) and Focaler
+    (interval-remapped iou, bbox_focaler_iou) transforms.
 
     box1, box2: broadcastable (..., 4). Returns (..., 1) like the reference
     (metrics.py:181 keeps a trailing dim via chunk(4, -1)).
@@ -113,8 +144,23 @@ def bbox_iou(
     )
     union = w1 * h1 + w2 * h2 - inter + eps
     iou = inter / union
+    iou_for_alpha = iou  # the inner variant's CIoU alpha keeps the PLAIN iou
+    if inner:  # Inner-IoU replaces the base term (bbox_inner_iou)
+        iou = get_inner_iou(box1, box2, xywh=xywh, ratio=ratio, eps=eps)
+    elif focaler:  # Focaler-IoU remaps the base term (bbox_focaler_iou);
+        # the remap happens BEFORE the penalties, so alpha sees it too
+        iou = jnp.clip((iou - d) / (u - d), 0.0, 1.0)
+        iou_for_alpha = iou
 
-    if not (GIoU or DIoU or CIoU or EIoU or SIoU):
+    if MPDIoU:
+        # minimum-point-distance IoU (metrics.py:446): corner distances
+        # normalized by the image diagonal^2 mpdiou_hw
+        hw = mpdiou_hw if mpdiou_hw is not None else 1.0
+        d1 = (b2_x1 - b1_x1) ** 2 + (b2_y1 - b1_y1) ** 2
+        d2 = (b2_x2 - b1_x2) ** 2 + (b2_y2 - b1_y2) ** 2
+        return iou - d1 / hw - d2 / hw
+
+    if not (GIoU or DIoU or CIoU or EIoU or SIoU or ShapeIoU or PIoU or PIoU2):
         return iou
 
     cw = jnp.maximum(b1_x2, b2_x2) - jnp.minimum(b1_x1, b2_x1)  # convex width
@@ -129,28 +175,54 @@ def bbox_iou(
         return iou - rho2 / c2
     if CIoU:
         v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
-        alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+        alpha = jax.lax.stop_gradient(v / (v - iou_for_alpha + (1 + eps)))
         return iou - (rho2 / c2 + v * alpha)
     if EIoU:
         rho_w2 = (w2 - w1) ** 2
         rho_h2 = (h2 - h1) ** 2
         return iou - (rho2 / c2 + rho_w2 / (cw**2 + eps) + rho_h2 / (ch**2 + eps))
-    # SIoU (SCYLLA-IoU, arXiv:2205.12740; reference metrics.py SIoU branch)
-    s_cw = (b2_x1 + b2_x2 - b1_x1 - b1_x2) * 0.5 + eps
-    s_ch = (b2_y1 + b2_y2 - b1_y1 - b1_y2) * 0.5 + eps
-    sigma = jnp.sqrt(s_cw**2 + s_ch**2) + eps
-    sin_a, sin_b = jnp.abs(s_cw) / sigma, jnp.abs(s_ch) / sigma
-    threshold = math.sqrt(2) / 2
-    sin_best = jnp.where(sin_a > threshold, sin_b, sin_a)
-    angle_cost = jnp.cos(jnp.arcsin(jnp.clip(sin_best, -1 + eps, 1 - eps)) * 2 - math.pi / 2)
-    rho_x = (s_cw / (cw + eps)) ** 2
-    rho_y = (s_ch / (ch + eps)) ** 2
-    gamma = angle_cost - 2
-    distance_cost = 2 - jnp.exp(gamma * rho_x) - jnp.exp(gamma * rho_y)
-    omiga_w = jnp.abs(w1 - w2) / jnp.maximum(w1, w2)
-    omiga_h = jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
-    shape_cost = (1 - jnp.exp(-omiga_w)) ** 4 + (1 - jnp.exp(-omiga_h)) ** 4
-    return iou - 0.5 * (distance_cost + shape_cost)
+    if SIoU:
+        # SIoU (SCYLLA-IoU, arXiv:2205.12740; reference metrics.py SIoU branch)
+        s_cw = (b2_x1 + b2_x2 - b1_x1 - b1_x2) * 0.5 + eps
+        s_ch = (b2_y1 + b2_y2 - b1_y1 - b1_y2) * 0.5 + eps
+        sigma = jnp.sqrt(s_cw**2 + s_ch**2) + eps
+        sin_a, sin_b = jnp.abs(s_cw) / sigma, jnp.abs(s_ch) / sigma
+        threshold = math.sqrt(2) / 2
+        sin_best = jnp.where(sin_a > threshold, sin_b, sin_a)
+        angle_cost = jnp.cos(jnp.arcsin(jnp.clip(sin_best, -1 + eps, 1 - eps)) * 2 - math.pi / 2)
+        rho_x = (s_cw / (cw + eps)) ** 2
+        rho_y = (s_ch / (ch + eps)) ** 2
+        gamma = angle_cost - 2
+        distance_cost = 2 - jnp.exp(gamma * rho_x) - jnp.exp(gamma * rho_y)
+        omiga_w = jnp.abs(w1 - w2) / jnp.maximum(w1, w2)
+        omiga_h = jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
+        shape_cost = (1 - jnp.exp(-omiga_w)) ** 4 + (1 - jnp.exp(-omiga_h)) ** 4
+        return iou - 0.5 * (distance_cost + shape_cost)
+    if ShapeIoU:
+        # Shape-IoU (metrics.py ShapeIoU branch, arXiv:2312.17663):
+        # target-shape-weighted center distance + shape cost
+        ww = 2 * w2**scale / (w2**scale + h2**scale)
+        hh = 2 * h2**scale / (w2**scale + h2**scale)
+        cdx = ((b2_x1 + b2_x2 - b1_x1 - b1_x2) ** 2) / 4
+        cdy = ((b2_y1 + b2_y2 - b1_y1 - b1_y2) ** 2) / 4
+        distance = (hh * cdx + ww * cdy) / c2
+        omiga_w = hh * jnp.abs(w1 - w2) / jnp.maximum(w1, w2)
+        omiga_h = ww * jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
+        shape_cost = (1 - jnp.exp(-omiga_w)) ** 4 + (1 - jnp.exp(-omiga_h)) ** 4
+        return iou - distance - 0.5 * shape_cost
+    # PIoU / PIoU2 (metrics.py PIoU branch, arXiv:2311.07716): corner-distance
+    # penalty P relative to the target size
+    dw1 = jnp.abs(jnp.minimum(b1_x2, b1_x1) - jnp.minimum(b2_x2, b2_x1))
+    dw2 = jnp.abs(jnp.maximum(b1_x2, b1_x1) - jnp.maximum(b2_x2, b2_x1))
+    dh1 = jnp.abs(jnp.minimum(b1_y2, b1_y1) - jnp.minimum(b2_y2, b2_y1))
+    dh2 = jnp.abs(jnp.maximum(b1_y2, b1_y1) - jnp.maximum(b2_y2, b2_y1))
+    P = ((dw1 + dw2) / jnp.abs(w2) + (dh1 + dh2) / jnp.abs(h2)) / 4
+    piou_v1 = 1 - iou - jnp.exp(-(P**2)) + 1
+    if PIoU:
+        return 1 - piou_v1
+    q = jnp.exp(-P)
+    x = q * Lambda
+    return 1 - 3 * x * jnp.exp(-(x**2)) * piou_v1
 
 
 def wasserstein_similarity(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-7, constant: float = 12.8) -> jnp.ndarray:
@@ -186,19 +258,30 @@ def wise_iou_loss(
     iou_mean: jnp.ndarray,
     ltype: str = "WIoU",
     monotonous: bool | None = False,
+    inner: bool = False,
+    focaler: bool = False,
+    ratio: float = 1.0,
+    d: float = 0.0,
+    u: float = 0.95,
+    mpdiou_hw: float = 1.0,
+    scale: float = 0.0,
+    Lambda: float = 1.3,
     eps: float = 1e-7,
 ):
     """Wise-IoU with non-monotonic focusing (WIoU v3, arXiv:2301.10051).
 
-    Functional port of the reference's stateful ``WiseIouLoss`` — the running
-    ``iou_mean`` buffer becomes an explicit input/output so the whole loss is
-    a pure function (the trainer threads it through the train state).
+    Functional port of the reference's stateful ``WiseIouLoss``
+    (metrics.py:567-741, all 11 ltypes) — the running ``iou_mean`` buffer
+    becomes an explicit input/output so the whole loss is a pure function
+    (the trainer threads it through the train state).
 
     Args:
         pred, target: xyxy boxes, shape (..., 4).
         iou_mean: scalar running mean of (1 - IoU) (the reference's buffer).
-        ltype: 'WIoU' | 'IoU' | 'GIoU' | 'DIoU' | 'CIoU' | 'EIoU'.
+        ltype: 'WIoU' | 'IoU' | 'GIoU' | 'DIoU' | 'CIoU' | 'EIoU' | 'SIoU'
+            | 'MPDIoU' | 'ShapeIoU' | 'PIoU' | 'PIoU2'.
         monotonous: None = plain, True = monotonic FM (v2), False = v3.
+        inner / focaler: base-iou transforms (reference forward ratio/d/u).
 
     Returns:
         (loss (...,), new_iou_mean scalar) — loss already focus-scaled.
@@ -216,7 +299,12 @@ def wise_iou_loss(
     l2_box = (wh_box**2).sum(-1)
     d_center = pred_xy - target_xy
     l2_center = (d_center**2).sum(-1)
-    iou_loss = 1.0 - s_inter / (s_union + eps)  # "iou" in the reference's dict
+    if inner:
+        iou_loss = 1.0 - get_inner_iou(pred, target, xywh=False, ratio=ratio, eps=eps)[..., 0]
+    elif focaler:
+        iou_loss = 1.0 - jnp.clip((s_inter / (s_union + eps) - d) / (u - d), 0.0, 1.0)
+    else:
+        iou_loss = 1.0 - s_inter / (s_union + eps)  # "iou" in the reference's dict
 
     if ltype == "WIoU":
         loss = jnp.exp(l2_center / jax.lax.stop_gradient(l2_box + eps)) * iou_loss
@@ -237,6 +325,50 @@ def wise_iou_loss(
     elif ltype == "EIoU":
         penalty = l2_center / (l2_box + eps) + ((d_center / (wh_box + eps)) ** 2).sum(-1)
         loss = iou_loss + penalty
+    elif ltype == "SIoU":
+        # reference _SIoU (theta=4): angle/dist/shape costs
+        angle = jnp.arcsin(
+            jnp.clip(jnp.abs(d_center).min(-1) / (jnp.sqrt(l2_center) + 1e-4), -1 + eps, 1 - eps)
+        )
+        angle = jnp.sin(2 * angle) - 2
+        dist = angle[..., None] * (d_center / (wh_box + eps)) ** 2
+        dist = 2 - jnp.exp(dist[..., 0]) - jnp.exp(dist[..., 1])
+        d_shape = jnp.abs(pred_wh - target_wh)
+        big_shape = jnp.maximum(pred_wh, target_wh)
+        w_shape = 1 - jnp.exp(-d_shape[..., 0] / (big_shape[..., 0] + eps))
+        h_shape = 1 - jnp.exp(-d_shape[..., 1] / (big_shape[..., 1] + eps))
+        loss = iou_loss + (dist + w_shape**4 + h_shape**4) / 2
+    elif ltype == "MPDIoU":
+        d1 = ((target[..., :2] - pred[..., :2]) ** 2).sum(-1)
+        d2 = ((target[..., 2:4] - pred[..., 2:4]) ** 2).sum(-1)
+        loss = iou_loss + d1 / mpdiou_hw + d2 / mpdiou_hw
+    elif ltype == "ShapeIoU":
+        w1, h1 = pred_wh[..., 0], pred_wh[..., 1] + eps
+        w2, h2 = target_wh[..., 0], target_wh[..., 1] + eps
+        ww = 2 * w2**scale / (w2**scale + h2**scale)
+        hh = 2 * h2**scale / (w2**scale + h2**scale)
+        c2 = l2_box + eps
+        center_distance = hh * d_center[..., 0] ** 2 + ww * d_center[..., 1] ** 2
+        distance = center_distance / c2
+        omiga_w = hh * jnp.abs(w1 - w2) / jnp.maximum(w1, w2)
+        omiga_h = ww * jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
+        shape_cost = (1 - jnp.exp(-omiga_w)) ** 4 + (1 - jnp.exp(-omiga_h)) ** 4
+        loss = iou_loss + distance + 0.5 * shape_cost
+    elif ltype in ("PIoU", "PIoU2"):
+        w2 = target_wh[..., 0] + eps
+        h2 = target_wh[..., 1] + eps
+        dw1 = jnp.abs(jnp.minimum(pred[..., 2], pred[..., 0]) - jnp.minimum(target[..., 2], target[..., 0]))
+        dw2 = jnp.abs(jnp.maximum(pred[..., 2], pred[..., 0]) - jnp.maximum(target[..., 2], target[..., 0]))
+        dh1 = jnp.abs(jnp.minimum(pred[..., 3], pred[..., 1]) - jnp.minimum(target[..., 3], target[..., 1]))
+        dh2 = jnp.abs(jnp.maximum(pred[..., 3], pred[..., 1]) - jnp.maximum(target[..., 3], target[..., 1]))
+        P = ((dw1 + dw2) / jnp.abs(w2) + (dh1 + dh2) / jnp.abs(h2)) / 4
+        piou_v1 = iou_loss - jnp.exp(-(P**2)) + 1
+        if ltype == "PIoU":
+            loss = piou_v1
+        else:
+            q = jnp.exp(-P)
+            x = q * Lambda
+            loss = 3 * x * jnp.exp(-(x**2)) * piou_v1
     else:
         raise ValueError(f"unsupported Wise-IoU ltype {ltype!r}")
 

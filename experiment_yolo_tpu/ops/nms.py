@@ -25,25 +25,6 @@ import jax.numpy as jnp
 from experiment_yolo_tpu.ops.boxes import box_iou, xywh2xyxy
 
 
-def _select_candidates_multilabel(boxes, scores, k):
-    """Top-k over the flattened (A*nc) score matrix (multi_label=True path)."""
-    a, nc = scores.shape
-    flat = scores.reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
-    anchor_idx = top_idx // nc
-    cls_idx = (top_idx % nc).astype(jnp.float32)
-    cand_boxes = boxes[anchor_idx]
-    return cand_boxes, top_scores, cls_idx
-
-
-def _select_candidates_best(boxes, scores, k):
-    """Top-k over per-anchor best class (multi_label=False path)."""
-    best_scores = scores.max(-1)
-    best_cls = scores.argmax(-1).astype(jnp.float32)
-    top_scores, top_idx = jax.lax.top_k(best_scores, k)
-    return boxes[top_idx], top_scores, best_cls[top_idx]
-
-
 def _nms_single(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -64,9 +45,17 @@ def _nms_single(
     k = min(pre_nms_topk, a * scores.shape[-1] if multi_label else a)
 
     if multi_label:
-        cand_boxes, cand_scores, cand_cls = _select_candidates_multilabel(boxes, scores, k)
+        a_, nc_ = scores.shape
+        flat = scores.reshape(-1)
+        cand_scores, top_idx = jax.lax.top_k(flat, k)
+        cand_anchor = top_idx // nc_
+        cand_cls = (top_idx % nc_).astype(jnp.float32)
+        cand_boxes = boxes[cand_anchor]
     else:
-        cand_boxes, cand_scores, cand_cls = _select_candidates_best(boxes, scores, k)
+        best_scores = scores.max(-1)
+        best_cls = scores.argmax(-1).astype(jnp.float32)
+        cand_scores, cand_anchor = jax.lax.top_k(best_scores, k)
+        cand_boxes, cand_cls = boxes[cand_anchor], best_cls[cand_anchor]
 
     valid = cand_scores > conf_thres
     # class-offset trick: shift boxes per class so cross-class IoU is ~0
@@ -110,12 +99,13 @@ def _nms_single(
         axis=-1,
     )
     out = jnp.where(det_valid[:, None], out, 0.0)
-    return out, det_valid.sum(dtype=jnp.int32)
+    anchor_idx = jnp.where(det_valid, cand_anchor[out_idx], 0).astype(jnp.int32)
+    return out, det_valid.sum(dtype=jnp.int32), anchor_idx
 
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "max_wh", "in_xywh", "use_pallas"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "max_wh", "in_xywh", "use_pallas", "return_idx"),
 )
 def non_max_suppression(
     boxes: jnp.ndarray,
@@ -129,6 +119,7 @@ def non_max_suppression(
     max_wh: float = 7680.0,
     in_xywh: bool = True,
     use_pallas: bool = False,
+    return_idx: bool = False,
 ):
     """Batched static-shape NMS.
 
@@ -138,7 +129,9 @@ def non_max_suppression(
 
     Returns:
         detections (B, max_det, 6) [x1,y1,x2,y2,conf,cls], zero-padded;
-        counts (B,) int32 number of valid detections per image.
+        counts (B,) int32 number of valid detections per image;
+        [+ anchor indices (B, max_det) int32 when return_idx — used by the
+        seg/pose paths to gather per-anchor mask coeffs / keypoints].
     """
     fn = partial(
         _nms_single,
@@ -152,4 +145,67 @@ def non_max_suppression(
         in_xywh=in_xywh,
         use_pallas=use_pallas,
     )
-    return jax.vmap(fn)(boxes, scores)
+    out, counts, idx = jax.vmap(fn)(boxes, scores)
+    return (out, counts, idx) if return_idx else (out, counts)
+
+
+def _nms_rotated_single(rboxes, scores, conf_thres, iou_thres, max_det, pre_nms_topk, max_wh):
+    """Rotated NMS for one image (reference ops.py:nms_rotated — greedy
+    suppression on the probiou matrix). rboxes (A, 5) xywhr; scores (A, nc)."""
+    from experiment_yolo_tpu.ops.boxes import probiou
+
+    a = rboxes.shape[0]
+    k = min(pre_nms_topk, a)
+    best_scores = scores.max(-1)
+    best_cls = scores.argmax(-1).astype(jnp.float32)
+    cand_scores, cand_anchor = jax.lax.top_k(best_scores, k)
+    cand_boxes, cand_cls = rboxes[cand_anchor], best_cls[cand_anchor]
+    valid = cand_scores > conf_thres
+
+    # class-offset trick on the centers (cross-class probiou ~ 0)
+    off = cand_cls[:, None] * max_wh
+    shifted = jnp.concatenate([cand_boxes[:, :2] + off, cand_boxes[:, 2:]], -1)
+    iou = probiou(shifted[:, None], shifted[None])  # (K, K)
+
+    def body(i, keep):
+        suppress = (iou[i] > iou_thres) & keep[i] & valid[i]
+        suppress = suppress.at[i].set(False)
+        later = jnp.arange(k) > i
+        return keep & ~(suppress & later)
+
+    keep = jax.lax.fori_loop(0, k, body, valid)
+    keep_scores = jnp.where(keep, cand_scores, -1.0)
+    out_scores, out_idx = jax.lax.top_k(keep_scores, min(max_det, k))
+    if k < max_det:
+        pad = max_det - k
+        out_scores = jnp.concatenate([out_scores, jnp.full((pad,), -1.0, out_scores.dtype)])
+        out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+    det_valid = out_scores > conf_thres
+    out = jnp.concatenate(
+        [cand_boxes[out_idx], out_scores[:, None], cand_cls[out_idx][:, None]], -1
+    )  # (max_det, 7): xywhr + conf + cls
+    out = jnp.where(det_valid[:, None], out, 0.0)
+    return out, det_valid.sum(dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "max_wh"))
+def nms_rotated(
+    rboxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    max_wh: float = 7680.0,
+):
+    """Batched rotated-box NMS: (B, A, 5) xywhr + (B, A, nc) ->
+    ((B, max_det, 7) [xywhr, conf, cls], counts)."""
+    fn = partial(
+        _nms_rotated_single,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_nms_topk=pre_nms_topk,
+        max_wh=max_wh,
+    )
+    return jax.vmap(fn)(rboxes, scores)

@@ -40,9 +40,17 @@ class LossConfig:
     tal_alpha: float = 0.5
     tal_beta: float = 6.0
     use_wiseiou: bool = False  # Wise-IoU v3 (DEAL-YOLO paper runs)
-    wiou_ltype: str = "WIoU"
+    wiou_ltype: str = "WIoU"  # any of the 11 reference ltypes (metrics.py:567)
     nwd: bool = False  # NWD blend (DEAL-YOLO paper runs)
     iou_ratio: float = 0.5  # weight of IoU term when nwd=True
+    # plain-IoU variant zoo (reference metrics.py:75-539, exposed as real
+    # config where the reference keeps them as commented-out swaps)
+    iou_type: str = "CIoU"  # IoU|GIoU|DIoU|CIoU|EIoU|SIoU|ShapeIoU|PIoU|PIoU2|MPDIoU
+    inner_iou: bool = False  # Inner-IoU base term (ratio-shrunk boxes)
+    focaler_iou: bool = False  # Focaler-IoU base term (interval remap)
+    inner_ratio: float = 0.7
+    focaler_d: float = 0.0
+    focaler_u: float = 0.95
     # classification loss: the reference's commented-out zoo (loss.py:303-308)
     # exposed as a real option: bce | focal | varifocal | qualityfocal |
     # slide | emaslide
@@ -161,11 +169,25 @@ def detection_loss(
     weight = jnp.where(fg_mask, target_scores.sum(-1), 0.0)  # (B, A)
     if iou_mean is None:
         iou_mean = jnp.asarray(1.0, dtype)
+    # per-anchor image-diagonal^2 in grid units (reference loss.py:444 passes
+    # (H^2+W^2)/stride^2 into the MPDIoU branches)
+    mpdiou_hw = (imgsz_h**2 + imgsz_w**2) / stride_tensor[:, 0] ** 2  # (A,)
     if cfg.use_wiseiou:
-        wiou, new_iou_mean = _masked_wise_iou(pred_bboxes, target_bboxes, fg_mask, iou_mean, cfg.wiou_ltype)
+        wiou, new_iou_mean = _masked_wise_iou(
+            pred_bboxes, target_bboxes, fg_mask, iou_mean, cfg.wiou_ltype,
+            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
+            d=cfg.focaler_d, u=cfg.focaler_u, mpdiou_hw=mpdiou_hw[None],
+        )
         loss_iou = (wiou * weight).sum() / target_scores_sum
     else:
-        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)[..., 0]
+        variant = {} if cfg.iou_type == "IoU" else {cfg.iou_type: True}
+        if cfg.iou_type == "MPDIoU":
+            variant = {"MPDIoU": True, "mpdiou_hw": mpdiou_hw[None, :, None]}
+        iou = bbox_iou(
+            pred_bboxes, target_bboxes, xywh=False,
+            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
+            d=cfg.focaler_d, u=cfg.focaler_u, **variant,
+        )[..., 0]
         loss_iou = (jnp.where(fg_mask, 1.0 - iou, 0.0) * weight).sum() / target_scores_sum
         new_iou_mean = iou_mean
     if cfg.nwd:
@@ -262,11 +284,11 @@ def _cls_loss(cfg, pred_scores, target_scores, target_labels, pred_bboxes, targe
     return loss, new_slide_mean
 
 
-def _masked_wise_iou(pred, target, fg_mask, iou_mean, ltype):
+def _masked_wise_iou(pred, target, fg_mask, iou_mean, ltype, **wise_kwargs):
     """Wise-IoU over all anchors with the running-mean update computed only
     from foreground anchors (the reference computes it over the fg subset)."""
     # loss values for all anchors; focusing uses the global iou_mean state
-    pred_xy_loss, _ = wise_iou_loss(pred, target, iou_mean, ltype=ltype)
+    pred_xy_loss, _ = wise_iou_loss(pred, target, iou_mean, ltype=ltype, **wise_kwargs)
     # recompute the mean update restricted to fg (reference semantics)
     iou_l = _plain_iou_loss(pred, target)
     fg_count = jnp.maximum(fg_mask.sum(), 1)

@@ -77,3 +77,18 @@ def test_atss_via_detection_loss():
     total, comps, _ = detection_loss(_feats_for([8, 8, 28, 28], 2, nc=4), batch, [8], cfg)
     assert bool(jnp.isfinite(total))
     assert float(comps["box"]) < 1.0  # perfect boxes assigned positively
+
+
+@pytest.mark.parametrize("iou_type", ["GIoU", "SIoU", "ShapeIoU", "PIoU", "PIoU2", "MPDIoU"])
+def test_detection_loss_iou_type_plumbing(iou_type):
+    """Each plain-IoU variant flows through detection_loss (finite + grads)."""
+    cfg = LossConfig(nc=4, iou_type=iou_type, inner_iou=iou_type == "SIoU", focaler_iou=iou_type == "GIoU")
+    total, comps, _ = detection_loss(_feats_for([8, 8, 28, 28], 2, nc=4), _batch(), [8], cfg)
+    assert np.isfinite(float(total)) and np.isfinite(float(comps["box"]))
+
+
+@pytest.mark.parametrize("ltype", ["SIoU", "MPDIoU", "ShapeIoU", "PIoU", "PIoU2"])
+def test_detection_loss_wise_ltype_plumbing(ltype):
+    cfg = LossConfig(nc=4, use_wiseiou=True, wiou_ltype=ltype)
+    total, comps, new_mean = detection_loss(_feats_for([8, 8, 28, 28], 2, nc=4), _batch(), [8], cfg, jnp.asarray(1.0))
+    assert np.isfinite(float(total)) and np.isfinite(float(new_mean))
