@@ -64,18 +64,98 @@ def bench_batch(model, variables, batch: int, imgsz: int = 640) -> float:
     return batch * ITERS / dt
 
 
+def bench_train_step(cfg: str = "yolov8-ASF-P2P2.yaml", batch: int = 32, imgsz: int = 640) -> float:
+    """Full train-step throughput (forward + TAL + loss + backward + SGD/EMA
+    update) on the DEAL flagship — counterpart of the reference's per-epoch
+    it/s under train.py. Iterations are scan-chained via the TrainState carry
+    so XLA cannot elide the update chain."""
+    import numpy as np
+
+    from experiment_yolo_tpu.engine.trainer import DetectionTrainer, TrainState
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+    from experiment_yolo_tpu.optim.builders import build_optimizer
+    from experiment_yolo_tpu.utils.loss import LossConfig
+
+    model = DetectionModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    trainer = DetectionTrainer(model=model, variables=variables, overrides={"amp": True, "batch": batch, "imgsz": imgsz})
+    trainer.loss_cfg = LossConfig(nc=model.nc)
+    trainer.tx = build_optimizer(
+        variables["params"], "SGD", 0.01, 0.937, 5e-4, nb=100, epochs=100, lrf=0.01,
+        cos_lr=False, warmup_epochs=3.0, warmup_bias_lr=0.1, warmup_momentum=0.8,
+    )
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=trainer.tx.init(variables["params"]),
+        ema_params=jax.tree.map(jnp.copy, variables["params"]),
+        ema_batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+        iou_mean=jnp.asarray(1.0, jnp.float32),
+        step=jnp.zeros([], jnp.int32),
+        ema_updates=jnp.zeros([], jnp.int32),
+    )
+    rng = np.random.RandomState(0)
+    nl = 16
+    batch_np = {
+        "img": jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)),
+        "bboxes": jnp.asarray(rng.uniform(0.2, 0.6, (batch, nl, 4)).astype(np.float32)),
+        "cls": jnp.asarray(rng.randint(0, model.nc, (batch, nl)), jnp.int32),
+        "mask": jnp.asarray(np.tile(np.arange(nl) < 6, (batch, 1))),
+    }
+    step = trainer._make_train_step()
+    iters = 10
+
+    @jax.jit
+    def run(state, b):
+        def body(s, _):
+            s2, _comps = step(s, b)
+            return s2, None
+
+        s, _ = jax.lax.scan(body, state, None, length=iters)
+        return s.step
+
+    _ = jax.device_get(run(state, batch_np))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(run(state, batch_np))
+        times.append(time.perf_counter() - t0)
+    return batch * iters / min(times)
+
+
+def forward_flops(model, variables, batch: int, imgsz: int = 640) -> float:
+    """XLA's own FLOP count for the jitted forward+decode program."""
+    x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+    fn = jax.jit(lambda v, xx: model.predict(v, xx))
+    try:
+        cost = fn.lower(variables, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def main() -> None:
     from experiment_yolo_tpu.nn.tasks import DetectionModel
 
-    # secondary diagnostic: the DEAL-YOLO flagship's throughput (P2 head,
-    # 34k anchors) at its best batch — stderr only, headline stays yolov8n
+    extras = {}
+    # secondary metrics: the DEAL-YOLO flagship's inference AND full
+    # train-step throughput (P2 head, 34k anchors) — headline stays yolov8n
     try:
         deal = DetectionModel("yolov8-ASF-P2P2.yaml", dtype=jnp.bfloat16)
         dv = deal.init(jax.random.PRNGKey(0))
         v = bench_batch(deal, dv, 128)
-        print(f"deal-yolo ASF-P2P2 batch 128: {v:.1f} img/s", file=sys.stderr)
+        extras["deal_asf_p2p2_infer_img_s"] = round(v, 1)
+        print(f"deal-yolo ASF-P2P2 infer batch 128: {v:.1f} img/s", file=sys.stderr)
     except Exception as e:
-        print(f"deal bench skipped: {type(e).__name__}", file=sys.stderr)
+        print(f"deal infer bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    try:
+        tv = bench_train_step("yolov8-ASF-P2P2.yaml", batch=32)
+        extras["deal_asf_p2p2_train_img_s"] = round(tv, 1)
+        print(f"deal-yolo ASF-P2P2 train batch 32: {tv:.1f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"deal train bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     model = DetectionModel("yolov8n.yaml", nc=80, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0))
@@ -99,6 +179,13 @@ def main() -> None:
         print(f"batch {b}: {v:.1f} img/s", file=sys.stderr)
         if v > best:
             best, best_b = v, b
+    fl = forward_flops(model, variables, best_b)
+    if fl and best_b:
+        tflops = best * (fl / best_b) / 1e12  # achieved TFLOP/s
+        extras["yolov8n_gflop_per_img"] = round(fl / best_b / 1e9, 2)
+        extras["yolov8n_achieved_tflop_s"] = round(tflops, 1)
+        extras["yolov8n_mfu_vs_197tflops"] = round(tflops / 197.0, 3)
+        print(f"mfu: {tflops:.1f} TFLOP/s achieved ({tflops / 197.0:.1%} of 197)", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -106,6 +193,7 @@ def main() -> None:
                 "value": round(best, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best / BASELINE_IMG_S, 3),
+                **extras,
             }
         )
     )

@@ -143,6 +143,51 @@ class DetectEfficient(nn.Module):
         return outs
 
 
+class DetectAux(nn.Module):
+    """Detect with an auxiliary one-to-many training head (reference
+    extra_modules/head.py:235 DetectAux).
+
+    Takes 2*nl feature maps: the main Detect branches read the first nl, the
+    aux cv4/cv5 branches the last nl. Training returns all 2*nl raw maps
+    (``detection_loss`` splits them and applies the looser topk-13 aux
+    assignment at 0.25 weight); eval returns only the main nl maps, so
+    decode, NMS and stride calibration are untouched and XLA dead-code
+    eliminates the aux convs from the compiled predict program — the
+    jit-era equivalent of the reference's ``switch_to_deploy``.
+    """
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        nl = len(self.ch) // 2
+        main = Detect(nc=self.nc, ch=tuple(self.ch[:nl]), reg_max=self.reg_max,
+                      dtype=self.dtype, name="detect")(xs[:nl], train)
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], self.nc)
+        aux = []
+        for i, x in enumerate(xs[nl:]):
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv4_{i}_1")(box, train)
+            box = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv4_{i}_2")(box)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv5_{i}_0")(x, train)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv5_{i}_1")(cls, train)
+            cls = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv5_{i}_2")(cls)
+            aux.append(jnp.concatenate([box, cls], axis=-1))
+        if not train:
+            return main
+        return list(main) + aux
+
+
 # ---------------------------------------------------------------------------
 # decode helpers
 # ---------------------------------------------------------------------------

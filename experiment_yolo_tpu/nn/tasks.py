@@ -265,11 +265,15 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             mod = T.RTDETRDecoder(nc=nc, ch=ch_in, dtype=dtype)
             detect_idx = i
             list_input = True
-        elif mname in ("Detect", "Detect_Efficient"):
+        elif mname in ("Detect", "Detect_Efficient", "DetectAux"):
             ch_in = tuple(src_ch(j) for j in f_list)
             c2 = 0
             if mname == "Detect":
                 mod = M.Detect(nc=nc, ch=ch_in, dtype=dtype)
+            elif mname == "DetectAux":
+                from experiment_yolo_tpu.nn.heads_extra import DetectAux
+
+                mod = DetectAux(nc=nc, ch=ch_in, dtype=dtype)
             else:
                 from experiment_yolo_tpu.nn.heads_extra import DetectEfficient
 
@@ -447,8 +451,9 @@ class DetectionModel:
         variables = unfreeze(variables)
         params = variables["params"]
         dname = f"layers_{self.detect_idx}"
-        head = params.get(dname)
-        if head is not None and "detect" in head:  # Segment/Pose/OBB nest Detect
+        outer = params.get(dname)
+        head = outer
+        if head is not None and "detect" in head:  # Segment/Pose/OBB/DetectAux nest Detect
             head = head["detect"]
         if head is not None:
             for i, s in enumerate(self.strides):
@@ -457,6 +462,12 @@ class DetectionModel:
                 if f"cv3_{i}_2" in head:
                     prior = math.log(5 / self.nc / (640 / s) ** 2)
                     head[f"cv3_{i}_2"]["bias"] = jnp.full_like(head[f"cv3_{i}_2"]["bias"], prior)
+                # DetectAux keeps its aux branches at the outer level
+                # (reference extra head.py:295 bias_init covers cv4/cv5 too)
+                if outer is not None and f"cv4_{i}_2" in outer and self.head_type == "DetectAux":
+                    prior = math.log(5 / self.nc / (640 / s) ** 2)
+                    outer[f"cv4_{i}_2"]["bias"] = jnp.ones_like(outer[f"cv4_{i}_2"]["bias"])
+                    outer[f"cv5_{i}_2"]["bias"] = jnp.full_like(outer[f"cv5_{i}_2"]["bias"], prior)
         return variables
 
     # -- functional forward ------------------------------------------------

@@ -61,6 +61,7 @@ class LossConfig:
     vfl_alpha: float = 0.75
     qfl_beta: float = 2.0
     assigner: str = "tal"  # tal | atss
+    aux_loss_ratio: float = 0.25  # DetectAux one-to-many head weight (loss.py:321)
 
 
 def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -78,6 +79,40 @@ def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     loss_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
     loss_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
     return (loss_l * wl + loss_r * wr).mean(-1)
+
+
+def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
+                    fg_mask, weight, target_scores_sum, iou_mean, mpdiou_hw, reg_max, b):
+    """(Wise-)IoU (+ NWD blend) box loss and DFL loss, weighted by target
+    score (reference BboxLoss.forward, loss.py:187-242). Shared by the main
+    and the DetectAux auxiliary branch."""
+    if cfg.use_wiseiou:
+        wiou, new_iou_mean = _masked_wise_iou(
+            pred_bboxes, target_bboxes, fg_mask, iou_mean, cfg.wiou_ltype,
+            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
+            d=cfg.focaler_d, u=cfg.focaler_u, mpdiou_hw=mpdiou_hw[None],
+        )
+        loss_iou = (wiou * weight).sum() / target_scores_sum
+    else:
+        variant = {} if cfg.iou_type == "IoU" else {cfg.iou_type: True}
+        if cfg.iou_type == "MPDIoU":
+            variant = {"MPDIoU": True, "mpdiou_hw": mpdiou_hw[None, :, None]}
+        iou = bbox_iou(
+            pred_bboxes, target_bboxes, xywh=False,
+            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
+            d=cfg.focaler_d, u=cfg.focaler_u, **variant,
+        )[..., 0]
+        loss_iou = (jnp.where(fg_mask, 1.0 - iou, 0.0) * weight).sum() / target_scores_sum
+        new_iou_mean = iou_mean
+    if cfg.nwd:
+        nwd = wasserstein_similarity(pred_bboxes, target_bboxes)[..., 0]
+        nwd_loss = (jnp.where(fg_mask, 1.0 - nwd, 0.0) * weight).sum() / target_scores_sum
+        loss_iou = cfg.iou_ratio * loss_iou + (1.0 - cfg.iou_ratio) * nwd_loss
+
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max)
+    dfl = _df_loss(pred_distri.reshape(b, -1, 4, reg_max), target_ltrb)  # (B, A)
+    loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
+    return loss_iou, loss_dfl, new_iou_mean
 
 
 def detection_loss(
@@ -106,6 +141,11 @@ def detection_loss(
     """
     nc, reg_max = cfg.nc, cfg.reg_max
     no = nc + reg_max * 4
+    # DetectAux (extra head.py:235): 2*nl maps arrive at train time — the
+    # first nl are the main head, the rest the auxiliary one-to-many head
+    aux_feats = None
+    if len(feats) == 2 * len(strides):
+        feats, aux_feats = feats[: len(strides)], feats[len(strides) :]
     b = feats[0].shape[0]
     flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)  # (B, A, no)
     pred_distri, pred_scores = flat[..., : reg_max * 4], flat[..., reg_max * 4 :]
@@ -165,46 +205,63 @@ def detection_loss(
         fg_mask, target_scores_sum, slide_mean, step,
     )
 
-    # --- box: (Wise-)IoU (+ NWD blend), weighted by target score ----------
+    # --- box + dfl (shared with the aux head below) -------------------------
     weight = jnp.where(fg_mask, target_scores.sum(-1), 0.0)  # (B, A)
     if iou_mean is None:
         iou_mean = jnp.asarray(1.0, dtype)
     # per-anchor image-diagonal^2 in grid units (reference loss.py:444 passes
     # (H^2+W^2)/stride^2 into the MPDIoU branches)
     mpdiou_hw = (imgsz_h**2 + imgsz_w**2) / stride_tensor[:, 0] ** 2  # (A,)
-    if cfg.use_wiseiou:
-        wiou, new_iou_mean = _masked_wise_iou(
-            pred_bboxes, target_bboxes, fg_mask, iou_mean, cfg.wiou_ltype,
-            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
-            d=cfg.focaler_d, u=cfg.focaler_u, mpdiou_hw=mpdiou_hw[None],
-        )
-        loss_iou = (wiou * weight).sum() / target_scores_sum
-    else:
-        variant = {} if cfg.iou_type == "IoU" else {cfg.iou_type: True}
-        if cfg.iou_type == "MPDIoU":
-            variant = {"MPDIoU": True, "mpdiou_hw": mpdiou_hw[None, :, None]}
-        iou = bbox_iou(
-            pred_bboxes, target_bboxes, xywh=False,
-            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
-            d=cfg.focaler_d, u=cfg.focaler_u, **variant,
-        )[..., 0]
-        loss_iou = (jnp.where(fg_mask, 1.0 - iou, 0.0) * weight).sum() / target_scores_sum
-        new_iou_mean = iou_mean
-    if cfg.nwd:
-        nwd = wasserstein_similarity(pred_bboxes, target_bboxes)[..., 0]
-        nwd_loss = (jnp.where(fg_mask, 1.0 - nwd, 0.0) * weight).sum() / target_scores_sum
-        loss_iou = cfg.iou_ratio * loss_iou + (1.0 - cfg.iou_ratio) * nwd_loss
-
-    # --- dfl ---------------------------------------------------------------
-    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max)
-    dfl = _df_loss(pred_distri.reshape(b, -1, 4, reg_max), target_ltrb)  # (B, A)
-    loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
+    loss_iou, loss_dfl, new_iou_mean = _box_dfl_losses(
+        cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
+        fg_mask, weight, target_scores_sum, iou_mean, mpdiou_hw, reg_max, b,
+    )
 
     comps = {
         "box": loss_iou * cfg.box,
         "cls": loss_cls * cfg.cls,
         "dfl": loss_dfl * cfg.dfl,
     }
+
+    if aux_feats is not None:
+        # Auxiliary one-to-many head (reference loss.py:459 compute_loss_aux):
+        # targets assigned from the MAIN head's detached predictions with a
+        # looser assigner (topk 13, alpha 0.5, beta 6.0), losses computed on
+        # the AUX predictions at aux_loss_ratio=0.25. The aux branch uses
+        # plain BCE for cls (the reference's default self.bce) and does not
+        # advance the Wise-IoU running mean.
+        flat_aux = jnp.concatenate([f.reshape(b, -1, no) for f in aux_feats], axis=1)
+        pred_distri_aux, pred_scores_aux = flat_aux[..., : reg_max * 4], flat_aux[..., reg_max * 4 :]
+        pred_bboxes_aux = dist2bbox(dfl_decode(pred_distri_aux, reg_max), anchor_points[None], xywh=False)
+        res_aux = tal.assign(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+            topk=13,
+            num_classes=nc,
+            alpha=0.5,
+            beta=6.0,
+        )
+        ts_aux = jax.lax.stop_gradient(res_aux.target_scores)
+        fg_aux = res_aux.fg_mask
+        tb_aux = res_aux.target_bboxes / stride_tensor[None]
+        tss_aux = jnp.maximum(ts_aux.sum(), 1.0)
+        w_aux = jnp.where(fg_aux, ts_aux.sum(-1), 0.0)
+        ratio = cfg.aux_loss_ratio
+        cls_aux = _sigmoid_bce(pred_scores_aux, ts_aux.astype(dtype)).sum() / tss_aux
+        iou_aux, dfl_aux, _ = _box_dfl_losses(
+            cfg, pred_distri_aux, pred_bboxes_aux, anchor_points, tb_aux,
+            fg_aux, w_aux, tss_aux, iou_mean, mpdiou_hw, reg_max, b,
+        )
+        comps = {
+            "box": comps["box"] + iou_aux * ratio * cfg.box,
+            "cls": comps["cls"] + cls_aux * ratio * cfg.cls,
+            "dfl": comps["dfl"] + dfl_aux * ratio * cfg.dfl,
+        }
+
     total = (comps["box"] + comps["cls"] + comps["dfl"]) * b
     out = (total, comps, new_iou_mean)
     if slide_mean is not None:

@@ -66,6 +66,60 @@ def convert_state_dict(state: Dict[str, np.ndarray], model) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def invert_to_torch_state(variables: Dict, torch_shapes: Dict[str, tuple], model) -> Dict[str, np.ndarray]:
+    """Our flax variables -> reference-layout torch ``state_dict`` arrays.
+
+    Exact inverse of :func:`convert_state_dict`, derived from it rather than
+    hand-mirrored: each torch key is traced through the forward mapping with
+    an ``arange`` placeholder; since every forward transform is a pure
+    permutation (transpose/reshape/slice), the traced flax array holds, at
+    each flax flat position, the torch flat index that lands there — which
+    makes scattering the trained flax values back a one-liner.
+
+    ``torch_shapes``: {state_dict name: shape} from a freshly built reference
+    model. Keys the forward converter drops (DFL arange conv, LDConv ``p_n``
+    buffer, ``num_batches_tracked``) are omitted from the result — the torch
+    model's own fixed buffers are already correct.
+
+    Counterpart direction of the reference's ``attempt_load_one_weight``
+    (ultralytics/nn/tasks.py:614): used to run OUR trained weights through the
+    reference's val pipeline for end-to-end accuracy-parity checks.
+    """
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    for name, shape in torch_shapes.items():
+        if not name.startswith("model."):
+            continue
+        parts = name.split(".")
+        idx = int(parts[1])
+        layer = f"layers_{idx}"
+        mtype = model.specs[idx].type
+        n = int(np.prod(shape)) if shape else 1
+        trace: list = []  # (kind, path, traced array)
+
+        def put(layer_, sub_path, kind, value):
+            trace.append((kind, (layer_, *sub_path), np.asarray(value)))
+
+        try:
+            _convert_one(put, layer, mtype, parts[2:], np.arange(n, dtype=np.int64).reshape(shape))
+        except KeyError:
+            continue  # dropped by the forward converter (fixed buffer)
+        if not trace:
+            continue  # e.g. num_batches_tracked / dfl / p_n
+        kind, path, traced = trace[0]
+        node: Any = stats if kind == "stats" else params
+        for k in path:
+            node = node[k]
+        flax_val = np.asarray(node, np.float32)
+        if flax_val.shape != traced.shape:
+            raise ValueError(f"{name}: flax shape {flax_val.shape} != traced {traced.shape}")
+        torch_flat = np.empty(n, np.float32)
+        torch_flat[traced.reshape(-1)] = flax_val.reshape(-1)
+        out[name] = torch_flat.reshape(shape)
+    return out
+
+
 def _bn(put, layer, prefix, leaf, w):
     """BatchNorm leaves -> flax names."""
     if leaf == "weight":
@@ -138,19 +192,24 @@ def _convert_one(put, layer, mtype, rest, w):
             _bn(put, layer, (f"block{k}", sub, "bn"), inner[1], w)
         else:
             raise KeyError(".".join(rest))
-    elif mtype == "Detect":
-        # cv2.{i}.{j} / cv3.{i}.{j}: j in 0,1 = Conv; j=2 bare Conv2d; dfl fixed
+    elif mtype in ("Detect", "DetectAux"):
+        # cv2.{i}.{j} / cv3.{i}.{j}: j in 0,1 = Conv; j=2 bare Conv2d; dfl fixed.
+        # DetectAux (extra head.py:235) nests its main cv2/cv3 under our
+        # 'detect' submodule; aux cv4/cv5 stay at the head level.
+        if rest[0] in ("dfl", "dfl_aux"):
+            return  # fixed arange weights, not parameters on our side
         branch, i, j = rest[0], rest[1], rest[2]
         ours = f"{branch}_{i}_{j}"
-        if rest[0] == "dfl":
-            return  # fixed arange weights, not parameters on our side
+        prefix = ()
+        if mtype == "DetectAux" and branch in ("cv2", "cv3"):
+            prefix = ("detect",)
         if j == "2":
             if rest[3] == "weight":
-                put(layer, (ours, "kernel"), "params", _conv_w(w))
+                put(layer, (*prefix, ours, "kernel"), "params", _conv_w(w))
             else:
-                put(layer, (ours, "bias"), "params", w)
+                put(layer, (*prefix, ours, "bias"), "params", w)
         else:
-            _convbn(put, layer, (ours,), rest[3:], w)
+            _convbn(put, layer, (*prefix, ours), rest[3:], w)
     elif mtype in ("Concat", "Zoom_cat", "Add", "nn.Upsample"):
         raise KeyError("parameter-free module got a weight")
     else:

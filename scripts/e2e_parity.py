@@ -1,0 +1,240 @@
+"""End-to-end accuracy parity vs the PyTorch reference (VERDICT r1 item 2).
+
+Protocol:
+1. Generate the shared synthetic YOLO-format dataset on disk (both frameworks
+   read the identical images/labels).
+2. Train OUR yolov8n on it.
+3. Invert the trained flax weights into the reference's torch
+   ``DetectionModel`` (exact permutation inverse — tests/test_e2e_parity.py
+   proves the roundtrip is bit-exact).
+4. Run the REFERENCE's own ``DetectionValidator`` (torch CPU; its dataloader,
+   letterbox, NMS and mAP code untouched — ultralytics/models/yolo/detect/
+   val.py:17-277) on the val split.
+5. Run OUR ``DetectionValidator`` on the same split.
+6. Report side-by-side mAP50 / mAP50-95 plus box-level full-pipeline
+   agreement on the reference's ``assets/`` images, into PARITY.md.
+
+Usage:
+    python scripts/e2e_parity.py [epochs=60] [imgsz=320] [batch=16]
+                                 [root=runs/parity] [ckpt=<existing ckpt dir>]
+
+Pass ``ckpt=`` to skip training and re-evaluate an existing checkpoint.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+REF = Path("/root/reference")
+STUB = REPO / "tools" / "refstub"
+sys.path.insert(0, str(REPO))
+
+
+def parse_kv(argv):
+    out = {}
+    for a in argv:
+        k, _, v = a.partition("=")
+        out[k] = v
+    return out
+
+
+def train_ours(data_yaml: Path, run_root: Path, epochs: int, imgsz: int, batch: int):
+    import jax
+
+    from experiment_yolo_tpu.engine.trainer import DetectionTrainer
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov8n.yaml", nc=3)
+    variables = model.init(jax.random.PRNGKey(0))
+    trainer = DetectionTrainer(
+        model=model,
+        variables=variables,
+        overrides={
+            "data": str(data_yaml),
+            "epochs": epochs,
+            "batch": batch,
+            "imgsz": imgsz,
+            "optimizer": "SGD",
+            "lr0": 0.01,
+            "val": True,
+            "save": True,
+            "project": str(run_root / "train"),
+            "name": "yolov8n_synth",
+            "exist_ok": True,
+            "plots": False,
+        },
+    )
+    results = trainer.train()
+    print(f"[ours/train] {results}")
+    return trainer.save_dir / "weights" / "best"
+
+
+def val_ours(ckpt_dir: Path, data_yaml: Path, imgsz: int):
+    from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
+    from experiment_yolo_tpu.engine.validator import DetectionValidator
+
+    model, variables = load_checkpoint(ckpt_dir)
+    v = DetectionValidator(args={"data": str(data_yaml), "imgsz": imgsz, "batch": 8, "plots": False})
+    return v(model, variables), (model, variables)
+
+
+def val_reference(ckpt_dir: Path, data_yaml: Path, imgsz: int):
+    """Run the reference's own torch-CPU val pipeline on our trained weights."""
+    sys.path.insert(0, str(STUB))
+    sys.path.insert(0, str(REF))
+    import numpy as np
+    import torch
+
+    from ultralytics.models.yolo.detect import DetectionValidator as TorchValidator
+    from ultralytics.nn.tasks import DetectionModel as TorchDetectionModel
+
+    from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
+    from experiment_yolo_tpu.utils.torch_convert import invert_to_torch_state
+
+    model, variables = load_checkpoint(ckpt_dir)
+    tmodel = TorchDetectionModel(str(REPO / "experiment_yolo_tpu" / "cfg" / "models" / "yolov8n.yaml"), nc=model.nc, verbose=False)
+    shapes = {k: tuple(v.shape) for k, v in tmodel.state_dict().items()}
+    back = invert_to_torch_state(variables, shapes, model)
+    missing = tmodel.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in back.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    tmodel.names = model.names
+    tmodel = tmodel.float().eval()
+
+    v = TorchValidator(
+        args=dict(
+            model="unused.pt",
+            data=str(data_yaml),
+            imgsz=imgsz,
+            batch=8,
+            device="cpu",
+            half=False,
+            plots=False,
+            save_json=False,
+            verbose=False,
+            project=str(REPO / "runs" / "parity" / "refval"),
+            exist_ok=True,
+        )
+    )
+    metrics = v(model=tmodel)
+    return metrics, tmodel
+
+
+def box_agreement(model, variables, tmodel, imgsz: int = 640, conf: float = 0.25):
+    """Full-pipeline (letterbox->forward->decode->NMS->rescale) box agreement
+    on the reference's assets images, same weights both sides."""
+    import cv2
+    import numpy as np
+    import torch
+
+    from ultralytics.data.augment import LetterBox
+    from ultralytics.utils import ops as tops
+
+    from experiment_yolo_tpu.engine.predictor import DetectionPredictor
+
+    rows = []
+    for img_path in sorted((REF / "assets").glob("*.jpg")):
+        orig = cv2.imread(str(img_path))
+        # reference pipeline (square letterbox to match our predictor's)
+        lb = LetterBox((imgsz, imgsz), auto=False, stride=32)
+        im = lb(image=orig)[..., ::-1].transpose(2, 0, 1)
+        t = torch.from_numpy(np.ascontiguousarray(im)).float()[None] / 255.0
+        with torch.no_grad():
+            pred = tmodel(t)[0]
+        det_t = tops.non_max_suppression(pred, conf, 0.7, max_det=300)[0]
+        det_t[:, :4] = tops.scale_boxes(t.shape[2:], det_t[:, :4], orig.shape)
+        det_t = det_t.numpy()
+
+        ours = DetectionPredictor(model, variables, overrides={"conf": conf, "iou": 0.7, "imgsz": imgsz, "batch": 1})
+        res = ours(str(img_path))[0]
+        det_o = res.boxes.data  # (n, 6) xyxy, conf, cls
+
+        matched = 0
+        for b in det_t:
+            if det_o.shape[0] == 0:
+                break
+            xx1 = np.maximum(b[0], det_o[:, 0])
+            yy1 = np.maximum(b[1], det_o[:, 1])
+            xx2 = np.minimum(b[2], det_o[:, 2])
+            yy2 = np.minimum(b[3], det_o[:, 3])
+            inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+            a1 = (b[2] - b[0]) * (b[3] - b[1])
+            a2 = (det_o[:, 2] - det_o[:, 0]) * (det_o[:, 3] - det_o[:, 1])
+            iou = inter / (a1 + a2 - inter + 1e-9)
+            ok = (iou > 0.95) & (det_o[:, 5].astype(int) == int(b[5])) & (np.abs(det_o[:, 4] - b[4]) < 5e-3)
+            matched += bool(ok.any())
+        rows.append((img_path.name, len(det_t), int(det_o.shape[0]), matched))
+        print(f"[agreement] {img_path.name}: ref {len(det_t)} dets, ours {det_o.shape[0]}, matched {matched}")
+    return rows
+
+
+def main(argv):
+    kv = parse_kv(argv)
+    epochs = int(kv.get("epochs", 60))
+    imgsz = int(kv.get("imgsz", 320))
+    batch = int(kv.get("batch", 16))
+    root = REPO / kv.get("root", "runs/parity")
+    root.mkdir(parents=True, exist_ok=True)
+
+    from experiment_yolo_tpu.data import make_synthetic_dataset
+
+    data_yaml = make_synthetic_dataset(root / "dataset", n_train=96, n_val=32, imgsz=imgsz, seed=7)
+
+    if "ckpt" in kv:
+        ckpt = Path(kv["ckpt"])
+    else:
+        t0 = time.time()
+        ckpt = train_ours(data_yaml, root, epochs, imgsz, batch)
+        print(f"[ours/train] {time.time() - t0:.1f}s")
+
+    ours_metrics, (model, variables) = val_ours(ckpt, data_yaml, imgsz)
+    print(f"[ours/val] {ours_metrics}")
+
+    ref_metrics, tmodel = val_reference(ckpt, data_yaml, imgsz)
+    ref_map50 = float(ref_metrics.box.map50)
+    ref_map = float(ref_metrics.box.map)
+    print(f"[ref/val] mAP50={ref_map50:.4f} mAP50-95={ref_map:.4f}")
+
+    rows = box_agreement(model, variables, tmodel)
+
+    d50 = abs(ours_metrics["mAP50"] - ref_map50)
+    d5095 = abs(ours_metrics["mAP50-95"] - ref_map)
+    report = f"""# End-to-end accuracy parity vs the PyTorch reference
+
+Protocol: shared on-disk synthetic YOLO dataset (96 train / 32 val, {imgsz}px,
+seed 7); OUR yolov8n trained {epochs} epochs here; trained weights inverted
+bit-exactly into the reference's torch `DetectionModel`
+(`utils/torch_convert.py:invert_to_torch_state`, roundtrip proven exact in
+`tests/test_e2e_parity.py`); then each framework's OWN full val pipeline —
+dataloader, letterbox, forward, decode, NMS, 10-threshold matching, 101-pt AP
+— ran over the same val split. Reference side is stock
+`ultralytics/models/yolo/detect/val.py` on torch CPU.
+
+| pipeline | mAP50 | mAP50-95 |
+|---|---|---|
+| ours (jax/TPU) | {ours_metrics['mAP50']:.4f} | {ours_metrics['mAP50-95']:.4f} |
+| reference (torch) | {ref_map50:.4f} | {ref_map:.4f} |
+| abs diff | {d50:.4f} | {d5095:.4f} |
+
+Target: ±0.003 (±0.3 mAP points, BASELINE.md): **{"PASS" if d50 <= 0.003 else "within " + format(d50, ".4f")}**
+
+## Box-level full-pipeline agreement (reference assets, conf 0.25)
+
+Same weights, each framework's full predict pipeline (square letterbox ->
+forward -> decode -> NMS -> rescale-to-original): a detection counts as
+matched when the other side has IoU>0.95, same class, |conf diff|<5e-3.
+
+| image | ref dets | our dets | matched |
+|---|---|---|---|
+""" + "\n".join(f"| {n} | {a} | {b} | {m} |" for n, a, b, m in rows) + f"""
+
+Checkpoint: `{ckpt}`. Reproduce: `python scripts/e2e_parity.py`.
+"""
+    (REPO / "PARITY.md").write_text(report)
+    print(f"[report] PARITY.md written; dmAP50={d50:.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

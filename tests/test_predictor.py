@@ -30,14 +30,15 @@ def predictor():
 
 
 def test_load_source_variants(image_dir):
-    items = load_source(image_dir)
+    # load_source is lazy (streams/videos are unbounded) — list() to realize
+    items = list(load_source(image_dir))
     assert len(items) == 3
-    one = load_source(items[0][0])
+    one = list(load_source(items[0][0]))
     assert len(one) == 1
-    arr = load_source(np.zeros((50, 60, 3), np.uint8))
+    arr = list(load_source(np.zeros((50, 60, 3), np.uint8)))
     assert arr[0][0] == "array"
     with pytest.raises(FileNotFoundError):
-        load_source("no/such/path.jpg")
+        list(load_source("no/such/path.jpg"))
 
 
 def test_predict_end_to_end(predictor, image_dir):
