@@ -22,17 +22,18 @@ CFG_FLOAT_KEYS = {"warmup_epochs", "box", "cls", "dfl", "degrees", "shear", "iou
 CFG_FRACTION_KEYS = {
     "dropout", "lrf", "momentum", "weight_decay", "warmup_momentum", "warmup_bias_lr",
     "label_smoothing", "hsv_h", "hsv_s", "hsv_v", "translate", "scale", "perspective",
-    "flipud", "fliplr", "mosaic", "mixup", "copy_paste", "conf", "iou", "fraction", "ema_decay",
+    "flipud", "fliplr", "mosaic", "mosaic9", "mixup", "copy_paste", "conf", "iou", "fraction", "ema_decay",
 }
 CFG_INT_KEYS = {
     "epochs", "patience", "batch", "workers", "seed", "close_mosaic", "max_det",
     "save_period", "max_labels", "ema_tau", "nbs",
 }
 CFG_BOOL_KEYS = {
-    "save", "cache", "exist_ok", "pretrained", "verbose", "deterministic", "single_cls",
-    "rect", "cos_lr", "amp", "multi_scale", "val", "save_json", "half",  # NB: resume may be bool OR a ckpt path
+    "save", "exist_ok", "pretrained", "verbose", "deterministic", "single_cls",
+    "rect", "cos_lr", "amp", "multi_scale", "val", "save_json", "half",
+    # NB: resume may be bool OR a ckpt path; cache may be bool OR 'ram'/'disk'
     "agnostic_nms", "augment", "save_txt", "save_conf", "save_crop", "show_labels",
-    "show_conf", "show_boxes", "plots", "use_wiseiou", "nwd", "ema",
+    "show_conf", "show_boxes", "plots", "use_wiseiou", "nwd", "ema", "soft_nms_quirk",
 }
 
 

@@ -187,6 +187,139 @@ def mosaic4(items: List[Dict], imgsz: int, rng: np.random.Generator) -> Dict:
     return {"img": canvas, **merged, "mosaic_border": (-s // 2, -s // 2)}
 
 
+def mosaic9(items: List[Dict], imgsz: int, rng: np.random.Generator) -> Dict:
+    """Combine 9 images into a 3x3 grid, cropped to the (2s, 2s) canvas
+    (reference augment.py:_mosaic9): same output contract as :func:`mosaic4`,
+    so the following random_perspective border-crop is shared."""
+    s = imgsz
+    canvas = np.full((3 * s, 3 * s, 3), 114, dtype=np.uint8)
+    hp = wp = -1  # previous tile h, w
+    h0 = w0 = 0
+    all_shifted = []
+    for i, it in enumerate(items):
+        img = it["img"]
+        h, w = img.shape[:2]
+        r = s / max(h, w)
+        if r != 1:
+            img = cv2.resize(img, (int(w * r), int(h * r)), interpolation=cv2.INTER_LINEAR)
+            h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h
+        elif i == 1:  # top
+            c = s, s - h, s + w, s
+        elif i == 2:  # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:  # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:  # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:  # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:  # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:  # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(x, 0) for x in c)
+        canvas[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :]
+        hp, wp = h, w
+        if len(it["bboxes"]):
+            # shift into canvas coords, then into the final (2s, 2s) crop
+            off_x, off_y = padw - s // 2, padh - s // 2
+            b = it["bboxes"] * r
+            b[:, [0, 2]] += off_x
+            b[:, [1, 3]] += off_y
+            shifted = _scale_shift_points(it, r, off_x, off_y)
+            shifted["bboxes"] = b
+            all_shifted.append(shifted)
+    if all_shifted:
+        merged = all_shifted[0]
+        for nxt in all_shifted[1:]:
+            merged = _cat_instances(merged, nxt)
+    else:
+        merged = {"bboxes": np.zeros((0, 4), np.float32), "cls": np.zeros((0,), np.float32)}
+        for k in ("segments", "keypoints", "obb"):
+            if items[0].get(k) is not None:
+                merged[k] = [] if k == "segments" else np.zeros((0,) + items[0][k].shape[1:], np.float32)
+    crop = canvas[s // 2 : s // 2 + 2 * s, s // 2 : s // 2 + 2 * s]
+    merged["bboxes"] = np.clip(merged["bboxes"], 0, 2 * s).astype(np.float32)
+    if merged.get("segments") is not None:
+        merged["segments"] = [np.clip(p, 0, 2 * s) for p in merged["segments"]]
+    if merged.get("obb") is not None:
+        merged["obb"] = np.clip(merged["obb"], 0, 2 * s)
+    if merged.get("keypoints") is not None:
+        kp = merged["keypoints"]
+        oob = (kp[..., 0] < 0) | (kp[..., 0] >= 2 * s) | (kp[..., 1] < 0) | (kp[..., 1] >= 2 * s)
+        kp[..., 2] = np.where(oob, 0.0, kp[..., 2])
+        merged["keypoints"] = kp
+    return {"img": np.ascontiguousarray(crop), **merged, "mosaic_border": (-s // 2, -s // 2)}
+
+
+def _bbox_ioa(box1: np.ndarray, box2: np.ndarray) -> np.ndarray:
+    """Intersection over box2 area (reference utils/metrics.py:bbox_ioa)."""
+    ix = (np.minimum(box1[:, None, 2], box2[None, :, 2]) - np.maximum(box1[:, None, 0], box2[None, :, 0])).clip(0)
+    iy = (np.minimum(box1[:, None, 3], box2[None, :, 3]) - np.maximum(box1[:, None, 1], box2[None, :, 1])).clip(0)
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1]) + 1e-7
+    return ix * iy / area2[None]
+
+
+def copy_paste(labels: Dict, p: float, rng: np.random.Generator) -> Dict:
+    """Copy-Paste augmentation (reference augment.py:753, arXiv:2012.07177):
+    horizontally-flipped segment instances whose flipped box overlaps every
+    existing box by IoA < 0.3 are pasted back into the image. Segments-only
+    (matches the reference — detect/pose/obb labels pass through)."""
+    segments = labels.get("segments")
+    if not p or not segments or len(segments) == 0:
+        return labels
+    im = labels["img"]
+    h, w = im.shape[:2]
+    boxes = labels["bboxes"]  # pixel xyxy
+    flip_boxes = boxes.copy()
+    flip_boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    ioa = _bbox_ioa(flip_boxes, boxes)
+    candidates = np.nonzero((ioa < 0.30).all(1))[0]
+    k = round(p * len(candidates))
+    if k == 0:
+        return labels
+    chosen = rng.choice(candidates, size=k, replace=False)
+    im_new = np.zeros(im.shape, np.uint8)
+    new_cls, new_boxes, new_segs = [], [], []
+    for j in chosen:
+        seg = segments[j].copy()
+        seg[:, 0] = w - seg[:, 0]
+        new_cls.append(labels["cls"][j])
+        new_boxes.append(flip_boxes[j])
+        new_segs.append(seg)
+        cv2.drawContours(im_new, [seg.astype(np.int32)], -1, (1, 1, 1), cv2.FILLED)
+    result = cv2.flip(im, 1)
+    i = cv2.flip(im_new, 1).astype(bool)
+    im[i] = result[i]
+    out = dict(labels)
+    out["img"] = im
+    out["cls"] = np.concatenate([labels["cls"], np.asarray(new_cls, np.float32)])
+    out["bboxes"] = np.concatenate([boxes, np.stack(new_boxes)]).astype(np.float32)
+    out["segments"] = list(segments) + new_segs
+    return out
+
+
+def albumentations_transform(img: np.ndarray, p: float = 1.0):
+    """Optional Albumentations hook (reference augment.py:819): applies the
+    reference's default pixel-level recipe (Blur/MedianBlur/ToGray/CLAHE at
+    p=0.01 each) when the albumentations package is importable; identity
+    otherwise (it is not bundled in this environment)."""
+    try:
+        import albumentations as A_  # pragma: no cover - optional dep
+    except ImportError:
+        return img
+    tf = A_.Compose(  # pragma: no cover
+        [A_.Blur(p=0.01), A_.MedianBlur(p=0.01), A_.ToGray(p=0.01), A_.CLAHE(p=0.01)]
+    )
+    return tf(image=img)["image"]  # pragma: no cover
+
+
 # ---------------------------------------------------------------------------
 # RandomPerspective (reference augment.py:347)
 # ---------------------------------------------------------------------------

@@ -42,9 +42,22 @@ class DataLoader:
         mosaic: Optional[bool] = None,
         rect: bool = False,
         stride: int = 32,
+        shard_by_process: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        # multi-host: every process computes the same global index order
+        # (same seed) and loads only its contiguous slice of each global
+        # batch — the counterpart of the reference's DistributedSampler
+        # (build.py:InfiniteDataLoader + distributed.py). The train step then
+        # assembles the global array via mesh.shard_batch.
+        self._pc, self._pi = 1, 0
+        if shard_by_process:
+            import jax
+
+            self._pc, self._pi = jax.process_count(), jax.process_index()
+            if batch_size % self._pc:
+                raise ValueError(f"batch {batch_size} not divisible by {self._pc} processes")
         self.shuffle = shuffle
         self.workers = max(1, workers)
         self.seed = seed
@@ -108,6 +121,9 @@ class DataLoader:
                     if len(batch_idx) < self.batch_size and not self.drop_last:
                         pad = np.zeros(self.batch_size - len(batch_idx), batch_idx.dtype)
                         batch_idx = np.concatenate([batch_idx, pad])  # pad with index 0
+                    if self._pc > 1:  # this host's slice of the global batch
+                        lbs = self.batch_size // self._pc
+                        batch_idx = batch_idx[self._pi * lbs : (self._pi + 1) * lbs]
                     seeds = [self.seed * 1_000_003 + self.epoch * 10_007 + int(i) for i in batch_idx]
                     if self.shuffle:
                         samples = list(
@@ -150,8 +166,11 @@ def build_yolo_dataset(cfg, img_path, mode: str = "train", data: dict | None = N
         task=getattr(cfg, "task", "detect") or "detect",
         kpt_shape=(data or {}).get("kpt_shape", (17, 3)),
         flip_idx=(data or {}).get("flip_idx"),
+        cache=getattr(cfg, "cache", False),
     )
 
 
-def build_dataloader(dataset, batch_size, workers=8, shuffle=True, seed=0, drop_last=True) -> DataLoader:
-    return DataLoader(dataset, batch_size, shuffle=shuffle, workers=workers, seed=seed, drop_last=drop_last)
+def build_dataloader(dataset, batch_size, workers=8, shuffle=True, seed=0, drop_last=True,
+                     shard_by_process=False) -> DataLoader:
+    return DataLoader(dataset, batch_size, shuffle=shuffle, workers=workers, seed=seed,
+                      drop_last=drop_last, shard_by_process=shard_by_process)

@@ -66,6 +66,7 @@ class YOLODataset:
         task: str = "detect",
         kpt_shape=(17, 3),
         flip_idx=None,
+        cache: str | bool = False,
     ):
         self.img_path = Path(img_path)
         self.imgsz = imgsz
@@ -77,11 +78,85 @@ class YOLODataset:
         self.kpt_shape = tuple(kpt_shape)
         self.flip_idx = flip_idx
         self.im_files = self._scan_images(fraction)
-        self.labels = [self._load_label(f) for f in self.im_files]
+        self.labels = self._load_labels_cached()
         self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
         from experiment_yolo_tpu.data import native_loader as _nl
 
         self._native = _nl.available()
+        # image cache (reference base.py:205 cache_images): 'ram' keeps
+        # decoded arrays, 'disk' memoizes decodes as .npy next to the image
+        self.cache = {True: "ram", "True": "ram"}.get(cache, cache) or ""
+        self._ims: List[Optional[np.ndarray]] = [None] * len(self.im_files)
+
+    # -- label cache ---------------------------------------------------------
+    def _cache_key(self) -> str:
+        """Fingerprint of the dataset contents: file list + label sizes/mtimes
+        (reference data/utils.py:get_hash)."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for f in self.im_files:
+            h.update(f.encode())
+            lp = img2label_path(f)
+            try:
+                st = os.stat(lp)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(b"-")
+        h.update(f"{self.task}:{self.kpt_shape}:{self.single_cls}".encode())
+        return h.hexdigest()
+
+    def _load_labels_cached(self) -> List[Dict]:
+        """Parse labels once, verify images in a thread pool, and memoize to a
+        ``.cache.npy`` sidecar (reference dataset.py:cache_labels +
+        base.py:182-204): subsequent epochs/runs skip the per-file txt parse
+        and the corrupt-image scan entirely."""
+        lbl_dir = Path(img2label_path(self.im_files[0])).parent
+        cache_file = lbl_dir.parent / f"{lbl_dir.name}.cache.npy"
+        key = self._cache_key()
+        try:
+            blob = np.load(cache_file, allow_pickle=True).item()
+            if blob.get("hash") == key and blob.get("version") == 1:
+                self.im_files = list(blob["im_files"])
+                return list(blob["labels"])
+        except (OSError, ValueError, EOFError, KeyError):
+            pass
+        # verify images concurrently (decode headers only), drop corrupt ones
+        from concurrent.futures import ThreadPoolExecutor
+
+        def verify(f: str) -> Optional[str]:
+            try:
+                from PIL import Image
+
+                with Image.open(f) as im:
+                    im.verify()
+                    w, h = im.size
+                if w < 10 or h < 10:
+                    return f"image too small {w}x{h}"
+            except ImportError:
+                if cv2.imread(f) is None:
+                    return "unreadable image"
+            except Exception as e:  # corrupt file
+                return f"corrupt image: {e}"
+            return None
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            problems = list(ex.map(verify, self.im_files))
+        bad = [(f, msg) for f, msg in zip(self.im_files, problems) if msg]
+        for f, msg in bad[:5]:
+            LOGGER.warning(f"ignoring {f}: {msg}")
+        if bad:
+            LOGGER.warning(f"{len(bad)} corrupt image(s) dropped")
+            self.im_files = [f for f, msg in zip(self.im_files, problems) if not msg]
+            if not self.im_files:
+                raise FileNotFoundError(f"all images in {self.img_path} are corrupt")
+            key = self._cache_key()
+        labels = [self._load_label(f) for f in self.im_files]
+        try:
+            np.save(cache_file, {"hash": key, "version": 1, "im_files": self.im_files, "labels": labels})
+        except OSError as e:
+            LOGGER.warning(f"label cache not writable ({e}); continuing uncached")
+        return labels
 
     def _scan_images(self, fraction: float) -> List[str]:
         p = self.img_path
@@ -159,10 +234,22 @@ class YOLODataset:
         """Load image + labels in pixel xyxy.
 
         Uses the native C++ decoder (data/native_loader.py) when built —
-        bit-exact with cv2 for JPEG, GIL-free; falls back to cv2.
+        bit-exact with cv2 for JPEG, GIL-free; falls back to cv2. With
+        cache='ram' decoded images persist in memory; with 'disk' as .npy
+        sidecars (reference base.py:205-230).
         """
         img = None
-        if self._native:
+        cached = False
+        if self.cache == "ram" and self._ims[i] is not None:
+            img, cached = self._ims[i], True
+        elif self.cache == "disk":
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.exists():
+                try:
+                    img, cached = np.load(npy), True
+                except (OSError, ValueError):
+                    img = None
+        if img is None and self._native:
             try:
                 from experiment_yolo_tpu.data import native_loader as nl
 
@@ -173,6 +260,14 @@ class YOLODataset:
             img = cv2.imread(self.im_files[i])
         if img is None:
             raise FileNotFoundError(f"could not read image {self.im_files[i]}")
+        if not cached:
+            if self.cache == "ram":
+                self._ims[i] = img
+            elif self.cache == "disk":
+                try:
+                    np.save(Path(self.im_files[i]).with_suffix(".npy"), np.ascontiguousarray(img))
+                except OSError:
+                    pass
         h, w = img.shape[:2]
         lab = self.labels[i]
         n = len(lab["cls"])
@@ -206,8 +301,16 @@ class YOLODataset:
         hyp = self.hyp
         use_mosaic = self.mosaic_enabled if mosaic is None else mosaic
         if use_mosaic and rng.random() < getattr(hyp, "mosaic", 1.0):
-            idxs = [i] + list(rng.integers(0, len(self), 3))
-            lab = A.mosaic4([self._load_item(j) for j in idxs], self.imgsz, rng)
+            # 9-image grid with probability hyp.mosaic9 (reference Mosaic(n=9))
+            if rng.random() < getattr(hyp, "mosaic9", 0.0):
+                idxs = [i] + list(rng.integers(0, len(self), 8))
+                lab = A.mosaic9([self._load_item(j) for j in idxs], self.imgsz, rng)
+            else:
+                idxs = [i] + list(rng.integers(0, len(self), 3))
+                lab = A.mosaic4([self._load_item(j) for j in idxs], self.imgsz, rng)
+            # CopyPaste sits between Mosaic and RandomPerspective
+            # (reference v8_transforms pre_transform ordering)
+            lab = A.copy_paste(lab, getattr(hyp, "copy_paste", 0.0), rng)
             lab = A.random_perspective(
                 lab,
                 degrees=getattr(hyp, "degrees", 0.0),

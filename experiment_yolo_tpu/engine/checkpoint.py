@@ -46,6 +46,19 @@ def save_checkpoint(
     )
 
 
+def _restore_as_numpy(state_path: Path):
+    """Device-agnostic orbax restore: arrays come back as host numpy, so a
+    checkpoint written on TPU loads on a CPU-only process (and vice versa)
+    instead of failing on the recorded device shardings."""
+    import numpy as np
+
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(state_path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree.map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(state_path, restore_args=restore_args)
+
+
 def load_checkpoint(path: str | Path, dtype=jnp.float32, prefer_ema: bool = True) -> Tuple[Any, Dict]:
     """Load (DetectionModel, variables) from a checkpoint dir.
 
@@ -58,8 +71,7 @@ def load_checkpoint(path: str | Path, dtype=jnp.float32, prefer_ema: bool = True
     meta = yaml_load(path / "meta.yaml")
     cls = TASK_MODELS.get(meta.get("task", "detect"), DetectionModel)
     model = cls(meta["model_yaml"], dtype=dtype)
-    ckptr = ocp.StandardCheckpointer()
-    state = ckptr.restore(path / "state")
+    state = _restore_as_numpy(path / "state")
     variables = state.get("ema_variables") if prefer_ema and state.get("ema_variables") is not None else state["variables"]
     if "names" in meta:
         model.names = {int(k): v for k, v in meta["names"].items()} if isinstance(meta["names"], dict) else dict(enumerate(meta["names"]))

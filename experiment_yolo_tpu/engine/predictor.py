@@ -77,6 +77,8 @@ class DetectionPredictor:
             max_det=int(self.args.max_det),
             multi_label=False,
             agnostic=bool(self.args.agnostic_nms),
+            nms_type=str(getattr(self.args, "nms_type", "soft") or "soft"),
+            soft_first_quirk=bool(getattr(self.args, "soft_nms_quirk", False)),
         )
 
     def _preprocess_chunk(self, chunk):

@@ -91,6 +91,15 @@ class DetectionTrainer:
                 {k: v for k, v in model.yaml.items() if k != "yaml_file"}, dtype=jnp.bfloat16
             )
             self.model.names = model.names
+        if int(self.args.batch) == -1:
+            # HBM-aware batch search (reference autobatch.py via batch=-1)
+            from experiment_yolo_tpu.utils.autobatch import autobatch
+
+            self.args.batch = autobatch(
+                self.model, imgsz=int(self.args.imgsz),
+                max_labels=int(getattr(self.args, "max_labels", 128) or 128),
+                dtype=self.dtype,
+            )
 
     def _get_save_dir(self) -> Path:
         project = self.args.project or "runs/detect"

@@ -57,6 +57,8 @@ class DetectionValidator:
                 iou_thres=float(args.iou),
                 max_det=int(args.max_det),
                 multi_label=True,
+                nms_type=str(getattr(args, "nms_type", "soft") or "soft"),
+                soft_first_quirk=bool(getattr(args, "soft_nms_quirk", False)),
             )
 
         n_images = len(dataset)

@@ -140,6 +140,487 @@ class ConvNeXtV2(nn.Module):
         return outs
 
 
+# ---------------------------------------------------------------------------
+# EfficientViT (reference nn/backbone/efficientViT.py — arXiv:2305.07027)
+# ---------------------------------------------------------------------------
+
+# variant: (embed_dims, depths, num_heads, window, kernels)
+EFFICIENTVIT_CFGS = {
+    "m0": ((64, 128, 192), (1, 2, 3), (4, 4, 4), 7, (7, 5, 3, 3)),
+    "m1": ((128, 144, 192), (1, 2, 3), (2, 3, 3), 7, (7, 5, 3, 3)),
+    "m2": ((128, 192, 224), (1, 2, 3), (4, 3, 2), 7, (7, 5, 3, 3)),
+    "m3": ((128, 240, 320), (1, 2, 3), (4, 3, 4), 7, (5, 5, 5, 5)),
+    "m4": ((128, 256, 384), (1, 2, 3), (4, 4, 4), 7, (7, 5, 3, 3)),
+    "m5": ((192, 288, 384), (1, 3, 4), (3, 3, 4), 7, (7, 5, 3, 3)),
+}
+
+
+def _conv_bn(x, out, k, s, pad, train, dtype, name, groups=1, bn_init=1.0):
+    """Conv2d_BN (efficientViT.py:19): conv no-bias + BN (scale init 0 for
+    residual tails via bn_init)."""
+    y = nn.Conv(out, (k, k), strides=(s, s), padding=[(pad, pad)] * 2, use_bias=False,
+                feature_group_count=groups, dtype=dtype, param_dtype=jnp.float32, name=f"{name}_c")(x)
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
+                        param_dtype=jnp.float32, scale_init=nn.initializers.constant(bn_init),
+                        name=f"{name}_bn")(y)
+
+
+def _squeeze_excite(x, dim, train, dtype, name, rd_ratio=0.25):
+    """timm SqueezeExcite: global-avg -> 1x1 reduce -> ReLU -> 1x1 expand ->
+    sigmoid gate; rd = make_divisible(dim*ratio, 8, round_limit=0)."""
+    rd = max(8, int(dim * rd_ratio + 4) // 8 * 8)
+    s = x.mean(axis=(1, 2), keepdims=True)
+    s = nn.Conv(rd, (1, 1), dtype=dtype, param_dtype=jnp.float32, name=f"{name}_fc1")(s)
+    s = nn.Conv(dim, (1, 1), dtype=dtype, param_dtype=jnp.float32, name=f"{name}_fc2")(jax.nn.relu(s))
+    return x * jax.nn.sigmoid(s)
+
+
+class _CascadedGroupAttention(nn.Module):
+    """Cascaded group attention over one window (efficientViT.py:93): heads
+    read cascading chunk sums, q gets a per-head dwconv, attention carries a
+    learned relative-position bias table indexed by static offsets."""
+
+    dim: int
+    key_dim: int
+    num_heads: int
+    window: int
+    kernels: Tuple[int, ...]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # x (B', w, w, C)
+        import itertools
+
+        import numpy as np
+
+        d = self.dim // self.num_heads  # attn_ratio*key_dim == dim/heads
+        w = self.window
+        points = list(itertools.product(range(w), range(w)))
+        offsets, idxs = {}, []
+        for p1 in points:
+            for p2 in points:
+                off = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
+                if off not in offsets:
+                    offsets[off] = len(offsets)
+                idxs.append(offsets[off])
+        bias_idx = np.asarray(idxs, np.int32).reshape(len(points), len(points))
+        biases = self.param("attention_biases", nn.initializers.zeros,
+                            (self.num_heads, len(offsets)), jnp.float32)
+        ab = biases[:, bias_idx]  # (nh, N, N)
+
+        chunk = self.dim // self.num_heads
+        feats_in = [x[..., i * chunk:(i + 1) * chunk] for i in range(self.num_heads)]
+        feat = feats_in[0]
+        outs = []
+        scale = self.key_dim**-0.5
+        for i in range(self.num_heads):
+            if i > 0:
+                feat = feat + feats_in[i]
+            qkv = _conv_bn(feat, 2 * self.key_dim + d, 1, 1, 0, train, self.dtype, f"qkv{i}")
+            q, k, v = (qkv[..., : self.key_dim], qkv[..., self.key_dim: 2 * self.key_dim],
+                       qkv[..., 2 * self.key_dim:])
+            ks = self.kernels[i]
+            q = _conv_bn(q, self.key_dim, ks, 1, ks // 2, train, self.dtype, f"dw{i}", groups=self.key_dim)
+            b = q.shape[0]
+            qf = q.reshape(b, -1, self.key_dim)
+            kf = k.reshape(b, -1, self.key_dim)
+            vf = v.reshape(b, -1, d)
+            attn = jax.nn.softmax(qf @ kf.transpose(0, 2, 1) * scale + ab[i].astype(qf.dtype), axis=-1)
+            feat = (attn @ vf).reshape(b, w, w, d)
+            outs.append(feat)
+        y = jax.nn.relu(jnp.concatenate(outs, -1))
+        return _conv_bn(y, self.dim, 1, 1, 0, train, self.dtype, "proj", bn_init=0.0)
+
+
+class _EfficientViTBlock(nn.Module):
+    """dw+FFN sandwich around windowed cascaded attention (efficientViT.py:238)."""
+
+    dim: int
+    key_dim: int
+    num_heads: int
+    window: int
+    kernels: Tuple[int, ...]
+    dtype: Dtype = jnp.float32
+
+    def _ffn(self, x, train, name):
+        y = _conv_bn(x, self.dim * 2, 1, 1, 0, train, self.dtype, f"{name}_pw1")
+        return x + _conv_bn(jax.nn.relu(y), self.dim, 1, 1, 0, train, self.dtype, f"{name}_pw2", bn_init=0.0)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + _conv_bn(x, self.dim, 3, 1, 1, train, self.dtype, "dw0", groups=self.dim, bn_init=0.0)
+        x = self._ffn(x, train, "ffn0")
+        # local window attention: pad to a window multiple, partition, attend
+        B, H, W, C = x.shape
+        w = self.window
+        pad_b, pad_r = (w - H % w) % w, (w - W % w) % w
+        y = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        pH, pW = H + pad_b, W + pad_r
+        nH, nW = pH // w, pW // w
+        y = y.reshape(B, nH, w, nW, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B * nH * nW, w, w, C)
+        y = _CascadedGroupAttention(self.dim, self.key_dim, self.num_heads, w,
+                                    self.kernels, dtype=self.dtype, name="attn")(y, train)
+        y = y.reshape(B, nH, nW, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, pH, pW, C)
+        x = x + y[:, :H, :W]
+        x = x + _conv_bn(x, self.dim, 3, 1, 1, train, self.dtype, "dw1", groups=self.dim, bn_init=0.0)
+        return self._ffn(x, train, "ffn1")
+
+
+class EfficientViT(nn.Module):
+    """EfficientViT backbone (reference nn/backbone/efficientViT.py:273,
+    registered as EfficientViT_M0..M5 in tasks.py:940) -> [P3, P4, P5]."""
+
+    variant: str = "m0"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return EFFICIENTVIT_CFGS[variant][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, depths, heads, window, kernels = EFFICIENTVIT_CFGS[self.variant]
+        key_dim = 16
+        # patch embed: /8 (3 stride-2 convs + 1 stride-1, ReLU between)
+        e = dims[0]
+        x = jax.nn.relu(_conv_bn(x, e // 8, 3, 2, 1, train, self.dtype, "pe0"))
+        x = jax.nn.relu(_conv_bn(x, e // 4, 3, 2, 1, train, self.dtype, "pe1"))
+        x = jax.nn.relu(_conv_bn(x, e // 2, 3, 2, 1, train, self.dtype, "pe2"))
+        x = _conv_bn(x, e, 3, 1, 1, train, self.dtype, "pe3")
+        outs = []
+        for si, (dim, depth, nh) in enumerate(zip(dims, depths, heads)):
+            if si > 0:
+                # subsample bridge: dw+FFN residuals, PatchMerging, dw+FFN
+                prev = dims[si - 1]
+                x = x + _conv_bn(x, prev, 3, 1, 1, train, self.dtype, f"ds{si}_dw_a", groups=prev)
+                y = _conv_bn(x, prev * 2, 1, 1, 0, train, self.dtype, f"ds{si}_ffn_a1")
+                x = x + _conv_bn(jax.nn.relu(y), prev, 1, 1, 0, train, self.dtype, f"ds{si}_ffn_a2", bn_init=0.0)
+                # PatchMerging: 1x1 expand -> dw3x3 s2 -> SE -> 1x1 project
+                hid = prev * 4
+                y = jax.nn.relu(_conv_bn(x, hid, 1, 1, 0, train, self.dtype, f"ds{si}_pm1"))
+                y = jax.nn.relu(_conv_bn(y, hid, 3, 2, 1, train, self.dtype, f"ds{si}_pm2", groups=hid))
+                y = _squeeze_excite(y, hid, train, self.dtype, f"ds{si}_se")
+                x = _conv_bn(y, dim, 1, 1, 0, train, self.dtype, f"ds{si}_pm3")
+                x = x + _conv_bn(x, dim, 3, 1, 1, train, self.dtype, f"ds{si}_dw_b", groups=dim)
+                y = _conv_bn(x, dim * 2, 1, 1, 0, train, self.dtype, f"ds{si}_ffn_b1")
+                x = x + _conv_bn(jax.nn.relu(y), dim, 1, 1, 0, train, self.dtype, f"ds{si}_ffn_b2", bn_init=0.0)
+            for bi in range(depth):
+                x = _EfficientViTBlock(dim, key_dim, nh, window, kernels,
+                                       dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+            outs.append(x)
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# RepViT (reference nn/backbone/repvit.py — arXiv:2307.09283)
+# ---------------------------------------------------------------------------
+
+# variant: ((stage_channels, n_blocks), ...) — expanded to the reference's
+# per-row cfgs: kernel 3, expand 2x everywhere; stages >0 start with a
+# stride-2 downsample row; within a stage SE alternates 1,0,... with the
+# last row forced 0 (verified row-for-row against repvit.py:260-456).
+REPVIT_CFGS = {
+    "m0_9": ((48, 3), (96, 4), (192, 16), (384, 3)),
+    "m1_0": ((56, 3), (112, 4), (224, 16), (448, 3)),
+    "m1_1": ((64, 3), (128, 4), (256, 14), (512, 3)),
+    "m1_5": ((64, 5), (128, 6), (256, 26), (512, 5)),
+    "m2_3": ((80, 7), (160, 8), (320, 36), (640, 3)),
+}
+
+
+class _RepViTBlock(nn.Module):
+    """RepViTBlock (repvit.py:134): stride-2 form = dw-k3-s2 + SE + 1x1 to
+    oup, then residual 1x1 expand/project mixer; stride-1 form = RepVGGDW
+    (+SE) token mixer with residual channel mixer."""
+
+    inp: int
+    oup: int
+    stride: int
+    use_se: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.stride == 2:
+            y = _conv_bn(x, self.inp, 3, 2, 1, train, self.dtype, "tm_dw", groups=self.inp)
+            if self.use_se:
+                y = _squeeze_excite(y, self.inp, train, self.dtype, "tm_se")
+            y = _conv_bn(y, self.oup, 1, 1, 0, train, self.dtype, "tm_pw")
+            z = _conv_bn(y, 2 * self.oup, 1, 1, 0, train, self.dtype, "cm_pw1")
+            return y + _conv_bn(jax.nn.gelu(z), self.oup, 1, 1, 0, train, self.dtype, "cm_pw2", bn_init=0.0)
+        # RepVGGDW: dw3x3+BN + dw1x1(bias) + identity, then BN
+        y = _conv_bn(x, self.inp, 3, 1, 1, train, self.dtype, "rvg_dw", groups=self.inp)
+        y1 = nn.Conv(self.inp, (1, 1), feature_group_count=self.inp, use_bias=True,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="rvg_pw")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="rvg_bn")(y + y1 + x)
+        if self.use_se:
+            y = _squeeze_excite(y, self.inp, train, self.dtype, "tm_se")
+        z = _conv_bn(y, 2 * self.inp, 1, 1, 0, train, self.dtype, "cm_pw1")
+        return y + _conv_bn(jax.nn.gelu(z), self.oup, 1, 1, 0, train, self.dtype, "cm_pw2", bn_init=0.0)
+
+
+class RepViT(nn.Module):
+    """RepViT backbone (reference nn/backbone/repvit.py:172, registered as
+    repvit_m0_9..m2_3) -> [P2, P3, P4, P5]."""
+
+    variant: str = "m0_9"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return tuple(c for c, _ in REPVIT_CFGS[variant])
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stages = REPVIT_CFGS[self.variant]
+        c0 = stages[0][0]
+        x = _conv_bn(x, c0 // 2, 3, 2, 1, train, self.dtype, "stem0")
+        x = _conv_bn(jax.nn.gelu(x), c0, 3, 2, 1, train, self.dtype, "stem1")
+        outs = []
+        inp = c0
+        for si, (c, n) in enumerate(stages):
+            rows = []
+            if si > 0:
+                rows.append((2, False))  # stride-2 transition, no SE
+                n -= 1
+            rows += [(1, (j % 2 == 0) and (j != n - 1)) for j in range(n)]
+            for bi, (s, se) in enumerate(rows):
+                x = _RepViTBlock(inp, c, s, se, dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+                inp = c
+            outs.append(x)
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# LSKNet (reference nn/backbone/lsknet.py — arXiv:2303.09030)
+# ---------------------------------------------------------------------------
+
+LSKNET_CFGS = {
+    # embed_dims, depths, mlp_ratios
+    "t": ((32, 64, 160, 256), (3, 3, 5, 2), (8, 8, 4, 4)),
+    "s": ((64, 128, 256, 512), (2, 2, 4, 2), (8, 8, 4, 4)),
+}
+
+
+class _LSKBlockCore(nn.Module):
+    """Large selective kernel unit (lsknet.py:31): 5x5 dw + 7x7 dilated dw
+    branches, avg/max-pooled 2-channel squeeze picks per-pixel branch mix."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+        a1 = nn.Conv(d, (5, 5), padding=[(2, 2)] * 2, feature_group_count=d,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="conv0")(x)
+        a2 = nn.Conv(d, (7, 7), padding=[(9, 9)] * 2, kernel_dilation=(3, 3), feature_group_count=d,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="conv_spatial")(a1)
+        a1 = nn.Conv(d // 2, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(a1)
+        a2 = nn.Conv(d // 2, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(a2)
+        attn = jnp.concatenate([a1, a2], -1)
+        agg = jnp.concatenate([attn.mean(-1, keepdims=True), attn.max(-1, keepdims=True)], -1)
+        sig = jax.nn.sigmoid(nn.Conv(2, (7, 7), padding=[(3, 3)] * 2, dtype=self.dtype,
+                                     param_dtype=jnp.float32, name="conv_squeeze")(agg))
+        attn = a1 * sig[..., 0:1] + a2 * sig[..., 1:2]
+        return x * nn.Conv(d, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv")(attn)
+
+
+class _LSKStageBlock(nn.Module):
+    """LSKNet Block (lsknet.py:78): BN -> proj/GELU/LSK/proj attention and
+    BN -> conv-MLP with dw3x3, both residual with layer-scale."""
+
+    dim: int
+    mlp_ratio: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dim
+        ls1 = self.param("layer_scale_1", nn.initializers.constant(1e-2), (d,), jnp.float32)
+        ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-2), (d,), jnp.float32)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm1")(x)
+        y = jax.nn.gelu(nn.Conv(d, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_1")(y))
+        y = _LSKBlockCore(d, dtype=self.dtype, name="lsk")(y)
+        y = nn.Conv(d, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_2")(y)
+        x = x + ls1 * y
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm2")(x)
+        h = d * self.mlp_ratio
+        y = nn.Conv(h, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
+        y = nn.Conv(h, (3, 3), padding=[(1, 1)] * 2, feature_group_count=h, use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="dw")(y)
+        y = nn.Conv(d, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(jax.nn.gelu(y))
+        return x + ls2 * y
+
+
+class LSKNet(nn.Module):
+    """LSKNet backbone (reference nn/backbone/lsknet.py:117, lsknet_t/_s)
+    -> [P2, P3, P4, P5]."""
+
+    variant: str = "t"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return LSKNET_CFGS[variant][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, depths, ratios = LSKNET_CFGS[self.variant]
+        outs = []
+        for si, (dim, depth, mr) in enumerate(zip(dims, depths, ratios)):
+            k, s = (7, 4) if si == 0 else (3, 2)
+            x = nn.Conv(dim, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+                        dtype=self.dtype, param_dtype=jnp.float32, name=f"pe{si}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"pe{si}_bn")(x)
+            for bi in range(depth):
+                x = _LSKStageBlock(dim, mr, dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name=f"norm{si}")(x)
+            outs.append(x)
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV4 (reference nn/backbone/mobilenetv4.py — arXiv:2404.10518)
+# ---------------------------------------------------------------------------
+
+# spec rows: ("convbn", (out, k, s)) | ("fused_ib", (out, s, expand)) |
+# ("uib", (out, start_dw_k, mid_dw_k, s, expand)). The reference's Hybrid
+# variants ship EMPTY spec dicts (mobilenetv4.py:200-205) and cannot build
+# there either, so only the three Conv variants exist.
+MOBILENETV4_SPECS = {
+    "conv_small": (
+        ("convbn", (32, 3, 2)), ("convbn", (32, 3, 2)), ("convbn", (32, 1, 1)),
+        ("convbn", (96, 3, 2)), ("convbn", (64, 1, 1)),
+        ("uib", (96, 5, 5, 2, 3)), ("uib", (96, 0, 3, 1, 2)), ("uib", (96, 0, 3, 1, 2)),
+        ("uib", (96, 0, 3, 1, 2)), ("uib", (96, 0, 3, 1, 2)), ("uib", (96, 3, 0, 1, 4)),
+        ("uib", (128, 3, 3, 2, 6)), ("uib", (128, 5, 5, 1, 4)), ("uib", (128, 0, 5, 1, 4)),
+        ("uib", (128, 0, 5, 1, 3)), ("uib", (128, 0, 3, 1, 4)), ("uib", (128, 0, 3, 1, 4)),
+        ("convbn", (960, 1, 1)), ("convbn", (1280, 1, 1)),
+    ),
+    "conv_medium": (
+        ("convbn", (32, 3, 2)),
+        ("fused_ib", (48, 2, 4)),
+        ("uib", (80, 3, 5, 2, 4)), ("uib", (80, 3, 3, 1, 2)),
+        ("uib", (160, 3, 5, 2, 6)), ("uib", (160, 3, 3, 1, 4)), ("uib", (160, 3, 3, 1, 4)),
+        ("uib", (160, 3, 5, 1, 4)), ("uib", (160, 3, 3, 1, 4)), ("uib", (160, 3, 0, 1, 4)),
+        ("uib", (160, 0, 0, 1, 2)), ("uib", (160, 3, 0, 1, 4)),
+        ("uib", (256, 5, 5, 2, 6)), ("uib", (256, 5, 5, 1, 4)), ("uib", (256, 3, 5, 1, 4)),
+        ("uib", (256, 3, 5, 1, 4)), ("uib", (256, 0, 0, 1, 4)), ("uib", (256, 3, 0, 1, 4)),
+        ("uib", (256, 3, 5, 1, 2)), ("uib", (256, 5, 5, 1, 4)), ("uib", (256, 0, 0, 1, 4)),
+        ("uib", (256, 0, 0, 1, 4)), ("uib", (256, 5, 0, 1, 2)),
+        ("convbn", (960, 1, 1)), ("convbn", (1280, 1, 1)),
+    ),
+    "conv_large": (
+        ("convbn", (24, 3, 2)),
+        ("fused_ib", (48, 2, 4)),
+        ("uib", (96, 3, 5, 2, 4)), ("uib", (96, 3, 3, 1, 4)),
+        ("uib", (192, 3, 5, 2, 4)), ("uib", (192, 3, 3, 1, 4)), ("uib", (192, 3, 3, 1, 4)),
+        ("uib", (192, 3, 3, 1, 4)), ("uib", (192, 3, 5, 1, 4)), ("uib", (192, 5, 3, 1, 4)),
+        ("uib", (192, 5, 3, 1, 4)), ("uib", (192, 5, 3, 1, 4)), ("uib", (192, 5, 3, 1, 4)),
+        ("uib", (192, 5, 3, 1, 4)), ("uib", (192, 3, 0, 1, 4)),
+        ("uib", (512, 5, 5, 2, 4)), ("uib", (512, 5, 5, 1, 4)), ("uib", (512, 5, 5, 1, 4)),
+        ("uib", (512, 5, 5, 1, 4)), ("uib", (512, 5, 0, 1, 4)), ("uib", (512, 5, 3, 1, 4)),
+        ("uib", (512, 5, 0, 1, 4)), ("uib", (512, 5, 0, 1, 4)), ("uib", (512, 5, 3, 1, 4)),
+        ("uib", (512, 5, 5, 1, 4)), ("uib", (512, 5, 0, 1, 4)), ("uib", (512, 5, 0, 1, 4)),
+        ("uib", (512, 5, 0, 1, 4)),
+        ("convbn", (960, 1, 1)), ("convbn", (1280, 1, 1)),
+    ),
+}
+
+
+def _mnv4_divisible(v: float, divisor: int = 8) -> int:
+    nv = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if nv < 0.9 * v:
+        nv += divisor
+    return int(nv)
+
+
+class MobileNetV4(nn.Module):
+    """MobileNetV4 backbone (reference nn/backbone/mobilenetv4.py:347,
+    MobileNetV4ConvSmall/Medium/Large) -> [P2, P3, P4, P5]; the final
+    stride-1 1x1 tower replaces the P5 feature (1280 channels), matching the
+    reference's scale-keyed feature collection."""
+
+    variant: str = "conv_small"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        outs, stride = {}, 1
+        for kind, spec in MOBILENETV4_SPECS[variant]:
+            if kind == "convbn":
+                s = spec[2]
+            elif kind == "fused_ib":
+                s = spec[1]
+            else:  # uib
+                s = spec[3]
+            stride *= s
+            outs[stride] = spec[0]
+        return tuple(outs[s] for s in (4, 8, 16, 32))
+
+    def _convbn(self, x, out, k, s, train, name, act=True, groups=1):
+        y = _conv_bn(x, out, k, s, (k - 1) // 2, train, self.dtype, name, groups=groups)
+        return jax.nn.relu6(y) if act else y
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = {}
+        stride = 1
+        inp = x.shape[-1]
+        for i, (kind, spec) in enumerate(MOBILENETV4_SPECS[self.variant]):
+            if kind == "convbn":
+                out, k, s = spec
+                x = self._convbn(x, out, k, s, train, f"b{i}")
+            elif kind == "fused_ib":
+                out, s, expand = spec
+                hid = int(round(inp * expand))
+                y = self._convbn(x, hid, 1, 1, train, f"b{i}_exp")
+                y = self._convbn(y, hid, 3, s, train, f"b{i}_dw", groups=hid)
+                y = self._convbn(y, out, 1, 1, train, f"b{i}_red", act=True)
+                x = x + y if (s == 1 and inp == out) else y
+            else:  # uib
+                out, sdk, mdk, s, expand = spec
+                y = x
+                if sdk:
+                    y = self._convbn(y, inp, sdk, 1 if mdk else s, train, f"b{i}_sdw", act=False, groups=inp)
+                hid = _mnv4_divisible(inp * expand)
+                y = self._convbn(y, hid, 1, 1, train, f"b{i}_exp")
+                if mdk:
+                    y = self._convbn(y, hid, mdk, s, train, f"b{i}_mdw", groups=hid)
+                x = self._convbn(y, out, 1, 1, train, f"b{i}_proj", act=False)
+            inp = out
+            stride *= s
+            outs[stride] = x
+        return [outs[s] for s in (4, 8, 16, 32)]
+
+
+# name -> (class, variant): the reference's callable-name registry
+# (tasks.py:939-957) mapped onto our variant-parameterized modules
+WHOLE_BACKBONES = {
+    "EfficientViT_M0": (EfficientViT, "m0"),
+    "EfficientViT_M1": (EfficientViT, "m1"),
+    "EfficientViT_M2": (EfficientViT, "m2"),
+    "EfficientViT_M3": (EfficientViT, "m3"),
+    "EfficientViT_M4": (EfficientViT, "m4"),
+    "EfficientViT_M5": (EfficientViT, "m5"),
+    "repvit_m0_9": (RepViT, "m0_9"),
+    "repvit_m1_0": (RepViT, "m1_0"),
+    "repvit_m1_1": (RepViT, "m1_1"),
+    "repvit_m1_5": (RepViT, "m1_5"),
+    "repvit_m2_3": (RepViT, "m2_3"),
+    "lsknet_t": (LSKNet, "t"),
+    "lsknet_s": (LSKNet, "s"),
+    "MobileNetV4ConvSmall": (MobileNetV4, "conv_small"),
+    "MobileNetV4ConvMedium": (MobileNetV4, "conv_medium"),
+    "MobileNetV4ConvLarge": (MobileNetV4, "conv_large"),
+}
+
+
 class FasterNet(nn.Module):
     """FasterNet backbone -> [P2, P3, P4, P5] at strides 4/8/16/32."""
 

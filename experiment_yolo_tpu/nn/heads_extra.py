@@ -143,6 +143,185 @@ class DetectEfficient(nn.Module):
         return outs
 
 
+class ConvGN(nn.Module):
+    """Conv (no bias) + GroupNorm(16) + SiLU (reference extra head.py:481
+    Conv_GN) — the norm of choice for shared detection-head convs."""
+
+    c2: int
+    k: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.k // 2
+        y = nn.Conv(self.c2, (self.k, self.k), padding=[(p, p)] * 2, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        y = nn.GroupNorm(num_groups=16, dtype=self.dtype, param_dtype=jnp.float32, name="gn")(y)
+        return jax.nn.silu(y) if self.act else y
+
+
+class DetectLSCD(nn.Module):
+    """Lightweight shared-conv detection head (extra head.py:497
+    Detect_LSCD): per-level 1x1 ConvGN into hidc, one SHARED 3x3 ConvGN
+    tower and SHARED 1x1 box/cls projections, per-level learnable scale on
+    the box branch. Returns raw (B,H,W,4*reg_max+nc) maps like Detect."""
+
+    nc: int = 80
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        share0 = ConvGN(self.hidc, 3, dtype=self.dtype, name="share_conv_0")
+        share1 = ConvGN(self.hidc, 3, dtype=self.dtype, name="share_conv_1")
+        cv2 = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="cv2")
+        cv3 = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="cv3")
+        outs = []
+        for i, x in enumerate(xs):
+            scale = self.param(f"scale_{i}", nn.initializers.ones, (), jnp.float32)
+            y = ConvGN(self.hidc, 1, dtype=self.dtype, name=f"conv_{i}")(x, train)
+            y = share1(share0(y, train), train)
+            outs.append(jnp.concatenate([cv2(y) * scale, cv3(y)], axis=-1))
+        return outs
+
+
+class SegmentLSCD(nn.Module):
+    """Segment_LSCD (extra head.py:570): DetectLSCD + mask coeffs + protos."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectLSCD(nc=self.nc, hidc=self.hidc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        coeffs = []
+        for i, x in enumerate(xs):
+            y = ConvGN(c4, 1, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvGN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(self.nm, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            coeffs.append(y)
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        return det, coeffs, protos
+
+
+class PoseLSCD(nn.Module):
+    """Pose_LSCD (extra head.py:595): DetectLSCD + keypoint branch (the kpt
+    branch keeps the reference's BN Convs)."""
+
+    nc: int = 80
+    kpt_shape: Tuple[int, int] = (17, 3)
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectLSCD(nc=self.nc, hidc=self.hidc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        kmaps = []
+        for i, x in enumerate(xs):
+            y = ConvBN(c4, 1, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(nk, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            kmaps.append(y)
+        return det, kmaps
+
+
+class OBBLSCD(nn.Module):
+    """OBB_LSCD (extra head.py:635): DetectLSCD + angle branch."""
+
+    nc: int = 80
+    ne: int = 1
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectLSCD(nc=self.nc, hidc=self.hidc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.ne)
+        amaps = []
+        for i, x in enumerate(xs):
+            y = ConvGN(c4, 1, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvGN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(self.ne, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            amaps.append(y)
+        return det, amaps
+
+
+class DetectSEAM(nn.Module):
+    """Detect_SEAM / Detect_MultiSEAM (extra head.py:304/366): Detect with a
+    SEAM (or MultiSEAM) attention between the 3x3 stem and the projection."""
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    multi: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.nn.zoo_blocks import SEAM, MultiSEAM
+
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        att = MultiSEAM if self.multi else SEAM
+        outs = []
+        for i, x in enumerate(xs):
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            box = att(c2, dtype=self.dtype, name=f"cv2_{i}_att")(box, train)
+            box = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv2_{i}_2")(box)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls = att(c3, dtype=self.dtype, name=f"cv3_{i}_att")(cls, train)
+            cls = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv3_{i}_2")(cls)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
+class SegmentEfficient(nn.Module):
+    """Segment_Efficient (extra head.py:439): DetectEfficient + mask branch."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectEfficient(nc=self.nc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        coeffs = []
+        for i, x in enumerate(xs):
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            y = nn.Conv(self.nm, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+            coeffs.append(y)
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        return det, coeffs, protos
+
+
 class DetectAux(nn.Module):
     """Detect with an auxiliary one-to-many training head (reference
     extra_modules/head.py:235 DetectAux).

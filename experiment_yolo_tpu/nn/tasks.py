@@ -43,6 +43,21 @@ def make_divisible(x: float, divisor: int = 8) -> int:
     return int(math.ceil(x / divisor) * divisor)
 
 
+def _whole_backbones():
+    """Lazy import of the whole-backbone name registry (backbones.py)."""
+    from experiment_yolo_tpu.nn.backbones import WHOLE_BACKBONES
+
+    return WHOLE_BACKBONES
+
+
+def _zoo_inner(mname: str) -> str | None:
+    """'C2f_<X>'/'C3_<X>' -> '<X>' when X is a registered zoo inner block."""
+    from experiment_yolo_tpu.nn.zoo_blocks import INNER_BLOCKS
+
+    suffix = mname.split("_", 1)[1] if "_" in mname else ""
+    return suffix if suffix in INNER_BLOCKS else None
+
+
 # channel-preserving attention registry (reference tasks.py:962-971 branch)
 _ATTENTION = {
     "EMA": X.EMAAttention,
@@ -147,6 +162,70 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "Bottleneck":
             c2 = _scale_ch(args[0], nc, width, max_channels)
             mod = M.Bottleneck(c2, *args[1:], dtype=dtype)
+        elif (mname.startswith("C2f_") or mname.startswith("C3_")) and _zoo_inner(mname):
+            # C2f_<X>/C3_<X> zoo family (reference extra_modules/block.py):
+            # generic CSP containers + the INNER_BLOCKS registry
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            shortcut = bool(args[1]) if len(args) > 1 else False
+            cls = Z.C2fX if mname.startswith("C2f_") else Z.C3X
+            mod = cls(c2, inner=_zoo_inner(mname), n=n, shortcut=shortcut, dtype=dtype)
+            n = 1
+        elif mname in ("RFAConv", "RFCBAMConv", "RFCAConv"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            cls = {"RFAConv": Z.RFAConv, "RFCBAMConv": Z.RFCBAMConv, "RFCAConv": Z.RFCAConv}[mname]
+            mod = cls(c2, k=args[1] if len(args) > 1 else 3, dtype=dtype)
+        elif mname == "AKConv":
+            # the reference's AKConv (block.py:2986) is LDConv under another
+            # name — identical sampling math (see nn/modules.py:LDConv)
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = M.LDConv(c2, *args[1:], dtype=dtype)
+        elif mname in ("GSConv", "GSConvns"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            k = args[1] if len(args) > 1 else 1
+            s = args[2] if len(args) > 2 else 1
+            if mname == "GSConv":
+                mod = Z.GSConv(c2, k=k, s=s, dtype=dtype)
+            else:
+                mod = Z.GSConvNS(c2, k=k, s=s, dtype=dtype)
+        elif mname in ("VoVGSCSP", "VoVGSCSPns", "VoVGSCSPC"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = Z.VoVGSCSP(c2, n=n, ns=mname.endswith("ns"), cheap=mname.endswith("C"), dtype=dtype)
+            n = 1
+        elif mname == "SCConv":
+            # SCNet self-calibrated conv, scaled-c2 registry set (tasks.py:828)
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = Z.SCConvSC(c2, dtype=dtype)
+        elif mname in ("EMSConv", "EMSConvP", "ScConv", "Partial_conv3", "DWR"):
+            # attention-style registry entries: channel-preserving, c2 = c1
+            # (reference tasks.py:961-963)
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = c1
+            if mname == "EMSConv":
+                mod = Z.EMSConv(c2, dtype=dtype)
+            elif mname == "EMSConvP":
+                mod = Z.EMSConvP(c2, dtype=dtype)
+            elif mname == "ScConv":
+                mod = Z.ScConvCVPR23(c2, dtype=dtype)
+            elif mname == "DWR":
+                mod = Z.DWR(c2, dtype=dtype)
+            else:
+                mod = Z.PartialConv3(dtype=dtype)
+        elif mname == "ContextGuidedBlock_Down":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = c1 * 2
+            mod = Z.ContextGuidedDown(c2, dtype=dtype)
         elif mname in ("SPPF", "SPP"):
             c2 = _scale_ch(args[0], nc, width, max_channels)
             cls = M.SPPF if mname == "SPPF" else M.SPP
@@ -212,6 +291,13 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             variant = args[0] if args else ("t0" if mname == "FasterNet" else "atto")
             c2 = list(cls.channels(variant))  # multi-output node
             mod = cls(variant=variant, dtype=dtype)
+        elif mname in _whole_backbones():
+            # callable-name backbone registry (reference tasks.py:939-957):
+            # EfficientViT_M0..M5, repvit_m0_9..m2_3, lsknet_t/s,
+            # MobileNetV4Conv{Small,Medium,Large}
+            cls, variant = _whole_backbones()[mname]
+            c2 = list(cls.channels(variant))  # multi-output node
+            mod = cls(variant=variant, dtype=dtype)
         elif mname == "Index":
             src = src_ch(f_list[0])
             assert isinstance(src, list), "Index must follow a multi-output backbone"
@@ -265,21 +351,51 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             mod = T.RTDETRDecoder(nc=nc, ch=ch_in, dtype=dtype)
             detect_idx = i
             list_input = True
-        elif mname in ("Detect", "Detect_Efficient", "DetectAux"):
+        elif mname in ("Detect", "Detect_Efficient", "DetectAux", "Detect_SEAM",
+                       "Detect_MultiSEAM", "Detect_LSCD"):
+            from experiment_yolo_tpu.nn import heads_extra as H
+
             ch_in = tuple(src_ch(j) for j in f_list)
             c2 = 0
             if mname == "Detect":
                 mod = M.Detect(nc=nc, ch=ch_in, dtype=dtype)
             elif mname == "DetectAux":
-                from experiment_yolo_tpu.nn.heads_extra import DetectAux
-
-                mod = DetectAux(nc=nc, ch=ch_in, dtype=dtype)
+                mod = H.DetectAux(nc=nc, ch=ch_in, dtype=dtype)
+            elif mname in ("Detect_SEAM", "Detect_MultiSEAM"):
+                mod = H.DetectSEAM(nc=nc, ch=ch_in, multi=mname == "Detect_MultiSEAM", dtype=dtype)
+            elif mname == "Detect_LSCD":
+                # args: [nc, hidc] (extra head.py:497), hidc width-scaled
+                hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
+                mod = H.DetectLSCD(nc=nc, hidc=hidc, ch=ch_in, dtype=dtype)
             else:
-                from experiment_yolo_tpu.nn.heads_extra import DetectEfficient
-
-                mod = DetectEfficient(nc=nc, ch=ch_in, dtype=dtype)
+                mod = H.DetectEfficient(nc=nc, ch=ch_in, dtype=dtype)
             detect_idx = i
             reg_max = mod.reg_max
+            list_input = True
+        elif mname in ("Segment_LSCD", "Pose_LSCD", "OBB_LSCD", "Segment_Efficient"):
+            from experiment_yolo_tpu.nn import heads_extra as H
+
+            ch_in = tuple(src_ch(j) for j in f_list)
+            c2 = 0
+            if mname == "Segment_LSCD":
+                nm = args[1] if len(args) > 1 else 32
+                npr = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
+                hidc = _scale_ch(args[3] if len(args) > 3 else 256, nc, width, max_channels)
+                mod = H.SegmentLSCD(nc=nc, nm=nm, npr=npr, hidc=hidc, ch=ch_in, dtype=dtype)
+            elif mname == "Pose_LSCD":
+                ks = args[1] if len(args) > 1 else (17, 3)
+                if isinstance(ks, str):
+                    ks = d.get("kpt_shape", (17, 3))
+                hidc = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
+                mod = H.PoseLSCD(nc=nc, kpt_shape=tuple(ks), hidc=hidc, ch=ch_in, dtype=dtype)
+            elif mname == "OBB_LSCD":
+                hidc = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
+                mod = H.OBBLSCD(nc=nc, ne=args[1] if len(args) > 1 else 1, hidc=hidc, ch=ch_in, dtype=dtype)
+            else:
+                nm = args[1] if len(args) > 1 else 32
+                npr = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
+                mod = H.SegmentEfficient(nc=nc, nm=nm, npr=npr, ch=ch_in, dtype=dtype)
+            detect_idx = i
             list_input = True
         elif mname in ("Segment", "Pose", "OBB"):
             # task heads (reference head.py:90/147/116); args after nc:
@@ -431,7 +547,7 @@ class DetectionModel:
         rng = jax.random.PRNGKey(0)
         vars_shape = jax.eval_shape(lambda r, xx: self.module.init(r, xx, False), rng, x)
         outs = jax.eval_shape(lambda v, xx: self.module.apply(v, xx, False), vars_shape, x)
-        if self.head_type in ("Segment", "Pose", "OBB"):
+        if self.head_type.startswith(("Segment", "Pose", "OBB")):
             outs = outs[0]  # (det_maps, task_branch...) -> det maps
         return tuple(int(imgsz // o.shape[1]) for o in outs)
 
@@ -455,6 +571,12 @@ class DetectionModel:
         head = outer
         if head is not None and "detect" in head:  # Segment/Pose/OBB/DetectAux nest Detect
             head = head["detect"]
+        if head is not None and "cv2" in head and "cv3" in head:
+            # shared-conv heads (Detect_LSCD, extra head.py:566): single
+            # cv2/cv3 projections, cls prior pinned at the stride-16 level
+            head["cv2"]["bias"] = jnp.ones_like(head["cv2"]["bias"])
+            prior = math.log(5 / self.nc / (640 / 16) ** 2)
+            head["cv3"]["bias"] = jnp.full_like(head["cv3"]["bias"], prior)
         if head is not None:
             for i, s in enumerate(self.strides):
                 if f"cv2_{i}_2" in head:
@@ -588,7 +710,10 @@ def guess_model_task(cfg) -> str:
     for key, task in (("-seg", "segment"), ("-pose", "pose"), ("-obb", "obb"), ("-cls", "classify")):
         if key in name:
             return task
-    return {"Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify"}.get(head, "detect")
+    for prefix, task in (("Segment", "segment"), ("Pose", "pose"), ("OBB", "obb"), ("Classify", "classify")):
+        if str(head).startswith(prefix):
+            return task
+    return "detect"
 
 
 TASK_MODELS = {

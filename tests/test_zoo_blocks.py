@@ -1,0 +1,87 @@
+"""C2f_X / C3_X zoo tranche: shape contracts + param-count parity vs the
+reference classes (extra_modules/block.py) + full-model builds."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from experiment_yolo_tpu.nn.zoo_blocks import C2fX, C3X, INNER_BLOCKS
+
+REF = Path("/root/reference")
+
+INNERS = sorted(INNER_BLOCKS)
+
+
+@pytest.mark.parametrize("inner", INNERS)
+@pytest.mark.parametrize("container", [C2fX, C3X])
+def test_zoo_shapes(inner, container):
+    m = container(64, inner=inner, n=1)
+    x = jnp.zeros((1, 32, 32, 64))
+    variables = m.init(jax.random.PRNGKey(0), x, False)
+    y = m.apply(variables, x, False)
+    assert y.shape == (1, 32, 32, 64)
+    # gradients flow through the inner block
+    g = jax.grad(lambda p: m.apply({**variables, "params": p}, x, False).sum())(variables["params"])
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_yaml_build_with_zoo_blocks(tmp_path):
+    yaml = tmp_path / "zoo-det.yaml"
+    yaml.write_text(
+        """
+nc: 3
+backbone:
+  - [-1, 1, Conv, [64, 3, 2]]
+  - [-1, 1, Conv, [128, 3, 2]]
+  - [-1, 1, C2f_Faster, [128]]
+  - [-1, 1, Conv, [256, 3, 2]]
+  - [-1, 1, C2f_DWR, [256]]
+  - [-1, 1, Conv, [512, 3, 2]]
+  - [-1, 1, C3_MSBlock, [512]]
+  - [-1, 1, ContextGuidedBlock_Down, []]
+  - [-1, 1, EMSConv, []]
+head:
+  - [[4, 6, 8], 1, Detect, [nc]]
+"""
+    )
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel(str(yaml))
+    variables = model.init(jax.random.PRNGKey(0))
+    boxes, scores = model.predict(variables, jnp.zeros((1, 64, 64, 3)))
+    assert scores.shape[-1] == 3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+@pytest.mark.parametrize(
+    "name",
+    [
+        "C2f_Faster", "C3_Faster", "C2f_Faster_EMA", "C2f_ContextGuided",
+        "C2f_DWR", "C3_DWR", "C2f_MSBlock", "C2f_SCConv", "C2f_ScConv", "C2f_RFCBAMConv", "C2f_RFCAConv", "C2f_AKConv", "C3_AKConv",
+        "C2f_EMSC", "C2f_EMSCP", "C2f_RFAConv", "C3_RFAConv", "C2f_iRMB",
+    ],
+)
+def test_param_count_parity(name):
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    block = importlib.import_module("ultralytics.nn.extra_modules.block")
+    tcls = getattr(block, name)
+    # EMSConv asserts c/4 (per-chain channels / 4) >= 16 in the reference
+    c = 128 if "EMSC" in name else 64
+    tm = tcls(c, c, 1)
+    t_params = sum(p.numel() for p in tm.parameters())
+
+    container = C2fX if name.startswith("C2f_") else C3X
+    inner = name.split("_", 1)[1]
+    m = container(c, inner=inner, n=1)
+    v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, c)), False))
+    o_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert o_params == t_params, f"{name}: ours {o_params:,} vs reference {t_params:,}"

@@ -24,8 +24,19 @@ def variance_scaling_(tensor, **kw): return tensor
 def lecun_normal_(tensor): return tensor
 
 class SqueezeExcite(nn.Module):
-    def __init__(self, *a, **k): super().__init__()
-    def forward(self, x): return x
+    """Faithful to timm's SqueezeExcite: rd = make_divisible(c*ratio, 8,
+    round_limit=0), 1x1 reduce -> act -> 1x1 expand -> sigmoid gate."""
+    def __init__(self, channels, rd_ratio=1. / 16, rd_channels=None, rd_divisor=8, **k):
+        super().__init__()
+        if not rd_channels:
+            rd_channels = make_divisible(channels * rd_ratio, rd_divisor, round_limit=0.)
+        self.fc1 = nn.Conv2d(channels, rd_channels, 1, bias=True)
+        self.act = nn.ReLU(inplace=True)
+        self.fc2 = nn.Conv2d(rd_channels, channels, 1, bias=True)
+        self.gate = nn.Sigmoid()
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        return x * self.gate(self.fc2(self.act(self.fc1(s))))
 
 def make_divisible(v, divisor=8, min_value=None, round_limit=.9):
     min_value = min_value or divisor
