@@ -112,7 +112,9 @@ def bench_train_step(cfg: str = "yolov8-ASF-P2P2.yaml", batch: int = 32, imgsz: 
             return s2, None
 
         s, _ = jax.lax.scan(body, state, None, length=iters)
-        return s.step
+        # reduce over an actual updated parameter so XLA cannot dead-code
+        # eliminate the grad/update chain (returning only s.step would)
+        return jnp.sum(jax.tree.leaves(s.params)[0]).astype(jnp.float32) + s.step
 
     _ = jax.device_get(run(state, batch_np))  # compile + warm
     times = []

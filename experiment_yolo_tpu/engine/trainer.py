@@ -111,6 +111,7 @@ class DetectionTrainer:
         args = self.args
         from experiment_yolo_tpu.cfg import check_imgsz
 
+        self.callbacks.run("on_pretrain_routine_start", trainer=self)
         args.imgsz = check_imgsz(int(args.imgsz), max(self.model.strides))
         data = check_det_dataset(args.data)
         if data["nc"] != self.model.nc:
@@ -414,6 +415,13 @@ class DetectionTrainer:
         else:
             val_cls = DetectionValidator
         ema_vars = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+        # one validator for the whole run: its jitted forward+NMS closure and
+        # dataset scan are memoized, so per-epoch val costs no re-trace
+        cached = getattr(self, "_validator", None)
+        if cached is not None:
+            stats = cached(model=self.model, variables=ema_vars)
+            self.metrics.update(stats)
+            return stats.get("fitness")
         validator = val_cls(
             args={
                 "data": self.args.data,
@@ -428,6 +436,7 @@ class DetectionTrainer:
                 "verbose": False,
             }
         )
+        self._validator = validator
         stats = validator(model=self.model, variables=ema_vars)
         self.metrics.update(stats)
         return stats.get("fitness")

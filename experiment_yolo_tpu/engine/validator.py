@@ -30,26 +30,51 @@ class DetectionValidator:
         self.args = get_cfg(overrides=args or {})
         if self.args.conf is None:
             self.args.conf = 0.001
+        # memoized per-model state: dataset/loader scan and the jitted
+        # forward+NMS closure survive across calls, so the trainer's
+        # per-epoch EMA validation costs no re-scan and no re-trace
+        self._cache_key = None
+        self._dataset = None
+        self._loader = None
+        self._infer = None
 
-    def __call__(self, model, variables) -> Dict[str, float]:
+    def _setup(self, model):
         args = self.args
         from experiment_yolo_tpu.cfg import check_imgsz
 
         args.imgsz = check_imgsz(int(args.imgsz), max(model.strides))
         data = check_det_dataset(args.data)
+        key = (id(model), str(args.data), int(args.imgsz), int(args.batch))
+        if self._cache_key == key:
+            return data, self._dataset, self._loader, self._infer
         split = data.get(args.split or "val") or data["val"]
         dataset = build_yolo_dataset(args, split, mode="val")
         loader = DataLoader(
             dataset, args.batch, shuffle=False, workers=args.workers, drop_last=False,
             rect=bool(args.rect), stride=max(model.strides),
         )
-        order = loader.image_order()
-        metrics = DetMetrics(data["names"])
+
+        is_rtdetr = getattr(model, "head_type", "") == "RTDETRDecoder"
 
         @jax.jit
         def infer(variables, imgs):
             imgs = imgs.astype(jnp.float32) / 255.0  # normalize on device
             boxes, scores = model.predict(variables, imgs)
+            if is_rtdetr:
+                # reference RT-DETR val protocol (models/rtdetr/val.py:
+                # postprocess): NO NMS, NO conf threshold — all nq queries,
+                # best class each, sorted by confidence
+                from experiment_yolo_tpu.ops.boxes import xywh2xyxy
+
+                conf = scores.max(-1)
+                cls = scores.argmax(-1).astype(jnp.float32)
+                order = jnp.argsort(-conf, axis=1)
+                xyxy = xywh2xyxy(boxes)
+                det = jnp.concatenate([xyxy, conf[..., None], cls[..., None]], -1)
+                det = jnp.take_along_axis(det, order[..., None], axis=1)
+                nq = det.shape[1]
+                counts = jnp.full((det.shape[0],), nq, jnp.int32)
+                return det, counts
             return non_max_suppression(
                 boxes,
                 scores,
@@ -57,9 +82,21 @@ class DetectionValidator:
                 iou_thres=float(args.iou),
                 max_det=int(args.max_det),
                 multi_label=True,
+                # wider candidate pool at val conf 0.001 (the reference's
+                # max_nms is 30000; 4096 covers every real image here)
+                pre_nms_topk=4096,
                 nms_type=str(getattr(args, "nms_type", "soft") or "soft"),
                 soft_first_quirk=bool(getattr(args, "soft_nms_quirk", False)),
             )
+
+        self._cache_key, self._dataset, self._loader, self._infer = key, dataset, loader, infer
+        return data, dataset, loader, infer
+
+    def __call__(self, model, variables) -> Dict[str, float]:
+        args = self.args
+        data, dataset, loader, infer = self._setup(model)
+        order = loader.image_order()
+        metrics = DetMetrics(data["names"])
 
         n_images = len(dataset)
         seen = 0

@@ -322,6 +322,251 @@ class SegmentEfficient(nn.Module):
         return det, coeffs, protos
 
 
+class DetectLADH(nn.Module):
+    """Lightweight asymmetric detection head (extra head.py:900
+    Detect_LADH): box branch = 3x DSConv + 1x1 Conv; cls branch = 2x 1x1
+    Conv. Same raw-map output contract as Detect."""
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import DSConv
+
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(xs):
+            b = DSConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            b = DSConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
+            b = DSConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_2d")(b, train)
+            b = ConvBN(c2, 1, dtype=self.dtype, name=f"cv2_{i}_3")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"cv2_{i}_2")(b)
+            c = ConvBN(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            c = ConvBN(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
+            c = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"cv3_{i}_2")(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+
+def _ladh_cv4(x, c4, out_ch, i, train, dtype):
+    """LADH task branch: 2x DSConv3 + Conv1 + 1x1 proj (extra head.py:974)."""
+    from experiment_yolo_tpu.nn.extra_modules import DSConv
+
+    y = DSConv(c4, 3, dtype=dtype, name=f"cv4_{i}_0")(x, train)
+    y = DSConv(c4, 3, dtype=dtype, name=f"cv4_{i}_1")(y, train)
+    y = ConvBN(c4, 1, dtype=dtype, name=f"cv4_{i}_pw")(y, train)
+    return nn.Conv(out_ch, (1, 1), dtype=dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+
+
+class SegmentLADH(nn.Module):
+    """Segment_LADH (extra head.py:970)."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectLADH(nc=self.nc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        coeffs = [_ladh_cv4(x, c4, self.nm, i, train, self.dtype) for i, x in enumerate(xs)]
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        return det, coeffs, protos
+
+
+class PoseLADH(nn.Module):
+    """Pose_LADH (extra head.py:995)."""
+
+    nc: int = 80
+    kpt_shape: Tuple[int, int] = (17, 3)
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectLADH(nc=self.nc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        kmaps = [_ladh_cv4(x, c4, nk, i, train, self.dtype) for i, x in enumerate(xs)]
+        return det, kmaps
+
+
+class OBBLADH(nn.Module):
+    """OBB_LADH (extra head.py:1035)."""
+
+    nc: int = 80
+    ne: int = 1
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import DSConv
+
+        det = DetectLADH(nc=self.nc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.ne)
+        amaps = []
+        for i, x in enumerate(xs):  # OBB branch is shorter: 1 DSConv (head.py:1045)
+            y = DSConv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvBN(c4, 1, dtype=self.dtype, name=f"cv4_{i}_pw")(y, train)
+            amaps.append(nn.Conv(self.ne, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y))
+        return det, amaps
+
+
+class _TaskDecomposition(nn.Module):
+    """TaskDecomposition (extra head.py:665, TOOD): layer attention over the
+    stacked features folds into the reduction conv's weights per sample."""
+
+    feat_ch: int
+    stacked: int = 2
+    la_down_rate: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, avg_feat, train: bool = False):
+        in_ch = self.feat_ch * self.stacked
+        w = nn.Conv(in_ch // self.la_down_rate, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="la_conv1")(avg_feat)
+        w = jax.nn.sigmoid(nn.Conv(self.stacked, (1, 1), dtype=self.dtype,
+                                   param_dtype=jnp.float32, name="la_conv2")(jax.nn.relu(w)))
+        # (B,1,1,stacked) layer attention folded into the reduction weights:
+        # kernel (1,1,in_ch,feat_ch) viewed as (stacked, feat_ch, feat_ch)
+        kernel = self.param("reduction_kernel",
+                            nn.initializers.normal(0.01), (1, 1, in_ch, self.feat_ch), jnp.float32)
+        b, h, ww, _ = feat.shape
+        kb = kernel.reshape(1, self.stacked, self.feat_ch, self.feat_ch) * w.reshape(b, self.stacked, 1, 1)
+        kb = kb.reshape(b, in_ch, self.feat_ch)
+        y = jnp.einsum("bhwc,bco->bhwo", feat.astype(self.dtype), kb.astype(self.dtype))
+        y = nn.GroupNorm(num_groups=16, dtype=self.dtype, param_dtype=jnp.float32, name="gn")(y)
+        return jax.nn.silu(y)
+
+
+class DetectTADDH(nn.Module):
+    """Task-dynamic-align detection head (extra head.py:710 Detect_TADDH):
+    shared ConvGN tower, task decomposition for cls/reg, DCNv2 alignment of
+    the reg features, cls-probability gating, shared projections + per-level
+    scales."""
+
+    nc: int = 80
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.ops.dcnv3 import DyDCNv2
+
+        h2 = self.hidc // 2
+        share0 = ConvGN(h2, 3, dtype=self.dtype, name="share_conv_0")
+        share1 = ConvGN(h2, 3, dtype=self.dtype, name="share_conv_1")
+        cls_dec = _TaskDecomposition(h2, 2, 16, dtype=self.dtype, name="cls_decomp")
+        reg_dec = _TaskDecomposition(h2, 2, 16, dtype=self.dtype, name="reg_decomp")
+        dydcn = DyDCNv2(h2, dtype=self.dtype, name="DyDCNV2")
+        off_conv = nn.Conv(3 * 3 * 3, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="spatial_conv_offset")
+        prob1 = nn.Conv(self.hidc // 4, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="cls_prob_conv1")
+        prob2 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, param_dtype=jnp.float32, name="cls_prob_conv2")
+        cv2 = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="cv2")
+        cv3 = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="cv3")
+        outs = []
+        for i, x in enumerate(xs):
+            scale = self.param(f"scale_{i}", nn.initializers.ones, (), jnp.float32)
+            f0 = share0(x, train)
+            f1 = share1(f0, train)
+            feat = jnp.concatenate([f0, f1], axis=-1)  # (B,H,W,hidc)
+            avg = feat.mean(axis=(1, 2), keepdims=True)
+            cls_feat = cls_dec(feat, avg, train)
+            reg_feat = reg_dec(feat, avg, train)
+            om = off_conv(feat)
+            offset, mask = om[..., :18], jax.nn.sigmoid(om[..., 18:])
+            reg_feat = dydcn(reg_feat, offset, mask)
+            cls_prob = jax.nn.sigmoid(prob2(jax.nn.relu(prob1(feat))))
+            outs.append(jnp.concatenate([cv2(reg_feat) * scale, cv3(cls_feat * cls_prob)], axis=-1))
+        return outs
+
+
+def _gn_cv4(x, c4, out_ch, i, train, dtype):
+    """LSCD/TADDH task branch: ConvGN 1x1 + ConvGN 3x3 + 1x1 proj."""
+    y = ConvGN(c4, 1, dtype=dtype, name=f"cv4_{i}_0")(x, train)
+    y = ConvGN(c4, 3, dtype=dtype, name=f"cv4_{i}_1")(y, train)
+    return nn.Conv(out_ch, (1, 1), dtype=dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y)
+
+
+class SegmentTADDH(nn.Module):
+    """Segment_TADDH (extra head.py:805)."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectTADDH(nc=self.nc, hidc=self.hidc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        coeffs = [_gn_cv4(x, c4, self.nm, i, train, self.dtype) for i, x in enumerate(xs)]
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        return det, coeffs, protos
+
+
+class PoseTADDH(nn.Module):
+    """Pose_TADDH (extra head.py:830) — kpt branch keeps BN Convs."""
+
+    nc: int = 80
+    kpt_shape: Tuple[int, int] = (17, 3)
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectTADDH(nc=self.nc, hidc=self.hidc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        kmaps = []
+        for i, x in enumerate(xs):
+            y = ConvBN(c4, 1, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            y = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(y, train)
+            kmaps.append(nn.Conv(nk, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2")(y))
+        return det, kmaps
+
+
+class OBBTADDH(nn.Module):
+    """OBB_TADDH (extra head.py:870)."""
+
+    nc: int = 80
+    ne: int = 1
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        det = DetectTADDH(nc=self.nc, hidc=self.hidc, ch=self.ch, dtype=self.dtype, name="detect")(xs, train)
+        c4 = max(self.ch[0] // 4, self.ne)
+        amaps = [_gn_cv4(x, c4, self.ne, i, train, self.dtype) for i, x in enumerate(xs)]
+        return det, amaps
+
+
 class DetectAux(nn.Module):
     """Detect with an auxiliary one-to-many training head (reference
     extra_modules/head.py:235 DetectAux).

@@ -352,7 +352,7 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             detect_idx = i
             list_input = True
         elif mname in ("Detect", "Detect_Efficient", "DetectAux", "Detect_SEAM",
-                       "Detect_MultiSEAM", "Detect_LSCD"):
+                       "Detect_MultiSEAM", "Detect_LSCD", "Detect_LADH", "Detect_TADDH"):
             from experiment_yolo_tpu.nn import heads_extra as H
 
             ch_in = tuple(src_ch(j) for j in f_list)
@@ -367,30 +367,52 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 # args: [nc, hidc] (extra head.py:497), hidc width-scaled
                 hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
                 mod = H.DetectLSCD(nc=nc, hidc=hidc, ch=ch_in, dtype=dtype)
+            elif mname == "Detect_LADH":
+                mod = H.DetectLADH(nc=nc, ch=ch_in, dtype=dtype)
+            elif mname == "Detect_TADDH":
+                # args: [nc, hidc] — input levels must carry hidc channels
+                hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
+                mod = H.DetectTADDH(nc=nc, hidc=hidc, ch=ch_in, dtype=dtype)
             else:
                 mod = H.DetectEfficient(nc=nc, ch=ch_in, dtype=dtype)
             detect_idx = i
             reg_max = mod.reg_max
             list_input = True
-        elif mname in ("Segment_LSCD", "Pose_LSCD", "OBB_LSCD", "Segment_Efficient"):
+        elif mname in ("Segment_LSCD", "Pose_LSCD", "OBB_LSCD", "Segment_Efficient",
+                       "Segment_LADH", "Pose_LADH", "OBB_LADH",
+                       "Segment_TADDH", "Pose_TADDH", "OBB_TADDH"):
             from experiment_yolo_tpu.nn import heads_extra as H
 
             ch_in = tuple(src_ch(j) for j in f_list)
             c2 = 0
-            if mname == "Segment_LSCD":
+            if mname in ("Segment_LSCD", "Segment_TADDH"):
                 nm = args[1] if len(args) > 1 else 32
                 npr = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
                 hidc = _scale_ch(args[3] if len(args) > 3 else 256, nc, width, max_channels)
-                mod = H.SegmentLSCD(nc=nc, nm=nm, npr=npr, hidc=hidc, ch=ch_in, dtype=dtype)
-            elif mname == "Pose_LSCD":
+                cls_ = H.SegmentLSCD if mname == "Segment_LSCD" else H.SegmentTADDH
+                mod = cls_(nc=nc, nm=nm, npr=npr, hidc=hidc, ch=ch_in, dtype=dtype)
+            elif mname in ("Pose_LSCD", "Pose_TADDH"):
                 ks = args[1] if len(args) > 1 else (17, 3)
                 if isinstance(ks, str):
                     ks = d.get("kpt_shape", (17, 3))
                 hidc = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
-                mod = H.PoseLSCD(nc=nc, kpt_shape=tuple(ks), hidc=hidc, ch=ch_in, dtype=dtype)
-            elif mname == "OBB_LSCD":
+                cls_ = H.PoseLSCD if mname == "Pose_LSCD" else H.PoseTADDH
+                mod = cls_(nc=nc, kpt_shape=tuple(ks), hidc=hidc, ch=ch_in, dtype=dtype)
+            elif mname in ("OBB_LSCD", "OBB_TADDH"):
                 hidc = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
-                mod = H.OBBLSCD(nc=nc, ne=args[1] if len(args) > 1 else 1, hidc=hidc, ch=ch_in, dtype=dtype)
+                cls_ = H.OBBLSCD if mname == "OBB_LSCD" else H.OBBTADDH
+                mod = cls_(nc=nc, ne=args[1] if len(args) > 1 else 1, hidc=hidc, ch=ch_in, dtype=dtype)
+            elif mname == "Segment_LADH":
+                nm = args[1] if len(args) > 1 else 32
+                npr = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
+                mod = H.SegmentLADH(nc=nc, nm=nm, npr=npr, ch=ch_in, dtype=dtype)
+            elif mname == "Pose_LADH":
+                ks = args[1] if len(args) > 1 else (17, 3)
+                if isinstance(ks, str):
+                    ks = d.get("kpt_shape", (17, 3))
+                mod = H.PoseLADH(nc=nc, kpt_shape=tuple(ks), ch=ch_in, dtype=dtype)
+            elif mname == "OBB_LADH":
+                mod = H.OBBLADH(nc=nc, ne=args[1] if len(args) > 1 else 1, ch=ch_in, dtype=dtype)
             else:
                 nm = args[1] if len(args) > 1 else 32
                 npr = _scale_ch(args[2] if len(args) > 2 else 256, nc, width, max_channels)
@@ -464,8 +486,9 @@ class GraphModel(nn.Module):
     save: Tuple[int, ...]
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, capture: Tuple[int, ...] = ()):
         saved: Dict[int, Any] = {}
+        captured: Dict[int, Any] = {}
         out = x
         for i, (m, f, li) in enumerate(zip(self.layers, self.froms, self.list_inputs)):
             if li:
@@ -475,6 +498,10 @@ class GraphModel(nn.Module):
             out = m(inp, train)
             if i in self.save:
                 saved[i] = out
+            if i in capture:
+                captured[i] = out
+        if capture:  # feature taps (the reference's YOLO.embed, model.py:368)
+            return out, [captured[i] for i in capture]
         return out
 
 

@@ -520,6 +520,99 @@ class VoVGSCSP(nn.Module):
         return _conv(jnp.concatenate([y2, y1], -1), self.c2, 1, train, self.dtype, "cv3")
 
 
+class _BNPad(nn.Module):
+    """BNAndPadLayer (rep_block.py:84): BatchNorm whose spatial padding is
+    the BN response to zero input (bias - running_mean * scale / std) — the
+    trick that lets DBB's branch padding fold into the re-param conv."""
+
+    c: int
+    pad: int
+    eps: float = 1e-5
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32))
+        if train:
+            mean = x.mean(axis=(0, 1, 2))
+            var = x.var(axis=(0, 1, 2))
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        p = self.pad
+        if p == 0:
+            return y
+        pad_val = bias - ra_mean.value * scale * jax.lax.rsqrt(ra_var.value + self.eps)
+        b, h, w, c = y.shape
+        out = jnp.broadcast_to(pad_val.astype(y.dtype), (b, h + 2 * p, w + 2 * p, c))
+        return out.at[:, p:-p, p:-p].set(y)
+
+
+class DiverseBranchBlock(nn.Module):
+    """DiverseBranchBlock (rep_block.py:132, DBB CVPR2021): kxk conv-bn +
+    1x1 conv-bn + (1x1 -> BNAndPad -> avgpool) + (identity-1x1 -> BNAndPad
+    -> kxk) branches summed, SiLU. Train-time structure kept (re-param
+    deploy fusion is an export concern in the XLA world — branches stay
+    separately trainable like the reference's non-deploy mode)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        p = self.k // 2
+        bn = lambda xx, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, param_dtype=jnp.float32, name=nm)(xx)
+        # origin kxk
+        out = bn(_bare_conv(x, self.c2, self.k, self.dtype, "origin_conv", s=self.s), "origin_bn")
+        # 1x1 (groups=1 < c2 in every registry use)
+        out = out + bn(_bare_conv(x, self.c2, 1, self.dtype, "one_conv", s=self.s), "one_bn")
+        # avg branch: 1x1 -> BNAndPad -> avgpool(k, stride s, pad 0) -> BN
+        y = _bare_conv(x, self.c2, 1, self.dtype, "avg_conv")
+        y = _BNPad(self.c2, p, name="avg_bnpad")(y, train)
+        y = nn.avg_pool(y, (self.k, self.k), strides=(self.s, self.s))
+        out = out + bn(y, "avg_bn")
+        # 1x1_kxk branch: identity-based 1x1 -> BNAndPad -> kxk (pad 0) -> BN
+        idk = self.param("id_kernel", nn.initializers.zeros, (1, 1, c1, c1), jnp.float32)
+        eye = jnp.eye(c1, dtype=jnp.float32).reshape(1, 1, c1, c1)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), (idk + eye).astype(self.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = _BNPad(c1, p, name="kxk_bnpad")(y, train)
+        y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s), padding="VALID", use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="kxk_conv")(y)
+        out = out + bn(y, "kxk_bn")
+        return jax.nn.silu(out)
+
+
+class _DBBBottleneck(nn.Module):
+    """Bottleneck_DBB (block.py:864): both convs replaced by DBB; C3 passes
+    k=(1,3) so cv1 is a 1x1 DBB there."""
+
+    c2: int
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = DiverseBranchBlock(self.c2, k=self.k0, dtype=self.dtype, name="cv1")(x, train)
+        y = DiverseBranchBlock(self.c2, k=3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
 class SEAM(nn.Module):
     """SEAM attention (block.py:3971, YOLO-FaceV2): depthwise-residual +
     pointwise blocks, channel-squeeze MLP, exp-scaled gate."""
@@ -636,6 +729,7 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "RFCBAMConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFCBAMConv", k0=k0, shortcut=s, dtype=dt, name=nm),
     "RFCAConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFCAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
     "AKConv": lambda c, s, dt, nm, k0: _AKConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DBB": lambda c, s, dt, nm, k0: _DBBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
 }
 
 

@@ -68,6 +68,91 @@ def dcnv3_core(
     return out.transpose(0, 2, 1, 3).reshape(b, ho, wo, group * gc)
 
 
+def dcnv2_core(
+    x: jnp.ndarray,  # (B, H, W, C) channels-last
+    offset: jnp.ndarray,  # (B, Ho, Wo, 2*K) per-tap (dy, dx) interleaved
+    mask: jnp.ndarray,  # (B, Ho, Wo, K) sigmoided modulation
+    weight: jnp.ndarray,  # (kh, kw, C, Cout)
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    pad: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """Modulated deformable conv v2 (mmcv ModulatedDeformConv2d semantics,
+    the reference's DyDCNv2 backend — extra block.py:57): sample the input
+    at each kernel tap's offset location, modulate by the sigmoid mask, and
+    contract with the conv weights. Gather + one MXU matmul here instead of
+    the CUDA im2col kernel."""
+    b, h, w, c = x.shape
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+    ho, wo = offset.shape[1:3]
+
+    # tap base positions in padded pixel coords (row-major taps, mmcv order)
+    oy = jnp.arange(ho, dtype=jnp.float32) * stride
+    ox = jnp.arange(wo, dtype=jnp.float32) * stride
+    ky = jnp.arange(kh, dtype=jnp.float32) * dilation
+    kx = jnp.arange(kw, dtype=jnp.float32) * dilation
+    tap_dy = jnp.repeat(ky, kw)  # (K,)
+    tap_dx = jnp.tile(kx, kh)  # (K,)
+    off = offset.reshape(b, ho, wo, k, 2)
+    loc_y = (oy[:, None] + tap_dy[None, :])[None, :, None, :] + off[..., 0]  # (B,Ho,Wo,K)
+    loc_x = (ox[:, None] + tap_dx[None, :])[None, None, :, :] + off[..., 1]
+    # normalized [0,1] coords over the padded map ((x, y) order)
+    loc = jnp.stack([(loc_x + 0.5) / wp, (loc_y + 0.5) / hp], -1)  # (B,Ho,Wo,K,2)
+    loc = jnp.broadcast_to(loc, (b, ho, wo, k, 2)).reshape(b, ho * wo * k, 2)
+
+    sampled = _bilinear_sample_zeros(xp, loc).reshape(b, ho, wo, k, c)
+    sampled = sampled * mask.reshape(b, ho, wo, k, 1)
+    out = jnp.einsum("bhwkc,kco->bhwo", sampled, weight.reshape(k, c, cout))
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class ModulatedDeformConv(nn.Module):
+    """DCNv2 layer with its own conv weights (offsets/mask supplied by the
+    caller — the DyHead pattern)."""
+
+    c2: int
+    k: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset, mask):
+        c1 = x.shape[-1]
+        weight = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (self.k, self.k, c1, self.c2), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32) if self.use_bias else None
+        return dcnv2_core(
+            x.astype(self.dtype), offset.astype(jnp.float32), mask.astype(self.dtype),
+            weight.astype(self.dtype), None if bias is None else bias.astype(self.dtype),
+            stride=self.stride, pad=self.k // 2,
+        )
+
+
+class DyDCNv2(nn.Module):
+    """DyDCNv2 (reference extra block.py:179): ModulatedDeformConv2d +
+    GroupNorm(16), offsets/mask computed by the caller from mid-level
+    features (the DyHead/TADDH alignment pattern)."""
+
+    c2: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset, mask):
+        y = ModulatedDeformConv(self.c2, 3, stride=self.stride, dtype=self.dtype, name="conv")(x, offset, mask)
+        return nn.GroupNorm(num_groups=16, dtype=self.dtype, param_dtype=jnp.float32, name="gn")(y)
+
+
 class DCNv4(nn.Module):
     """DCNv4 block (reference DCNv4_op/DCNv4/modules/dcnv4.py): like DCNv3
     but with UNNORMALIZED aggregation weights (no softmax over the taps —

@@ -131,10 +131,15 @@ def _soft_nms_keep(shifted, cand_scores, valid, iou_thres, sigma, score_threshol
     def body(_t, state):
         live, out = state
         i = jnp.argmax(live)
-        if first_idx is not None:  # replicate the reference's arbitrary first pick
-            i = jnp.where(_t == 0, first_idx, i)
         si = live[i]
         cond = si > score_threshold
+        if first_idx is not None:
+            # replicate the reference's arbitrary first pick: kept
+            # UNCONDITIONALLY (ops.py:270 appends order[0] before any
+            # threshold check), even below the 0.25 floor
+            i = jnp.where(_t == 0, first_idx, i)
+            si = live[i]
+            cond = jnp.where(_t == 0, si > 0.0, cond)
         iou = box_iou(shifted[i][None], shifted)[0]
         decay = jnp.where(iou > iou_thres, jnp.exp(-(iou**2) / sigma), 1.0)
         new_live = jnp.where(cond, live * decay, live).at[i].set(-1.0)

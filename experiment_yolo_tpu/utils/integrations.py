@@ -47,6 +47,112 @@ def add_tensorboard_callbacks(callbacks, log_dir: Optional[str] = None) -> bool:
     return True
 
 
+def add_wandb_callbacks(callbacks, project: Optional[str] = None) -> bool:
+    """Weights & Biases logging (reference utils/callbacks/wb.py): run init
+    on train start, per-epoch metric logging, summary + finish at end.
+    Import-gated — wandb is not bundled in this environment."""
+    try:
+        import wandb  # pragma: no cover - optional dep
+    except ImportError:
+        LOGGER.info("W&B logging unavailable (wandb not installed)")
+        return False
+    state = {"run": None, "epoch": 0}  # pragma: no cover
+
+    def on_pretrain_routine_start(trainer):  # pragma: no cover
+        state["run"] = wandb.init(project=project or "experiment-yolo-tpu",
+                                  name=trainer.save_dir.name, config=vars(trainer.args))
+
+    def on_fit_epoch_end(trainer):  # pragma: no cover
+        wandb.log({**{f"train/{k}": float(v) for k, v in getattr(trainer, "loss_items", {}).items()},
+                   **{f"metrics/{k}": v for k, v in trainer.metrics.items() if isinstance(v, float)}},
+                  step=state["epoch"])
+        state["epoch"] += 1
+
+    def on_train_end(trainer):  # pragma: no cover
+        if state["run"] is not None:
+            state["run"].finish()
+
+    callbacks.add("on_pretrain_routine_start", on_pretrain_routine_start)  # pragma: no cover
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)  # pragma: no cover
+    callbacks.add("on_train_end", on_train_end)  # pragma: no cover
+    return True  # pragma: no cover
+
+
+def add_mlflow_callbacks(callbacks, experiment: Optional[str] = None) -> bool:
+    """MLflow logging (reference utils/callbacks/mlflow.py). Import-gated."""
+    try:
+        import mlflow  # pragma: no cover - optional dep
+    except ImportError:
+        LOGGER.info("MLflow logging unavailable (mlflow not installed)")
+        return False
+    state = {"epoch": 0}  # pragma: no cover
+
+    def on_pretrain_routine_start(trainer):  # pragma: no cover
+        mlflow.set_experiment(experiment or "experiment-yolo-tpu")
+        mlflow.start_run(run_name=trainer.save_dir.name)
+        mlflow.log_params({k: v for k, v in vars(trainer.args).items() if isinstance(v, (int, float, str, bool))})
+
+    def on_fit_epoch_end(trainer):  # pragma: no cover
+        mlflow.log_metrics({f"train_{k}": float(v) for k, v in getattr(trainer, "loss_items", {}).items()},
+                           step=state["epoch"])
+        mlflow.log_metrics({k.replace("(", "").replace(")", ""): v for k, v in trainer.metrics.items()
+                            if isinstance(v, float)}, step=state["epoch"])
+        state["epoch"] += 1
+
+    def on_train_end(trainer):  # pragma: no cover
+        mlflow.end_run()
+
+    callbacks.add("on_pretrain_routine_start", on_pretrain_routine_start)  # pragma: no cover
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)  # pragma: no cover
+    callbacks.add("on_train_end", on_train_end)  # pragma: no cover
+    return True  # pragma: no cover
+
+
+def add_comet_callbacks(callbacks, project: Optional[str] = None) -> bool:
+    """Comet logging (reference utils/callbacks/comet.py). Import-gated."""
+    try:
+        import comet_ml  # pragma: no cover - optional dep
+    except ImportError:
+        LOGGER.info("Comet logging unavailable (comet_ml not installed)")
+        return False
+    state = {"exp": None, "epoch": 0}  # pragma: no cover
+
+    def on_pretrain_routine_start(trainer):  # pragma: no cover
+        state["exp"] = comet_ml.Experiment(project_name=project or "experiment-yolo-tpu")
+
+    def on_fit_epoch_end(trainer):  # pragma: no cover
+        if state["exp"] is not None:
+            state["exp"].log_metrics({**getattr(trainer, "loss_items", {}),
+                                      **{k: v for k, v in trainer.metrics.items() if isinstance(v, float)}},
+                                     epoch=state["epoch"])
+        state["epoch"] += 1
+
+    def on_train_end(trainer):  # pragma: no cover
+        if state["exp"] is not None:
+            state["exp"].end()
+
+    callbacks.add("on_pretrain_routine_start", on_pretrain_routine_start)  # pragma: no cover
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)  # pragma: no cover
+    callbacks.add("on_train_end", on_train_end)  # pragma: no cover
+    return True  # pragma: no cover
+
+
+def add_integration_callbacks(trainer) -> list:
+    """Attach every available integration (reference
+    utils/callbacks/base.py:add_integration_callbacks): tries TB, W&B,
+    MLflow, Comet; silently skips whatever is not installed."""
+    attached = []
+    if add_tensorboard_callbacks(trainer.callbacks):
+        attached.append("tensorboard")
+    if add_wandb_callbacks(trainer.callbacks):
+        attached.append("wandb")
+    if add_mlflow_callbacks(trainer.callbacks):
+        attached.append("mlflow")
+    if add_comet_callbacks(trainer.callbacks):
+        attached.append("comet")
+    return attached
+
+
 def plot_results(csv_path: str | Path, out_path: Optional[str | Path] = None):
     """Training-curve plot from results.csv (reference plotting.py:plot_results)."""
     import matplotlib

@@ -17,9 +17,9 @@ nc: 3
 backbone:
   - [-1, 1, Conv, [32, 3, 2]]
   - [-1, 1, Conv, [64, 3, 2]]
-  - [-1, 1, Conv, [64, 3, 2]]   # 2 P3/8
-  - [-1, 1, Conv, [128, 3, 2]]  # 3 P4/16
-  - [-1, 1, Conv, [128, 3, 2]]  # 4 P5/32
+  - [-1, 1, Conv, [{c3}, 3, 2]]   # 2 P3/8
+  - [-1, 1, Conv, [{c45}, 3, 2]]  # 3 P4/16
+  - [-1, 1, Conv, [{c45}, 3, 2]]  # 4 P5/32
 head:
   - [[2, 3, 4], 1, {head}, {args}]
 """
@@ -29,7 +29,9 @@ def _build(tmp_path, head, args):
     from experiment_yolo_tpu.nn.tasks import TASK_MODELS, guess_model_task, yaml_model_load
 
     yaml = tmp_path / f"{head}.yaml"
-    yaml.write_text(V8_HEAD_TMPL.format(head=head, args=args))
+    # TADDH's shared tower requires equal channels (== hidc) on every level
+    c3, c45 = (64, 64) if "TADDH" in head else (64, 128)
+    yaml.write_text(V8_HEAD_TMPL.format(head=head, args=args, c3=c3, c45=c45))
     cfg = yaml_model_load(yaml)
     task = guess_model_task(cfg)
     model = TASK_MODELS[task](cfg)
@@ -46,6 +48,14 @@ def _build(tmp_path, head, args):
         ("Pose_LSCD", "[nc, [5, 3], 64]", "pose"),
         ("OBB_LSCD", "[nc, 1, 64]", "obb"),
         ("Segment_Efficient", "[nc, 16, 64]", "segment"),
+        ("Detect_LADH", "[nc]", "detect"),
+        ("Segment_LADH", "[nc, 16, 64]", "segment"),
+        ("Pose_LADH", "[nc, [5, 3]]", "pose"),
+        ("OBB_LADH", "[nc, 1]", "obb"),
+        ("Detect_TADDH", "[nc, 64]", "detect"),
+        ("Segment_TADDH", "[nc, 16, 64, 64]", "segment"),
+        ("Pose_TADDH", "[nc, [5, 3], 64]", "pose"),
+        ("OBB_TADDH", "[nc, 1, 64]", "obb"),
     ],
 )
 def test_head_builds_and_predicts(tmp_path, head, args, task):
@@ -76,6 +86,10 @@ def test_head_builds_and_predicts(tmp_path, head, args, task):
         ("Pose_LSCD", dict(nc=3, kpt_shape=(5, 3), hidc=64, ch=(64, 128, 128))),
         ("OBB_LSCD", dict(nc=3, ne=1, hidc=64, ch=(64, 128, 128))),
         ("Segment_Efficient", dict(nc=3, nm=16, npr=64, ch=(64, 128, 128))),
+        ("Detect_LADH", dict(nc=3, ch=(64, 128, 128))),
+        ("Segment_LADH", dict(nc=3, nm=16, npr=64, ch=(64, 128, 128))),
+        ("Pose_LADH", dict(nc=3, kpt_shape=(5, 3), ch=(64, 128, 128))),
+        ("OBB_LADH", dict(nc=3, ne=1, ch=(64, 128, 128))),
     ],
 )
 def test_param_count_parity(name, kw):
@@ -91,6 +105,10 @@ def test_param_count_parity(name, kw):
     from experiment_yolo_tpu.nn import heads_extra as H
 
     ours = {
+        "Detect_LADH": lambda: H.DetectLADH(nc=3, ch=(64, 128, 128)),
+        "Segment_LADH": lambda: H.SegmentLADH(nc=3, nm=16, npr=64, ch=(64, 128, 128)),
+        "Pose_LADH": lambda: H.PoseLADH(nc=3, kpt_shape=(5, 3), ch=(64, 128, 128)),
+        "OBB_LADH": lambda: H.OBBLADH(nc=3, ne=1, ch=(64, 128, 128)),
         "Detect_LSCD": lambda: H.DetectLSCD(nc=3, hidc=64, ch=(64, 128, 128)),
         "Detect_SEAM": lambda: H.DetectSEAM(nc=3, ch=(64, 128, 128)),
         "Detect_MultiSEAM": lambda: H.DetectSEAM(nc=3, ch=(64, 128, 128), multi=True),
