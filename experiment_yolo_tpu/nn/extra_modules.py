@@ -219,6 +219,229 @@ class TripletAttention(nn.Module):
         return (x1 + x2 + x3) / 3
 
 
+class SpatialGroupEnhance(nn.Module):
+    """Spatial group enhance (attention.py:80): per-group similarity to the
+    pooled group descriptor, normalized + affine, sigmoid gate."""
+
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.groups
+        weight = self.param("weight", nn.initializers.zeros, (g,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (g,), jnp.float32)
+        xg = x.reshape(b, h, w, g, c // g)
+        xn = (xg * xg.mean(axis=(1, 2), keepdims=True)).sum(-1)  # (b,h,w,g)
+        t = xn.reshape(b, h * w, g)
+        t = t - t.mean(axis=1, keepdims=True)
+        # torch .std defaults to the UNBIASED estimator (ddof=1)
+        t = t / (t.std(axis=1, keepdims=True, ddof=1) + 1e-5)
+        t = t * weight + bias
+        gate = jax.nn.sigmoid(t.reshape(b, h, w, g, 1))
+        return (xg * gate).reshape(b, h, w, c)
+
+
+class BAMBlock(nn.Module):
+    """BAM (attention.py:733): channel MLP + dilated spatial conv tower,
+    (1 + sigmoid(ca + sa)) * x."""
+
+    reduction: int = 16
+    dia_val: int = 2
+    num_layers: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        r = c // self.reduction
+        # channel branch (attention.py:689): Linear+BN1d+ReLU x3 + Linear
+        y = x.mean(axis=(1, 2))
+        for i in range(self.num_layers):
+            y = nn.Dense(r if i < self.num_layers else c, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"ca_fc{i}")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"ca_bn{i}")(y)
+            y = jax.nn.relu(y)
+        ca = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="ca_last")(y)[:, None, None, :]
+        # spatial branch (attention.py:712)
+        s = nn.Conv(r, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="sa_reduce")(x)
+        s = jax.nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                     dtype=self.dtype, param_dtype=jnp.float32, name="sa_bn_r")(s))
+        d = self.dia_val
+        for i in range(self.num_layers):
+            s = nn.Conv(r, (3, 3), padding=[(d, d)] * 2, kernel_dilation=(d, d), dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"sa_conv{i}")(s)
+            s = jax.nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, param_dtype=jnp.float32, name=f"sa_bn{i}")(s))
+        sa = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="sa_last")(s)
+        return (1.0 + jax.nn.sigmoid(ca + sa)) * x
+
+
+def _dw(x, k, dtype, name, d=1):
+    """Depthwise conv with (kh, kw) kernel, torch default bias=True."""
+    kh, kw = k if isinstance(k, tuple) else (k, k)
+    ph, pw = d * (kh - 1) // 2, d * (kw - 1) // 2
+    return nn.Conv(x.shape[-1], (kh, kw), padding=[(ph, ph), (pw, pw)], feature_group_count=x.shape[-1],
+                   kernel_dilation=(d, d), use_bias=True, dtype=dtype, param_dtype=jnp.float32, name=name)(x)
+
+
+class CPCA(nn.Module):
+    """Channel-prior convolutional attention (attention.py:950). NB the
+    reference calls ONE shared 1x1 conv at three different points of the
+    flow (self.conv reused) — replicated with a single shared kernel."""
+
+    reduce: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        shared = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv")
+        x = jax.nn.gelu(shared(x))
+        # channel attention with shared fc over avg+max pools
+        fc1 = nn.Conv(c // self.reduce, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="ca_fc1")
+        fc2 = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="ca_fc2")
+        a1 = jax.nn.sigmoid(fc2(jax.nn.relu(fc1(x.mean(axis=(1, 2), keepdims=True)))))
+        a2 = jax.nn.sigmoid(fc2(jax.nn.relu(fc1(x.max(axis=(1, 2), keepdims=True)))))
+        x = x * (a1 + a2)
+        init = _dw(x, 5, self.dtype, "dconv5_5")
+        x1 = _dw(_dw(init, (1, 7), self.dtype, "dconv1_7"), (7, 1), self.dtype, "dconv7_1")
+        x2 = _dw(_dw(init, (1, 11), self.dtype, "dconv1_11"), (11, 1), self.dtype, "dconv11_1")
+        x3 = _dw(_dw(init, (1, 21), self.dtype, "dconv1_21"), (21, 1), self.dtype, "dconv21_1")
+        spatial = shared(x1 + x2 + x3 + init)
+        return shared(spatial * x)
+
+
+class MPCA(nn.Module):
+    """Multi-path coordinate attention (attention.py:985)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def conv_bn_silu(t, kh, kw, name):
+            c = t.shape[-1]
+            y = nn.Conv(c, (kh, kw), padding=[((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)],
+                        use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_c")(t)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"{name}_bn")(y)
+            return jax.nn.silu(y)
+
+        b, h, w, c = x.shape
+        gap = conv_bn_silu(x.mean(axis=(1, 2), keepdims=True), 1, 1, "gap_conv")
+        ph = x.mean(axis=2)[:, :, None]  # (b, h, 1, c)
+        pw = x.mean(axis=1)[:, :, None]  # (b, w, 1, c) (width laid along axis 1)
+        hw = jnp.concatenate([ph, pw], axis=1)  # (b, h+w, 1, c)
+        hw = conv_bn_silu(hw, 3, 1, "conv_hw")
+        wgt = jax.nn.sigmoid(conv_bn_silu(hw, 1, 1, "conv_pool_hw"))
+        ph2 = hw[:, :h] * wgt[:, :h]  # (b, h, 1, c)
+        pw2 = hw[:, h:] * wgt[:, h:]  # (b, w, 1, c)
+        ch_gate = gap * wgt.mean(axis=1, keepdims=True)
+        gate_h = jax.nn.sigmoid(ph2)  # broadcasts over width
+        gate_w = jax.nn.sigmoid(pw2)[:, :, 0][:, None]  # (b, 1, w, c)
+        return x * gate_h * gate_w * jax.nn.sigmoid(ch_gate)
+
+
+LSKA_CFGS = {  # k_size -> (k0, ks, dilation, pad_spatial)
+    7: (3, 3, 2, 2), 11: (3, 5, 2, 4), 23: (5, 7, 3, 9),
+    35: (5, 11, 3, 15), 41: (5, 13, 3, 18), 53: (5, 17, 3, 24),
+}
+
+
+class LSKA(nn.Module):
+    """Large separable kernel attention (attention.py:1067): factorized
+    1xk/kx1 depthwise pairs + dilated pair + 1x1, multiplicative gate."""
+
+    k_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k0, ks, d, _ = LSKA_CFGS[self.k_size]
+        a = _dw(x, (1, k0), self.dtype, "conv0h")
+        a = _dw(a, (k0, 1), self.dtype, "conv0v")
+        a = _dw(a, (1, ks), self.dtype, "conv_spatial_h", d=d)
+        a = _dw(a, (ks, 1), self.dtype, "conv_spatial_v", d=d)
+        a = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(a)
+        return x * a
+
+
+class SegNextAttention(nn.Module):
+    """SegNeXt MSCA (attention.py:1117): 5x5 dw + three factorized
+    strip-conv branches summed, 1x1, multiplicative gate."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = _dw(x, 5, self.dtype, "conv0")
+        a0 = _dw(_dw(a, (1, 7), self.dtype, "conv0_1"), (7, 1), self.dtype, "conv0_2")
+        a1 = _dw(_dw(a, (1, 11), self.dtype, "conv1_1"), (11, 1), self.dtype, "conv1_2")
+        a2 = _dw(_dw(a, (1, 21), self.dtype, "conv2_1"), (21, 1), self.dtype, "conv2_2")
+        a = a + a0 + a1 + a2
+        a = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv3")(a)
+        return a * x
+
+
+def _adaptive_avg_pool(x, oh, ow):
+    """torch AdaptiveAvgPool2d for NHWC (exact bin arithmetic)."""
+    b, h, w, c = x.shape
+    rows = []
+    for i in range(oh):
+        y0, y1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            x0, x1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(x[:, y0:y1, x0:x1].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (b, oh, ow, c)
+
+
+class MLCA(nn.Module):
+    """Mixed local-channel attention (attention.py:1484): ECA-style 1-D
+    convs over local (5x5-pooled) and global descriptors, blended and
+    broadcast back (the reference's un-pool is an adaptive-avg-pool
+    upsample)."""
+
+    in_size: int
+    local_size: int = 5
+    gamma: int = 2
+    b: int = 1
+    local_weight: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _m
+
+        bsz, h, w, c = x.shape
+        t = int(abs(_m.log(self.in_size, 2) + self.b) / self.gamma)
+        k = t if t % 2 else t + 1
+        ls = self.local_size
+        local = _adaptive_avg_pool(x, ls, ls)  # (b, ls, ls, c)
+        glob = local.mean(axis=(1, 2))  # (b, c)
+        # ECA conv over the channel sequence (torch Conv1d(1,1,k))
+        kern_l = self.param("conv_local", nn.initializers.lecun_normal(), (k, 1, 1), jnp.float32)
+        kern_g = self.param("conv", nn.initializers.lecun_normal(), (k, 1, 1), jnp.float32)
+        def eca(seq, kern):  # seq (b, N): torch Conv1d(1, 1, k) over N
+            out = jax.lax.conv_general_dilated(
+                seq[:, None, :], kern.transpose(2, 1, 0), (1,), [(k // 2, k // 2)],
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            )
+            return out[:, 0]
+
+        # torch layout: local flattened pixel-major with channels fastest
+        y_l = eca(local.reshape(bsz, ls * ls * c), kern_l)
+        y_g = eca(glob, kern_g)
+        att_local = jax.nn.sigmoid(y_l.reshape(bsz, ls, ls, c))
+        att_global = jax.nn.sigmoid(y_g)[:, None, None, :]  # broadcast to (ls, ls)
+        att = att_global * (1 - self.local_weight) + att_local * self.local_weight
+        att = jax.image.resize(att, (bsz, h, w, c), "nearest")  # un-pool
+        return x * att
+
+
 class ELA(nn.Module):
     """Efficient local attention (attention.py:1747): 1D convs over pooled
     H and W profiles with GroupNorm gates."""
@@ -645,11 +868,15 @@ class BottleneckCSP(nn.Module):
 
 
 class RepNCSP(nn.Module):
-    """C3 built from RepConv bottlenecks (block.py:RepNCSP, v9)."""
+    """C3 built from RepConv bottlenecks (block.py:RepNCSP, v9).
+
+    ``inner='dbb'`` swaps the RepConvN for a DiverseBranchBlock
+    (block.py:4629 DBBNCSP), the DBBNCSPELAN4 building block."""
 
     c2: int
     n: int = 1
     e: float = 0.5
+    inner: str = "rep"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -657,7 +884,12 @@ class RepNCSP(nn.Module):
         c_ = int(self.c2 * self.e)
         y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         for i in range(self.n):
-            z = RepConv(c_, 3, 1, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
+            if self.inner == "dbb":
+                from experiment_yolo_tpu.nn.zoo_blocks import DiverseBranchBlock
+
+                z = DiverseBranchBlock(c_, k=3, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
+            else:
+                z = RepConv(c_, 3, 1, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
             z = ConvBN(c_, 3, 1, dtype=self.dtype, name=f"m{i}_cv2")(z, train)
             y1 = y1 + z
         y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
@@ -665,12 +897,17 @@ class RepNCSP(nn.Module):
 
 
 class RepNCSPELAN4(nn.Module):
-    """YOLOv9 CSP-ELAN block (extra block.py:4647)."""
+    """YOLOv9 CSP-ELAN block (extra block.py:4647).
+
+    ``inner='dbb'`` = DBBNCSPELAN4 (block.py:4667); ``caa=True`` =
+    RepNCSPELAN4_CAA (block.py:5047, CAA attention before cv4)."""
 
     c2: int
     c3: int
     c4: int
     n: int = 1
+    inner: str = "rep"
+    caa: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -678,13 +915,57 @@ class RepNCSPELAN4(nn.Module):
         half = self.c3 // 2
         y = ConvBN(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         ys = [y[..., :half], y[..., half:]]
-        z = RepNCSP(self.c4, n=self.n, dtype=self.dtype, name="cv2_csp")(ys[-1], train)
+        z = RepNCSP(self.c4, n=self.n, inner=self.inner, dtype=self.dtype, name="cv2_csp")(ys[-1], train)
         z = ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv2_conv")(z, train)
         ys.append(z)
-        z = RepNCSP(self.c4, n=self.n, dtype=self.dtype, name="cv3_csp")(ys[-1], train)
+        z = RepNCSP(self.c4, n=self.n, inner=self.inner, dtype=self.dtype, name="cv3_csp")(ys[-1], train)
         z = ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv3_conv")(z, train)
         ys.append(z)
-        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+        out = jnp.concatenate(ys, -1)
+        if self.caa:
+            out = CAA(dtype=self.dtype, name="caa")(out)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv4")(out, train)
+
+
+class CBLinear(nn.Module):
+    """YOLOv9 cross-branch linear (extra block.py:4700): one biased conv
+    split into a list of per-branch channel groups."""
+
+    c2s: Tuple[int, ...]
+    k: int = 1
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.k // 2
+        y = nn.Conv(sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
+                    padding=[(p, p)] * 2, use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(x)
+        outs, start = [], 0
+        for c in self.c2s:
+            outs.append(y[..., start : start + c])
+            start += c
+        return outs
+
+
+class CBFuse(nn.Module):
+    """YOLOv9 cross-branch fuse (extra block.py:4710): pick idx[i] from each
+    CBLinear list, nearest-upsample to the last input's size, sum."""
+
+    idx: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        target = xs[-1]
+        th, tw = target.shape[1:3]
+        total = target
+        for i, x in enumerate(xs[:-1]):
+            sel = x[self.idx[i]]
+            if sel.shape[1] != th:
+                sel = jax.image.resize(sel, (sel.shape[0], th, tw, sel.shape[-1]), "nearest")
+            total = total + sel
+        return total
 
 
 class ADown(nn.Module):

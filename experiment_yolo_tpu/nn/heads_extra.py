@@ -567,6 +567,126 @@ class OBBTADDH(nn.Module):
         return det, amaps
 
 
+class _DyReLU(nn.Module):
+    """DyReLU (extra block.py:96, default K2+bias): channel-pooled MLP emits
+    per-channel (a1, b1, a2, b2); out = max(x*a1+b1, x*a2+b2)."""
+
+    c: int
+    reduction: int = 4
+    lambda_a: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        sq = self.c // self.reduction
+        y = x.mean(axis=(1, 2))
+        y = nn.Dense(sq, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
+        y = nn.Dense(self.c * 4, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(jax.nn.relu(y))
+        y = jax.nn.relu6(y + 3.0) / 6.0  # h_sigmoid
+        a1, b1, a2, b2 = jnp.split(y[:, None, None, :], 4, axis=-1)
+        a1 = (a1 - 0.5) * self.lambda_a + 1.0
+        a2 = (a2 - 0.5) * self.lambda_a
+        b1 = b1 - 0.5
+        b2 = b2 - 0.5
+        return jnp.maximum(x * a1 + b1, x * a2 + b2)
+
+
+def _resize_align_corners(x, H, W):
+    """Bilinear resize with align_corners=True (the DyHead upsample,
+    extra block.py:273)."""
+    from experiment_yolo_tpu.nn.transformer import _bilinear_sample_zeros
+
+    b, h, w, c = x.shape
+    ys = jnp.arange(H, dtype=jnp.float32) * ((h - 1) / max(H - 1, 1))
+    xs = jnp.arange(W, dtype=jnp.float32) * ((w - 1) / max(W - 1, 1))
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    loc = jnp.stack([(gx + 0.5) / w, (gy + 0.5) / h], -1).reshape(1, -1, 2)
+    loc = jnp.broadcast_to(loc, (b, H * W, 2))
+    return _bilinear_sample_zeros(x, loc).reshape(b, H, W, c)
+
+
+class DyHeadBlock(nn.Module):
+    """DyHeadBlock (extra block.py:213): scale-aware (shared pooled gate),
+    spatial-aware (DCNv2 across neighbor levels, offsets from the mid
+    level), task-aware (DyReLU) attention over the level pyramid."""
+
+    c: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.ops.dcnv3 import DyDCNv2
+
+        high = DyDCNv2(self.c, dtype=self.dtype, name="spatial_conv_high")
+        mid = DyDCNv2(self.c, dtype=self.dtype, name="spatial_conv_mid")
+        low = DyDCNv2(self.c, stride=2, dtype=self.dtype, name="spatial_conv_low")
+        off_conv = nn.Conv(27, (3, 3), padding=[(1, 1)] * 2,
+                           kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                           dtype=self.dtype, param_dtype=jnp.float32, name="spatial_conv_offset")
+        scale_conv = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="scale_attn")
+        task = _DyReLU(self.c, dtype=self.dtype, name="task_attn")
+
+        def scale_gate(f):
+            s = scale_conv(f.mean(axis=(1, 2), keepdims=True))
+            return jax.nn.relu6(jax.nn.relu(s) + 3.0) / 6.0  # HSigmoid(bias 3, div 6)
+
+        outs = []
+        n = len(xs)
+        for lvl in range(n):
+            om = off_conv(xs[lvl])
+            offset, mask = om[..., :18], jax.nn.sigmoid(om[..., 18:])
+            mid_f = mid(xs[lvl], offset, mask)
+            sum_f = mid_f * scale_gate(mid_f)
+            summed = 1
+            if lvl > 0:  # finer level, stride-2 DCN down to this level
+                low_f = low(xs[lvl - 1], offset, mask)
+                sum_f = sum_f + low_f * scale_gate(low_f)
+                summed += 1
+            if lvl < n - 1:  # coarser level, DCN then align-corners upsample
+                hi = high(xs[lvl + 1], offset, mask)
+                hi = _resize_align_corners(hi, xs[lvl].shape[1], xs[lvl].shape[2])
+                sum_f = sum_f + hi * scale_gate(hi)
+                summed += 1
+            outs.append(task(sum_f / summed))
+        return outs
+
+
+class DetectDyHead(nn.Module):
+    """Detect_DyHead (extra head.py:20): per-level 1x1 into hidc, block_num
+    DyHeadBlocks over the pyramid, then standard box/cls branches."""
+
+    nc: int = 80
+    hidc: int = 256
+    block_num: int = 2
+    ch: Tuple[int, ...] = ()
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        xs = [ConvBN(self.hidc, 1, dtype=self.dtype, name=f"conv_{i}")(x, train) for i, x in enumerate(xs)]
+        for b in range(self.block_num):
+            xs = DyHeadBlock(self.hidc, dtype=self.dtype, name=f"dyhead_{b}")(xs, train)
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], self.nc)
+        outs = []
+        for i, x in enumerate(xs):
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(box, train)
+            box = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv2_{i}_2")(box)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(cls, train)
+            cls = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv3_{i}_2")(cls)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
 class DetectAux(nn.Module):
     """Detect with an auxiliary one-to-many training head (reference
     extra_modules/head.py:235 DetectAux).

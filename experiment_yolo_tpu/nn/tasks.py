@@ -72,6 +72,13 @@ _ATTENTION = {
     "ELA": X.ELA,
     "CAA": X.CAA,
     "LSKBlock": X.LSKBlock,
+    "SpatialGroupEnhance": X.SpatialGroupEnhance,
+    "BAMBlock": X.BAMBlock,
+    "CPCA": X.CPCA,
+    "MPCA": X.MPCA,
+    "LSKA": X.LSKA,
+    "SegNext_Attention": X.SegNextAttention,
+    "MLCA": X.MLCA,
 }
 
 
@@ -254,13 +261,19 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             mod = M.AsfAttention(dtype=dtype)
         elif mname in _ATTENTION:  # channel-preserving attention (reference tasks.py:962-971)
             c2 = c1
-            mod = _ATTENTION[mname](*args, dtype=dtype) if mname not in ("SimAM",) else _ATTENTION[mname](*args)
-        elif mname in ("Conv2", "DSConv", "LightConv", "RepConv", "ConvTranspose", "RFAConv", "GhostBottleneck"):
+            if mname == "MLCA":  # ECA kernel size derives from the channels
+                mod = _ATTENTION[mname](c1, *args, dtype=dtype)
+            elif mname == "SimAM":
+                mod = _ATTENTION[mname](*args)
+            else:
+                mod = _ATTENTION[mname](*args, dtype=dtype)
+        elif mname in ("Conv2", "DSConv", "LightConv", "RepConv", "ConvTranspose", "GhostBottleneck"):
+            # NB: RFAConv routes to the zoo implementation above
             c2 = _scale_ch(args[0], nc, width, max_channels)
             cls = {
                 "Conv2": X.Conv2Mod, "DSConv": X.DSConv, "LightConv": X.LightConv,
                 "RepConv": X.RepConv, "ConvTranspose": X.ConvTranspose,
-                "RFAConv": X.RFAConv, "GhostBottleneck": X.GhostBottleneck,
+                "GhostBottleneck": X.GhostBottleneck,
             }[mname]
             mod = cls(c2, *args[1:], dtype=dtype)
         elif mname in ("C3Ghost", "C3x", "BottleneckCSP"):
@@ -278,6 +291,28 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "ADown":
             c2 = _scale_ch(args[0], nc, width, max_channels)
             mod = X.ADown(c2, dtype=dtype)
+        elif mname in ("DBBNCSPELAN4", "RepNCSPELAN4_CAA"):
+            # v9 ELAN variants (extra block.py:4667/5047): same arg layout as
+            # RepNCSPELAN4 [c2, c3, c4, n]
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            c3 = _scale_ch(args[1], nc, width, max_channels)
+            c4 = _scale_ch(args[2], nc, width, max_channels)
+            mod = X.RepNCSPELAN4(c2, c3, c4, n=args[3] if len(args) > 3 else 1,
+                                 inner="dbb" if mname.startswith("DBB") else "rep",
+                                 caa=mname.endswith("CAA"), dtype=dtype)
+        elif mname == "CBLinear":
+            # args [c2s_list, k?, s?] (reference tasks.py:927): output is the
+            # LIST of branch tensors; Index selects one downstream
+            c1_ = src_ch(f_list[0])
+            c2s = [make_divisible(min(c, max_channels) * width, 8) for c in args[0]]
+            c2 = list(c2s)  # multi-output node
+            mod = X.CBLinear(tuple(c2s), k=args[1] if len(args) > 1 else 1,
+                             s=args[2] if len(args) > 2 else 1, dtype=dtype)
+        elif mname == "CBFuse":
+            # sums idx-selected CBLinear branches onto the last input
+            c2 = src_ch(f_list[-1])
+            mod = X.CBFuse(tuple(args[0]))
+            list_input = True
         elif mname == "DySample":
             c2 = c1
             mod = X.DySample(*args, dtype=dtype)
@@ -310,6 +345,42 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             inc = tuple(src_ch(j) for j in f_list)
             c2 = _scale_ch(args[0], nc, width, max_channels)
             mod = X.SimFusion3in(c2, inc=inc, dtype=dtype)
+        elif mname == "IFM":
+            # GOLD-YOLO info-fusion (reference tasks.py:986): args [ouc_list]
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = sum(args[0])
+            mod = Z.IFM(tuple(args[0]), dtype=dtype)
+        elif mname == "InjectionMultiSum_Auto_pool":
+            # args [oup, global_inp_list, flag] (reference tasks.py:990)
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = args[0]
+            mod = Z.InjectionMultiSum(c2, tuple(args[1]), args[2], dtype=dtype)
+        elif mname == "TopBasicLayer":
+            # args [embedding_dim, ouc_list] (reference tasks.py:997)
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = sum(args[1])
+            mod = Z.TopBasicLayer(tuple(args[1]), dtype=dtype)
+        elif mname in ("CSPStage", "RepBlock", "V7DownSampling"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            if mname == "CSPStage":
+                mod = Z.CSPStage(c2, n=n, dtype=dtype)
+            elif mname == "RepBlock":
+                mod = Z.RepBlock(c2, n=n, dtype=dtype)
+            else:
+                mod = Z.V7DownSampling(c2, dtype=dtype)
+            n = 1
+        elif mname == "BiFusion":
+            # args [c2]; inputs [top, mid, bottom] (reference tasks.py:974)
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            inc = tuple(src_ch(j) for j in f_list)
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = Z.BiFusion(c2, inc=inc, dtype=dtype)
         elif mname in ("SimFusion_4in", "AdvPoolFusion"):
             c2 = sum(src_ch(j) for j in f_list)
             mod = X.SimFusion4in() if mname == "SimFusion_4in" else X.AdvPoolFusion()
@@ -352,7 +423,8 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             detect_idx = i
             list_input = True
         elif mname in ("Detect", "Detect_Efficient", "DetectAux", "Detect_SEAM",
-                       "Detect_MultiSEAM", "Detect_LSCD", "Detect_LADH", "Detect_TADDH"):
+                       "Detect_MultiSEAM", "Detect_LSCD", "Detect_LADH", "Detect_TADDH",
+                       "Detect_DyHead"):
             from experiment_yolo_tpu.nn import heads_extra as H
 
             ch_in = tuple(src_ch(j) for j in f_list)
@@ -369,6 +441,11 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 mod = H.DetectLSCD(nc=nc, hidc=hidc, ch=ch_in, dtype=dtype)
             elif mname == "Detect_LADH":
                 mod = H.DetectLADH(nc=nc, ch=ch_in, dtype=dtype)
+            elif mname == "Detect_DyHead":
+                # args: [nc, hidc, block_num] (extra head.py:28)
+                hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
+                bn_ = args[2] if len(args) > 2 else 2
+                mod = H.DetectDyHead(nc=nc, hidc=hidc, block_num=bn_, ch=ch_in, dtype=dtype)
             elif mname == "Detect_TADDH":
                 # args: [nc, hidc] — input levels must carry hidc channels
                 hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)

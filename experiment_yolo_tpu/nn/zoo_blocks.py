@@ -676,6 +676,210 @@ class MultiSEAM(nn.Module):
         return x * jnp.exp(jax.nn.sigmoid(y))[:, None, None, :]
 
 
+class RepVGGBlock(nn.Module):
+    """RepVGGBlock (block.py:1782): 3x3 conv-BN + 1x1 conv-BN + identity BN
+    branches summed, ReLU. Train-time structure (re-param is an export
+    concern in the XLA world)."""
+
+    c2: int
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda xx, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, param_dtype=jnp.float32, name=nm)(xx)
+        y = bn(_bare_conv(x, self.c2, 3, self.dtype, "dense_conv", s=self.s), "dense_bn")
+        y = y + bn(_bare_conv(x, self.c2, 1, self.dtype, "one_conv", s=self.s), "one_bn")
+        if x.shape[-1] == self.c2 and self.s == 1:
+            y = y + bn(x, "id_bn")
+        return jax.nn.relu(y)
+
+
+class IFM(nn.Module):
+    """GOLD-YOLO information-fusion module (block.py:1965): 1x1 embed,
+    fuse_block_num RepVGG blocks, 1x1 to sum(ouc)."""
+
+    ouc: Tuple[int, ...]
+    embed_dim: int = 96
+    fuse_block_num: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.embed_dim, 1, train, self.dtype, "conv_in")
+        for i in range(self.fuse_block_num):
+            y = RepVGGBlock(self.embed_dim, dtype=self.dtype, name=f"rep{i}")(y, train)
+        return _conv(y, sum(self.ouc), 1, train, self.dtype, "conv_out")
+
+
+class InjectionMultiSum(nn.Module):
+    """InjectionMultiSum_Auto_pool (block.py:1986): local embedding gated by
+    the (pooled or upsampled) global slice plus the global embedding.
+    NOTE the reference skips the h-sigmoid in its pooling branch — kept."""
+
+    oup: int
+    global_inp: Tuple[int, ...]
+    flag: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x_l, x_g = xs
+        H, W = x_l.shape[1:3]
+        gH = x_g.shape[1]
+        start = sum(self.global_inp[: self.flag])
+        g = x_g[..., start : start + self.global_inp[self.flag]]
+        local = _conv(x_l, self.oup, 1, train, self.dtype, "local_embedding", act=False)
+        g_act = _conv(g, self.oup, 1, train, self.dtype, "global_act", act=False)
+        g_feat = _conv(g, self.oup, 1, train, self.dtype, "global_embedding", act=False)
+        if H < gH:  # adaptive-avg-pool down (no act — reference quirk)
+            k = gH // H
+            sig = nn.avg_pool(g_act, (k, k), strides=(k, k))
+            g_feat = nn.avg_pool(g_feat, (k, k), strides=(k, k))
+        else:
+            sig = jax.nn.relu6(g_act + 3.0) / 6.0
+            sig = jax.image.resize(sig, (sig.shape[0], H, W, self.oup), "bilinear")
+            g_feat = jax.image.resize(g_feat, (g_feat.shape[0], H, W, self.oup), "bilinear")
+        return local * sig + g_feat
+
+
+class TopBasicLayer(nn.Module):
+    """GOLD-YOLO top transformer (block.py:2168): block_num attention+MLP
+    blocks over the pooled token map, 1x1 to sum(ouc)."""
+
+    ouc: Tuple[int, ...]
+    block_num: int = 2
+    key_dim: int = 8
+    num_heads: int = 4
+    attn_ratio: float = 2.0
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dim = x.shape[-1]
+        d = int(self.attn_ratio * self.key_dim)
+        nh_kd = self.key_dim * self.num_heads
+        dh = d * self.num_heads
+        for bi in range(self.block_num):
+            # GOLDYOLO_Attention (block.py:2114)
+            b, H, W, _ = x.shape
+            q = _conv(x, nh_kd, 1, train, self.dtype, f"b{bi}_to_q", act=False)
+            k = _conv(x, nh_kd, 1, train, self.dtype, f"b{bi}_to_k", act=False)
+            v = _conv(x, dh, 1, train, self.dtype, f"b{bi}_to_v", act=False)
+            qh = q.reshape(b, H * W, self.num_heads, self.key_dim).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, H * W, self.num_heads, self.key_dim).transpose(0, 2, 3, 1)
+            vh = v.reshape(b, H * W, self.num_heads, d).transpose(0, 2, 1, 3)
+            attn = jax.nn.softmax(qh @ kh * self.key_dim**-0.5, axis=-1)
+            y = (attn @ vh).transpose(0, 2, 1, 3).reshape(b, H, W, dh)
+            y = _conv(jax.nn.relu6(y), dim, 1, train, self.dtype, f"b{bi}_proj", act=False)
+            x = x + y
+            z = _conv(x, int(dim * self.mlp_ratio), 1, train, self.dtype, f"b{bi}_mlp1", act=False)
+            z = _bare_conv(jax.nn.silu(z), int(dim * self.mlp_ratio), 3, self.dtype, f"b{bi}_mlp_dw",
+                           g=int(dim * self.mlp_ratio), bias=True)
+            z = _conv(jax.nn.silu(z), dim, 1, train, self.dtype, f"b{bi}_mlp2", act=False)
+            x = x + z
+        return _bare_conv(x, sum(self.ouc), 1, self.dtype, "conv_out", bias=True)
+
+
+class CSPStage(nn.Module):
+    """DAMO-YOLO GFPN CSPStage (block.py:2447): split, chain of RepConv
+    3x3-reverse basic blocks, concat all intermediates."""
+
+    c2: int
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import RepConv
+
+        ch_first = self.c2 // 2
+        ch_mid = self.c2 - ch_first
+        y1 = _conv(x, ch_first, 1, train, self.dtype, "conv1")
+        y2 = _conv(x, ch_mid, 1, train, self.dtype, "conv2")
+        outs = [y1]
+        for i in range(self.n):
+            z = RepConv(ch_mid, 3, dtype=self.dtype, name=f"m{i}_conv2")(y2, train)
+            z = _conv(z, ch_mid, 3, train, self.dtype, f"m{i}_conv1")
+            y2 = y2 + z
+            outs.append(y2)
+        return _conv(jnp.concatenate(outs, -1), self.c2, 1, train, self.dtype, "conv3")
+
+
+class BiFusion(nn.Module):
+    """YOLOv6 BiFusion (block.py:2528): transpose-conv upsample of the top
+    level + 1x1 mid + downsampled bottom, concat, 1x1 fuse."""
+
+    c2: int
+    inc: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x0 = nn.ConvTranspose(self.c2, (2, 2), strides=(2, 2), use_bias=True, dtype=self.dtype,
+                              param_dtype=jnp.float32, name="upsample")(xs[0])
+        x1 = _conv(xs[1], self.c2, 1, train, self.dtype, "cv1")
+        x2 = _conv(_conv(xs[2], self.c2, 1, train, self.dtype, "cv2"), self.c2, 3, train, self.dtype,
+                   "downsample", s=2)
+        return _conv(jnp.concatenate([x0, x1, x2], -1), self.c2, 1, train, self.dtype, "cv3")
+
+
+class RepBlock(nn.Module):
+    """YOLOv6 RepBlock (block.py:2572): n chained RepVGG blocks."""
+
+    c2: int
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = RepVGGBlock(self.c2, dtype=self.dtype, name="conv1")(x, train)
+        for i in range(self.n - 1):
+            x = RepVGGBlock(self.c2, dtype=self.dtype, name=f"block{i}")(x, train)
+        return x
+
+
+class V7DownSampling(nn.Module):
+    """YOLOv7 downsample (block.py:4731): maxpool+1x1 || 1x1+3x3s2, concat."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = self.c2 // 2
+        a = nn.max_pool(x, (2, 2), strides=(2, 2))
+        a = _conv(a, h, 1, train, self.dtype, "mp_cv")
+        b = _conv(x, h, 1, train, self.dtype, "cv1")
+        b = _conv(b, h, 3, train, self.dtype, "cv2", s=2)
+        return jnp.concatenate([a, b], -1)
+
+
+class _EMBCBottleneck(nn.Module):
+    """The zoo's MBConv (block.py:1759, C2f_EMBC inner): pw expand, dw3x3,
+    EffectiveSE, pw project (no act), residual."""
+
+    c2: int
+    e: int = 4
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import EffectiveSE
+
+        mid = x.shape[-1] * self.e
+        y = _conv(x, mid, 1, train, self.dtype, "conv_pw_1")
+        y = _conv(y, mid, 3, train, self.dtype, "conv_dw_1", g=mid)
+        y = EffectiveSE(dtype=self.dtype, name="effective_se")(y)
+        y = _conv(y, self.c2, 1, train, self.dtype, "conv1", act=False)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
 # ---------------------------------------------------------------------------
 # generic bottleneck + CSP containers
 # ---------------------------------------------------------------------------
@@ -730,6 +934,7 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "RFCAConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFCAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
     "AKConv": lambda c, s, dt, nm, k0: _AKConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "DBB": lambda c, s, dt, nm, k0: _DBBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "EMBC": lambda c, s, dt, nm, k0: _EMBCBottleneck(c, shortcut=True, dtype=dt, name=nm),
 }
 
 

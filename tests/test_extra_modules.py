@@ -163,3 +163,66 @@ head:
     v = m.init(jax.random.PRNGKey(0))
     outs = m.apply(v, jnp.zeros((1, 64, 64, 3)))
     assert [o.shape[1:3] for o in outs] == [(16, 16), (8, 8)]
+
+
+def test_attention_tranche2_shapes():
+    """SpatialGroupEnhance/BAM/CPCA/MPCA/LSKA/SegNext/MLCA (attention.py
+    tranche 2): channel-preserving forward + finite outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from experiment_yolo_tpu.nn import extra_modules as X
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 64).astype(np.float32))
+    for mod in (
+        X.SpatialGroupEnhance(),
+        X.BAMBlock(),
+        X.CPCA(),
+        X.MPCA(),
+        X.LSKA(k_size=11),
+        X.SegNextAttention(),
+        X.MLCA(64),
+    ):
+        v = mod.init(jax.random.PRNGKey(0), x, True)
+        y = mod.apply(v, x, False, mutable=False) if "batch_stats" not in v else \
+            mod.apply({"params": v["params"], "batch_stats": v["batch_stats"]}, x, False)
+        assert y.shape == x.shape, type(mod).__name__
+        assert np.isfinite(np.asarray(y)).all(), type(mod).__name__
+
+
+def test_attention_tranche2_param_parity():
+    """Param-count parity vs the reference attention classes."""
+    import sys
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    ref = Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(ref))
+    import importlib
+
+    A = importlib.import_module("ultralytics.nn.extra_modules.attention")
+    from experiment_yolo_tpu.nn import extra_modules as X
+
+    x = jnp.zeros((1, 8, 8, 64))
+    cases = [
+        (A.SpatialGroupEnhance(8), X.SpatialGroupEnhance()),
+        (A.BAMBlock(64), X.BAMBlock()),
+        (A.CPCA(64), X.CPCA()),
+        (A.MPCA(64), X.MPCA()),
+        (A.LSKA(64, 11), X.LSKA(k_size=11)),
+        (A.SegNext_Attention(64), X.SegNextAttention()),
+        (A.MLCA(64), X.MLCA(64)),
+    ]
+    for tm, om in cases:
+        t = sum(p.numel() for p in tm.parameters())
+        v = jax.eval_shape(lambda om=om: om.init(jax.random.PRNGKey(0), x, True))
+        o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert t == o, f"{type(tm).__name__}: ours {o:,} vs reference {t:,}"
