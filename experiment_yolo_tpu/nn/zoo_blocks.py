@@ -880,6 +880,168 @@ class _EMBCBottleneck(nn.Module):
         return y
 
 
+class _DSnakeBranch(nn.Module):
+    """One dynamic-snake conv branch (dynamic_snake_conv.py:18 DSConv):
+    tanh offsets accumulated outward from the kernel center deform the tap
+    line; samples contract through a (K,1)/(1,K) stride-K conv + GN + SiLU.
+    morph 0 = taps along W with snake offsets in H, morph 1 = transposed."""
+
+    c2: int
+    morph: int
+    k: int = 3
+    extend_scope: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.transformer import _bilinear_sample_zeros
+
+        b, h, w, c = x.shape
+        K = self.k
+        off = _bare_conv(x, 2 * K, 3, self.dtype, "offset_conv", bias=True)
+        off = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="offset_bn")(off)
+        off = jnp.tanh(off)
+        y_off, x_off = off[..., :K], off[..., K:]  # (b, h, w, K)
+        # accumulate outward from the center tap (the snake swing)
+        center = K // 2
+        snake = y_off if self.morph == 0 else x_off
+        acc = [jnp.zeros_like(snake[..., 0])] * K
+        for i in range(1, center + 1):
+            acc[center + i] = acc[center + i - 1] + snake[..., center + i]
+            acc[center - i] = acc[center - i + 1] + snake[..., center - i]
+        acc = jnp.stack(acc, -1) * self.extend_scope  # (b, h, w, K)
+        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        taps = jnp.arange(K, dtype=jnp.float32) - center
+        if self.morph == 0:  # taps along W, snake in H
+            sx = gx[None, ..., None] + taps
+            sy = gy[None, ..., None] + acc
+        else:  # taps along H, snake in W
+            sy = gy[None, ..., None] + taps
+            sx = gx[None, ..., None] + acc
+        loc = jnp.stack([(sx + 0.5) / w, (sy + 0.5) / h], -1)  # (b|1, h, w, K, 2)
+        loc = jnp.broadcast_to(loc, (b, h, w, K, 2)).reshape(b, h * w * K, 2)
+        sampled = _bilinear_sample_zeros(x, loc).reshape(b, h, w, K, c)
+        kern = self.param("dsc_kernel", nn.initializers.lecun_normal(), (K * c, self.c2), jnp.float32)
+        bias = self.param("dsc_bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+        # the reference DSConv registers BOTH orientation convs per branch and
+        # uses only the morph-selected one — kept for state-dict parity
+        self.param("dsc_kernel_unused", nn.initializers.lecun_normal(), (K * c, self.c2), jnp.float32)
+        self.param("dsc_bias_unused", nn.initializers.zeros, (self.c2,), jnp.float32)
+        # torch (K,1)/(1,K) stride-K conv over the tiled map == one tap-matmul
+        y = sampled.reshape(b, h, w, K * c) @ kern.astype(sampled.dtype) + bias.astype(sampled.dtype)
+        y = nn.GroupNorm(num_groups=self.c2 // 4, dtype=self.dtype, param_dtype=jnp.float32, name="gn")(y)
+        return jax.nn.silu(y)
+
+
+class DySnakeConv(nn.Module):
+    """DySnakeConv (dynamic_snake_conv.py:7): standard conv + x-snake +
+    y-snake branches concatenated (3x channels out)."""
+
+    c2: int
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = _conv(x, self.c2, self.k, train, self.dtype, "conv_0")
+        bx = _DSnakeBranch(self.c2, 0, self.k, dtype=self.dtype, name="conv_x")(x, train)
+        by = _DSnakeBranch(self.c2, 1, self.k, dtype=self.dtype, name="conv_y")(x, train)
+        return jnp.concatenate([a, bx, by], -1)
+
+
+class _DySnakeBottleneck(nn.Module):
+    """Bottleneck_DySnakeConv (block.py:1396): cv1 Conv, cv2 DySnakeConv
+    (3x out), cv3 1x1 back to c2."""
+
+    c2: int
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.c2, self.k0, train, self.dtype, "cv1")
+        y = DySnakeConv(self.c2, 3, dtype=self.dtype, name="cv2")(y, train)
+        y = _conv(y, self.c2, 1, train, self.dtype, "cv3")
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class SS2D(nn.Module):
+    """2-D selective scan (mamba_vss.py:16, VMamba SS2D): four direction
+    sequences (row/col major x fwd/rev) through the Mamba recurrence —
+    evaluated with our associative-scan selective_scan (the reference needs
+    its CUDA extension here), summed back, LN, gated by silu(z)."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 3
+    expand: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # (B, H, W, C)
+        import math as _m
+
+        from experiment_yolo_tpu.ops.pallas.selective_scan import selective_scan_reference
+
+        B, H, W, C = x.shape
+        d_inner = self.expand * self.d_model
+        dt_rank = _m.ceil(self.d_model / 16)
+        N = self.d_state
+        xz = nn.Dense(d_inner * 2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="in_proj")(x)
+        xc, z = xz[..., :d_inner], xz[..., d_inner:]
+        p = (self.d_conv - 1) // 2
+        xc = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding=[(p, p)] * 2, feature_group_count=d_inner,
+                     use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv2d")(xc)
+        xc = jax.nn.silu(xc)
+
+        xw = self.param("x_proj_weight", nn.initializers.lecun_normal(),
+                        (4, dt_rank + 2 * N, d_inner), jnp.float32)
+        dtw = self.param("dt_projs_weight", nn.initializers.lecun_normal(), (4, d_inner, dt_rank), jnp.float32)
+        # softplus^-1(0.01) constant stand-in for the reference's log-uniform
+        # dt init (init-time only)
+        dtb = self.param("dt_projs_bias", nn.initializers.constant(_m.log(_m.expm1(0.01))),
+                         (4, d_inner), jnp.float32)
+        a_logs = self.param("A_logs",
+                            lambda _k: jnp.tile(jnp.log(jnp.arange(1, N + 1, dtype=jnp.float32)), (4, d_inner, 1)),
+                            )
+        ds = self.param("Ds", nn.initializers.ones, (4, d_inner), jnp.float32)
+
+        row = xc.reshape(B, H * W, d_inner)
+        col = xc.transpose(0, 2, 1, 3).reshape(B, H * W, d_inner)
+        seqs = [row, col, row[:, ::-1], col[:, ::-1]]
+        ys = []
+        for k, seq in enumerate(seqs):
+            dbl = seq.astype(jnp.float32) @ xw[k].T
+            dt, Bs, Cs = dbl[..., :dt_rank], dbl[..., dt_rank : dt_rank + N], dbl[..., dt_rank + N :]
+            dt = jax.nn.softplus(dt @ dtw[k].T + dtb[k])
+            A = -jnp.exp(a_logs[k])  # (d_inner, N)
+            ys.append(selective_scan_reference(seq.astype(jnp.float32), dt, A, Bs, Cs, ds[k]))
+        y = ys[0] + ys[2][:, ::-1]
+        ycol = ys[1] + ys[3][:, ::-1]
+        y = y + ycol.reshape(B, W, H, d_inner).transpose(0, 2, 1, 3).reshape(B, H * W, d_inner)
+        y = y.reshape(B, H, W, d_inner).astype(x.dtype)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="out_norm")(y)
+        y = y * jax.nn.silu(z)
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(y)
+
+
+class VSSBlock(nn.Module):
+    """VSSBlock (mamba_vss.py:200): LN -> SS2D -> residual."""
+
+    c2: int
+    d_state: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="ln_1")(x)
+        return x + SS2D(self.c2, d_state=self.d_state, dtype=self.dtype, name="self_attention")(y, train)
+
+
 # ---------------------------------------------------------------------------
 # generic bottleneck + CSP containers
 # ---------------------------------------------------------------------------
@@ -913,6 +1075,7 @@ INNER_UNITS: Dict[str, Callable] = {
     "RFAConv": lambda c2, dt: RFAConv(c2, dtype=dt, name="cv2"),
     "RFCBAMConv": lambda c2, dt: RFCBAMConv(c2, dtype=dt, name="cv2"),
     "RFCAConv": lambda c2, dt: RFCAConv(c2, dtype=dt, name="cv2"),
+    "VSS": lambda c2, dt: VSSBlock(c2, dtype=dt, name="cv2"),
 }
 
 # whole inner block per chain slot: builder(c, shortcut, dtype, name, k0).
@@ -935,6 +1098,9 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "AKConv": lambda c, s, dt, nm, k0: _AKConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "DBB": lambda c, s, dt, nm, k0: _DBBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "EMBC": lambda c, s, dt, nm, k0: _EMBCBottleneck(c, shortcut=True, dtype=dt, name=nm),
+    "DySnakeConv": lambda c, s, dt, nm, k0: _DySnakeBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "VSS": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "VSS", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "LVMB": lambda c, s, dt, nm, k0: VSSBlock(c, dtype=dt, name=nm),
 }
 
 
