@@ -567,6 +567,136 @@ class OBBTADDH(nn.Module):
         return det, amaps
 
 
+class _AFPNBasic(nn.Module):
+    """AFPN BasicBlock (afpn.py:11): two 3x3 convs, residual, SiLU."""
+
+    c: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c, 3, dtype=self.dtype, name="conv1")(x, train)
+        y = ConvBN(self.c, 3, act=False, dtype=self.dtype, name="conv2")(y, train)
+        return jax.nn.silu(x + y)
+
+
+class _ASFF(nn.Module):
+    """Adaptive spatial feature fusion over n levels (afpn.py:76-172)."""
+
+    c: int
+    n: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        ws = [ConvBN(8, 1, dtype=self.dtype, name=f"weight_level_{i}")(x, train) for i, x in enumerate(inputs)]
+        lw = nn.Conv(self.n, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="weight_levels")(jnp.concatenate(ws, -1))
+        lw = jax.nn.softmax(lw, axis=-1)
+        fused = sum(x * lw[..., i : i + 1] for i, x in enumerate(inputs))
+        return ConvBN(self.c, 3, dtype=self.dtype, name="conv")(fused, train)
+
+
+def _afpn_up(x, c, factor, train, dtype, name):
+    """Upsample (afpn.py:29): 1x1 conv then bilinear x factor."""
+    y = ConvBN(c, 1, dtype=dtype, name=name)(x, train)
+    b, h, w, cc = y.shape
+    return jax.image.resize(y, (b, h * factor, w * factor, cc), "bilinear")
+
+
+class _AFPNBody345(nn.Module):
+    """BlockBody_P345 (afpn.py:173) / _Custom (afpn.py:265 with C2f
+    groups): progressive 2-level then 3-level ASFF fusion."""
+
+    chans: Tuple[int, int, int]
+    custom: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _group(self, x, c, train, name):
+        if self.custom:  # Custom variant: one C2f per group
+            from experiment_yolo_tpu.nn.modules import C2f
+
+            return C2f(c, n=1, dtype=self.dtype, name=f"{name}_c2f")(x, train)
+        for i in range(4):
+            x = _AFPNBasic(c, dtype=self.dtype, name=f"{name}_b{i}")(x, train)
+        return x
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c0, c1, c2 = self.chans
+        x0, x1, x2 = xs
+        x0 = ConvBN(c0, 1, dtype=self.dtype, name="scalezero1")(x0, train)
+        x1 = ConvBN(c1, 1, dtype=self.dtype, name="scaleone1")(x1, train)
+        x2 = ConvBN(c2, 1, dtype=self.dtype, name="scaletwo1")(x2, train)
+        s0 = _ASFF(c0, 2, dtype=self.dtype, name="asff_scalezero1")(
+            [x0, _afpn_up(x1, c0, 2, train, self.dtype, "up_one1")], train)
+        s1 = _ASFF(c1, 2, dtype=self.dtype, name="asff_scaleone1")(
+            [ConvBN(c1, 2, 2, p=0, dtype=self.dtype, name="down_zero1")(x0, train), x1], train)
+        x0 = self._group(s0, c0, train, "scalezero2")
+        x1 = self._group(s1, c1, train, "scaleone2")
+        s0 = _ASFF(c0, 3, dtype=self.dtype, name="asff_scalezero2")(
+            [x0, _afpn_up(x1, c0, 2, train, self.dtype, "up_one2"),
+             _afpn_up(x2, c0, 4, train, self.dtype, "up_two2_4")], train)
+        s1 = _ASFF(c1, 3, dtype=self.dtype, name="asff_scaleone2")(
+            [ConvBN(c1, 2, 2, p=0, dtype=self.dtype, name="down_zero2_2")(x0, train), x1,
+             _afpn_up(x2, c1, 2, train, self.dtype, "up_two2_2")], train)
+        s2 = _ASFF(c2, 3, dtype=self.dtype, name="asff_scaletwo2")(
+            [ConvBN(c2, 4, 4, p=0, dtype=self.dtype, name="down_zero2_4")(x0, train),
+             ConvBN(c2, 2, 2, p=0, dtype=self.dtype, name="down_one2_2")(x1, train), x2], train)
+        x0 = self._group(s0, c0, train, "scalezero3")
+        x1 = self._group(s1, c1, train, "scaleone3")
+        x2 = self._group(s2, c2, train, "scaletwo3")
+        # the reference BlockBody_P345 also constructs six stage-3 fusion
+        # convs it never calls in forward (afpn.py:228-233) — params kept
+        # for state-dict parity, dead-code-eliminated by XLA
+        zero = jnp.zeros_like
+        _ = ConvBN(c1, 2, 2, p=0, dtype=self.dtype, name="down_zero3_2")(zero(x0), train)
+        _ = ConvBN(c2, 4, 4, p=0, dtype=self.dtype, name="down_zero3_4")(zero(x0), train)
+        _ = _afpn_up(zero(x1), c0, 2, train, self.dtype, "up_one3_2")
+        _ = ConvBN(c2, 2, 2, p=0, dtype=self.dtype, name="down_one3_2")(zero(x1), train)
+        _ = _afpn_up(zero(x2), c0, 4, train, self.dtype, "up_two3_4")
+        _ = _afpn_up(zero(x2), c1, 2, train, self.dtype, "up_two3_2")
+        return x0, x1, x2
+
+
+class DetectAFPN(nn.Module):
+    """Detect_AFPN_P345 / _Custom (extra head.py:86/139): AFPN fusion neck
+    inside the head, then standard box/cls towers on the equalized levels."""
+
+    nc: int = 80
+    hidc: int = 256
+    ch: Tuple[int, ...] = ()
+    custom: bool = False
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self) -> int:
+        return self.nc + 4 * self.reg_max
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        factor = 4
+        red = [c // factor for c in self.ch]
+        xs = [ConvBN(red[i], 1, dtype=self.dtype, name=f"conv{i}")(x, train) for i, x in enumerate(xs)]
+        xs = list(_AFPNBody345(tuple(red), custom=self.custom, dtype=self.dtype, name="body")(xs, train))
+        xs = [ConvBN(self.hidc, 1, dtype=self.dtype, name=f"conv{i}{i}")(x, train) for i, x in enumerate(xs)]
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], self.nc)
+        outs = []
+        for i, x in enumerate(xs):
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            box = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(box, train)
+            box = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv2_{i}_2")(box)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(cls, train)
+            cls = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"cv3_{i}_2")(cls)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
 class _DyReLU(nn.Module):
     """DyReLU (extra block.py:96, default K2+bias): channel-pooled MLP emits
     per-channel (a1, b1, a2, b2); out = max(x*a1+b1, x*a2+b2)."""

@@ -424,7 +424,7 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             list_input = True
         elif mname in ("Detect", "Detect_Efficient", "DetectAux", "Detect_SEAM",
                        "Detect_MultiSEAM", "Detect_LSCD", "Detect_LADH", "Detect_TADDH",
-                       "Detect_DyHead"):
+                       "Detect_DyHead", "Detect_AFPN_P345", "Detect_AFPN_P345_Custom"):
             from experiment_yolo_tpu.nn import heads_extra as H
 
             ch_in = tuple(src_ch(j) for j in f_list)
@@ -446,6 +446,11 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
                 bn_ = args[2] if len(args) > 2 else 2
                 mod = H.DetectDyHead(nc=nc, hidc=hidc, block_num=bn_, ch=ch_in, dtype=dtype)
+            elif mname.startswith("Detect_AFPN_P345"):
+                # args: [nc, hidc] (extra head.py:94)
+                hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
+                mod = H.DetectAFPN(nc=nc, hidc=hidc, ch=ch_in,
+                                   custom=mname.endswith("Custom"), dtype=dtype)
             elif mname == "Detect_TADDH":
                 # args: [nc, hidc] — input levels must carry hidc channels
                 hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)

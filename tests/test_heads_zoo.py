@@ -57,6 +57,8 @@ def _build(tmp_path, head, args):
         ("Pose_TADDH", "[nc, [5, 3], 64]", "pose"),
         ("OBB_TADDH", "[nc, 1, 64]", "obb"),
         ("Detect_DyHead", "[nc, 64, 1]", "detect"),
+        ("Detect_AFPN_P345", "[nc, 64]", "detect"),
+        ("Detect_AFPN_P345_Custom", "[nc, 64]", "detect"),
     ],
 )
 def test_head_builds_and_predicts(tmp_path, head, args, task):
@@ -92,6 +94,7 @@ def test_head_builds_and_predicts(tmp_path, head, args, task):
         ("Pose_LADH", dict(nc=3, kpt_shape=(5, 3), ch=(64, 128, 128))),
         ("OBB_LADH", dict(nc=3, ne=1, ch=(64, 128, 128))),
         ("Detect_DyHead", dict(nc=3, hidc=64, block_num=1, ch=(64, 128, 128))),
+        ("Detect_AFPN_P345", dict(nc=3, hidc=64, ch=(64, 128, 128))),
     ],
 )
 def test_param_count_parity(name, kw):
@@ -109,6 +112,7 @@ def test_param_count_parity(name, kw):
     ours = {
         "Detect_LADH": lambda: H.DetectLADH(nc=3, ch=(64, 128, 128)),
         "Detect_DyHead": lambda: H.DetectDyHead(nc=3, hidc=64, block_num=1, ch=(64, 128, 128)),
+        "Detect_AFPN_P345": lambda: H.DetectAFPN(nc=3, hidc=64, ch=(64, 128, 128)),
         "Segment_LADH": lambda: H.SegmentLADH(nc=3, nm=16, npr=64, ch=(64, 128, 128)),
         "Pose_LADH": lambda: H.PoseLADH(nc=3, kpt_shape=(5, 3), ch=(64, 128, 128)),
         "OBB_LADH": lambda: H.OBBLADH(nc=3, ne=1, ch=(64, 128, 128)),
