@@ -599,6 +599,129 @@ class MobileNetV4(nn.Module):
         return [outs[s] for s in (4, 8, 16, 32)]
 
 
+class _SwinWindowAttention(nn.Module):
+    """W-MSA with relative position bias (SwinTransformer.py:63)."""
+
+    dim: int
+    window: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):  # x (B', N, C); mask (nW, N, N) or None
+        import numpy as np
+
+        w = self.window
+        n = w * w
+        hd = self.dim // self.num_heads
+        table = self.param("rel_bias_table", nn.initializers.normal(0.02),
+                           ((2 * w - 1) ** 2, self.num_heads), jnp.float32)
+        ch, cw = np.meshgrid(np.arange(w), np.arange(w), indexing="ij")
+        coords = np.stack([ch.reshape(-1), cw.reshape(-1)])  # (2, N)
+        rel = coords[:, :, None] - coords[:, None, :]
+        idx = (rel[0] + w - 1) * (2 * w - 1) + (rel[1] + w - 1)  # (N, N)
+        bias = table[idx].transpose(2, 0, 1)  # (nh, N, N)
+
+        b = x.shape[0]
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * hd**-0.5, qkv[1], qkv[2]
+        attn = q @ k.transpose(0, 1, 3, 2) + bias.astype(q.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b // nw, nw, self.num_heads, n, n) + mask[None, :, None].astype(q.dtype)
+            attn = attn.reshape(b, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = (attn @ v).transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(y)
+
+
+class _SwinBlock(nn.Module):
+    """Swin block with optional shifted windows (SwinTransformer.py:146)."""
+
+    dim: int
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        import numpy as np
+
+        B, H, W, C = x.shape
+        w = self.window
+        pad_b, pad_r = (w - H % w) % w, (w - W % w) % w
+        Hp, Wp = H + pad_b, W + pad_r
+        shortcut = x
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        mask = None
+        if self.shift > 0:
+            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+            # attention mask over padded+shifted windows (static numpy)
+            img = np.zeros((Hp, Wp), np.int32)
+            cnt = 0
+            for hs in (slice(0, -w), slice(-w, -self.shift), slice(-self.shift, None)):
+                for ws_ in (slice(0, -w), slice(-w, -self.shift), slice(-self.shift, None)):
+                    img[hs, ws_] = cnt
+                    cnt += 1
+            win = img.reshape(Hp // w, w, Wp // w, w).transpose(0, 2, 1, 3).reshape(-1, w * w)
+            diff = win[:, :, None] - win[:, None, :]
+            mask = jnp.asarray(np.where(diff != 0, -100.0, 0.0).astype(np.float32))
+        yw = y.reshape(B, Hp // w, w, Wp // w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(-1, w * w, C)
+        yw = _SwinWindowAttention(self.dim, w, self.num_heads, dtype=self.dtype, name="attn")(yw, mask)
+        y = yw.reshape(B, Hp // w, Wp // w, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+        if self.shift > 0:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        y = y[:, :H, :W]
+        x = shortcut + y
+        z = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        z = nn.Dense(self.dim * 4, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(z)
+        z = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(jax.nn.gelu(z))
+        return x + z
+
+
+class SwinTransformer(nn.Module):
+    """Swin-T backbone (reference nn/backbone/SwinTransformer.py:436,
+    SwinTransformer_Tiny) -> [P2, P3, P4, P5] = (96, 192, 384, 768)ch."""
+
+    variant: str = "tiny"
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window: int = 7
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return (96, 192, 384, 768)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="patch_embed")(x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="patch_norm")(x)
+        outs = []
+        for si, (depth, nh) in enumerate(zip(self.depths, self.heads)):
+            dim = self.embed_dim * 2**si
+            for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else self.window // 2
+                x = _SwinBlock(dim, nh, self.window, shift, dtype=self.dtype, name=f"s{si}_b{bi}")(x)
+            # per-stage output norm (the backbone's out_indices norms)
+            outs.append(nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=f"out_norm{si}")(x))
+            if si < len(self.depths) - 1:  # PatchMerging
+                b, h, w, c = x.shape
+                hp, wp = h + h % 2, w + w % 2
+                y = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+                y = jnp.concatenate(
+                    [y[:, 0::2, 0::2], y[:, 1::2, 0::2], y[:, 0::2, 1::2], y[:, 1::2, 1::2]], -1)
+                y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=f"merge_norm{si}")(y)
+                x = nn.Dense(dim * 2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"merge_reduction{si}")(y)
+        return outs
+
+
 # name -> (class, variant): the reference's callable-name registry
 # (tasks.py:939-957) mapped onto our variant-parameterized modules
 WHOLE_BACKBONES = {
@@ -618,6 +741,7 @@ WHOLE_BACKBONES = {
     "MobileNetV4ConvSmall": (MobileNetV4, "conv_small"),
     "MobileNetV4ConvMedium": (MobileNetV4, "conv_medium"),
     "MobileNetV4ConvLarge": (MobileNetV4, "conv_large"),
+    "SwinTransformer_Tiny": (SwinTransformer, "tiny"),
 }
 
 

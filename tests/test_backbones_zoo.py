@@ -18,6 +18,7 @@ from experiment_yolo_tpu.nn.backbones import (
     LSKNet,
     MobileNetV4,
     RepViT,
+    SwinTransformer,
     WHOLE_BACKBONES,
 )
 
@@ -29,6 +30,7 @@ CASES = [
     (RepViT, "m0_9", 4),
     (LSKNet, "t", 4),
     (MobileNetV4, "conv_small", 4),
+    (SwinTransformer, "tiny", 4),
 ]
 
 
@@ -72,7 +74,7 @@ head:
 @pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
 @pytest.mark.parametrize(
     "name",
-    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall"],
+    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny"],
 )
 def test_param_count_parity(name):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
@@ -84,6 +86,7 @@ def test_param_count_parity(name):
         "repvit_m0_9": "ultralytics.nn.backbone.repvit",
         "lsknet_t": "ultralytics.nn.backbone.lsknet",
         "MobileNetV4ConvSmall": "ultralytics.nn.backbone.mobilenetv4",
+        "SwinTransformer_Tiny": "ultralytics.nn.backbone.SwinTransformer",
     }
     tmodel = getattr(importlib.import_module(mod_of[name]), name)()
     t_params = sum(p.numel() for p in tmodel.parameters())
