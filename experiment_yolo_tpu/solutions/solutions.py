@@ -111,3 +111,91 @@ class SpeedEstimator:
                 px_per_s = d / (len(hist) - 1) * self.fps
                 self.speeds[tid] = px_per_s * self.mpp if self.mpp else px_per_s
         return self.speeds
+
+
+class AIGym:
+    """Workout repetition counter over pose keypoints (reference
+    solutions/ai_gym.py:9): the joint angle at three chosen keypoints drives
+    an up/down stage machine; a full cycle increments the count. Pose types:
+    pushup/pullup/abworkout/squat with the reference's stage transitions."""
+
+    def __init__(self, kpts_to_check: Sequence[int] = (6, 8, 10), pose_type: str = "pushup",
+                 pose_up_angle: float = 145.0, pose_down_angle: float = 90.0):
+        self.kpts = tuple(int(k) for k in kpts_to_check)
+        self.pose_type = pose_type
+        self.up_angle = pose_up_angle
+        self.down_angle = pose_down_angle
+        self.count: List[int] = []
+        self.stage: List[str] = []
+        self.angle: List[float] = []
+
+    @staticmethod
+    def estimate_pose_angle(a, b, c) -> float:
+        """Angle at joint b formed by points a-b-c, degrees (the reference's
+        Annotator.estimate_pose_angle)."""
+        a, b, c = (np.asarray(p, np.float64)[:2] for p in (a, b, c))
+        ang = np.degrees(np.arctan2(c[1] - b[1], c[0] - b[0]) - np.arctan2(a[1] - b[1], a[0] - b[0]))
+        ang = abs(ang)
+        return 360.0 - ang if ang > 180.0 else float(ang)
+
+    def update(self, keypoints: np.ndarray) -> List[int]:
+        """keypoints: (n_persons, nk, >=2) pixel coords. Returns counts."""
+        n = len(keypoints)
+        if len(self.count) != n:
+            self.count = [0] * n
+            self.angle = [0.0] * n
+            self.stage = ["-"] * n
+        i0, i1, i2 = self.kpts
+        for ind, k in enumerate(keypoints):
+            ang = self.estimate_pose_angle(k[i0], k[i1], k[i2])
+            self.angle[ind] = ang
+            if self.pose_type in ("abworkout", "pullup"):
+                if ang > self.up_angle:
+                    self.stage[ind] = "down"
+                if ang < self.down_angle and self.stage[ind] == "down":
+                    self.stage[ind] = "up"
+                    self.count[ind] += 1
+            else:  # pushup / squat
+                if ang > self.up_angle:
+                    self.stage[ind] = "up"
+                if ang < self.down_angle and self.stage[ind] == "up":
+                    self.stage[ind] = "down"
+                    self.count[ind] += 1
+        return list(self.count)
+
+
+class DistanceCalculation:
+    """Centroid distance between two selected tracks (reference
+    solutions/distance_calculation.py:11). The reference converts pixels to
+    meters with a fixed pixels-per-meter constant (10); same default here."""
+
+    def __init__(self, pixels_per_meter: float = 10.0):
+        self.ppm = pixels_per_meter
+        self.selected: Dict[int, np.ndarray] = {}
+
+    @staticmethod
+    def centroid(box_xyxy) -> Tuple[float, float]:
+        b = np.asarray(box_xyxy, np.float64)
+        return (float((b[0] + b[2]) / 2), float((b[1] + b[3]) / 2))
+
+    def select(self, track_id: int, box_xyxy) -> None:
+        """Mark a track for measurement (the reference's mouse selection)."""
+        if len(self.selected) >= 2 and int(track_id) not in self.selected:
+            self.selected.clear()
+        self.selected[int(track_id)] = np.asarray(box_xyxy, np.float64)
+
+    def update(self, boxes_xyxy: np.ndarray, track_ids: np.ndarray):
+        for box, tid in zip(boxes_xyxy, track_ids):
+            if int(tid) in self.selected:
+                self.selected[int(tid)] = np.asarray(box, np.float64)
+
+    def distance(self) -> Optional[Tuple[float, float]]:
+        """(meters, millimeters) between the two selected tracks
+        (reference calculate_distance), or None until two are selected."""
+        if len(self.selected) != 2:
+            return None
+        (b1, b2) = list(self.selected.values())
+        c1, c2 = self.centroid(b1), self.centroid(b2)
+        pixel_d = float(np.hypot(c1[0] - c2[0], c1[1] - c2[1]))
+        m = pixel_d / self.ppm
+        return m, m * 1000.0

@@ -64,3 +64,32 @@ class TestSolutions:
         for t in range(6):
             se_m.update(np.asarray([[t * 10, 0, t * 10 + 10, 10]], float), np.asarray([7]))
         assert se_m.speeds[7] == pytest.approx(30.0, rel=0.01)
+
+
+def test_ai_gym_counts_reps():
+    from experiment_yolo_tpu.solutions.solutions import AIGym
+
+    gym = AIGym(kpts_to_check=(0, 1, 2), pose_type="pushup", pose_up_angle=150, pose_down_angle=70)
+    # straight arm (angle ~180) then bent (angle ~45), twice = 2 reps
+    straight = np.asarray([[[0, 0], [1, 0], [2, 0]]], np.float32)
+    bent = np.asarray([[[0, 0], [1, 0], [0.5, 0.5]]], np.float32)
+    for _ in range(2):
+        gym.update(straight)
+        counts = gym.update(bent)
+    assert counts == [2]
+    assert gym.stage == ["down"]
+
+
+def test_distance_calculation():
+    from experiment_yolo_tpu.solutions.solutions import DistanceCalculation
+
+    dc = DistanceCalculation(pixels_per_meter=10.0)
+    assert dc.distance() is None
+    dc.select(1, [0, 0, 10, 10])
+    dc.select(2, [30, 0, 50, 10])
+    m, mm = dc.distance()
+    assert m == pytest.approx(3.5)  # centroids (5,5) and (40,5): 35 px
+    assert mm == pytest.approx(3500.0)
+    dc.update(np.asarray([[0, 0, 10, 10], [40, 0, 60, 10]]), np.asarray([1, 2]))
+    m2, _ = dc.distance()
+    assert m2 == pytest.approx(4.5)
