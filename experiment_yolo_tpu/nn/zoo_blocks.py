@@ -1042,6 +1042,136 @@ class VSSBlock(nn.Module):
         return x + SS2D(self.c2, d_state=self.d_state, dtype=self.dtype, name="self_attention")(y, train)
 
 
+def _patches(x, k, pad):
+    """im2col: (B,H,W,C) -> (B,H,W,k*k,C) with zero padding."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    cols = [xp[:, i : i + h, j : j + w] for i in range(k) for j in range(k)]
+    return jnp.stack(cols, axis=3)
+
+
+class ODConv2d(nn.Module):
+    """Omni-dimensional dynamic conv (block.py:713, kernel_num=1 as the
+    zoo instantiates it): channel/filter/spatial attentions from pooled
+    features modulate one conv kernel per sample; expressed as im2col +
+    one attention-weighted einsum (MXU) instead of the reference's
+    groups=batch conv trick."""
+
+    c2: int
+    k: int = 3
+    reduction: float = 0.0625
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        att_ch = max(int(c1 * self.reduction), 16)
+        s = x.mean(axis=(1, 2), keepdims=True)
+        s = _bare_conv(s, att_ch, 1, self.dtype, "att_fc")
+        s = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="att_bn")(s)
+        s = jax.nn.relu(s)
+        ch_att = jax.nn.sigmoid(_bare_conv(s, c1, 1, self.dtype, "channel_fc", bias=True))
+        f_att = jax.nn.sigmoid(_bare_conv(s, self.c2, 1, self.dtype, "filter_fc", bias=True))
+        weight = self.param("weight", nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+                            (self.k * self.k, c1, self.c2), jnp.float32)
+        y = x * ch_att
+        if self.k == 1:
+            out = jnp.einsum("bhwc,co->bhwo", y, weight[0].astype(y.dtype))
+        else:
+            sp = jax.nn.sigmoid(_bare_conv(s, self.k * self.k, 1, self.dtype, "spatial_fc", bias=True))
+            sp = sp[:, 0, 0, :]  # (B, k*k)
+            pt = _patches(y, self.k, self.k // 2)  # (B,H,W,k2,C)
+            out = jnp.einsum("bhwtc,tco,bt->bhwo", pt, weight.astype(y.dtype), sp.astype(y.dtype))
+        return out * f_att
+
+
+class _ODConvBottleneck(nn.Module):
+    """Bottleneck_ODConv (block.py:771): BOTH convs are ODConv2d."""
+
+    c2: int
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ODConv2d(self.c2, k=self.k0, dtype=self.dtype, name="cv1")(x, train)
+        y = ODConv2d(self.c2, k=3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class DynamicConv(nn.Module):
+    """DynamicConv (block.py:4768, CondConv): sigmoid expert routing over
+    num_experts kernels, BN + SiLU."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    num_experts: int = 4
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        route = nn.Dense(self.num_experts, dtype=self.dtype, param_dtype=jnp.float32, name="routing")(
+            x.mean(axis=(1, 2)))
+        r = jax.nn.sigmoid(route)  # (B, E)
+        weight = self.param("cond_weight", nn.initializers.lecun_normal(),
+                            (self.num_experts, self.k * self.k, c1 // self.g, self.c2), jnp.float32)
+        pt = _patches(x, self.k, self.k // 2)  # (B,H,W,k2,C)
+        if self.s > 1:
+            pt = pt[:, :: self.s, :: self.s]
+        if self.g == 1:
+            out = jnp.einsum("bhwtc,etco,be->bhwo", pt, weight.astype(pt.dtype), r.astype(pt.dtype))
+        else:  # grouped (the Ghost cheap op): per-group einsum
+            gs_in, gs_out = c1 // self.g, self.c2 // self.g
+            ptg = pt.reshape(*pt.shape[:4], self.g, gs_in)
+            wg = weight.reshape(self.num_experts, self.k * self.k, gs_in, self.g, gs_out)
+            out = jnp.einsum("bhwtgc,etcgo,be->bhwgo", ptg, wg.astype(pt.dtype), r.astype(pt.dtype))
+            out = out.reshape(*out.shape[:3], self.c2)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="bn")(out)
+        return jax.nn.silu(out) if self.act else out
+
+
+class GhostModuleDyn(nn.Module):
+    """GhostModule with DynamicConvs (block.py:4779)."""
+
+    c2: int
+    ratio: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        init_ch = -(-self.c2 // self.ratio)
+        new_ch = init_ch * (self.ratio - 1)
+        x1 = DynamicConv(init_ch, 1, dtype=self.dtype, name="primary_conv")(x, train)
+        x2 = DynamicConv(new_ch, 3, g=init_ch, dtype=self.dtype, name="cheap_operation")(x1, train)
+        return jnp.concatenate([x1, x2], -1)[..., : self.c2]
+
+
+class _DynamicConvBottleneck(nn.Module):
+    """Bottleneck_DynamicConv (block.py:4793): cv2 = DynamicConv 3x3."""
+
+    c2: int
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.c2, self.k0, train, self.dtype, "cv1")
+        y = DynamicConv(self.c2, 3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
 # ---------------------------------------------------------------------------
 # generic bottleneck + CSP containers
 # ---------------------------------------------------------------------------
@@ -1101,6 +1231,9 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "DySnakeConv": lambda c, s, dt, nm, k0: _DySnakeBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "VSS": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "VSS", k0=k0, shortcut=s, dtype=dt, name=nm),
     "LVMB": lambda c, s, dt, nm, k0: VSSBlock(c, dtype=dt, name=nm),
+    "ODConv": lambda c, s, dt, nm, k0: _ODConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DynamicConv": lambda c, s, dt, nm, k0: _DynamicConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "GhostDynamicConv": lambda c, s, dt, nm, k0: GhostModuleDyn(c, dtype=dt, name=nm),
 }
 
 

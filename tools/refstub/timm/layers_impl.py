@@ -45,7 +45,27 @@ def make_divisible(v, divisor=8, min_value=None, round_limit=.9):
     return new_v
 
 class CondConv2d(nn.Module):
-    def __init__(self, *a, **k): super().__init__()
+    """Faithful to timm CondConv2d's parameter layout: weight
+    (num_experts, out*in/groups*kh*kw), optional bias (num_experts, out)."""
+    def __init__(self, in_chs, out_chs, kernel_size=3, stride=1, padding='', dilation=1,
+                 groups=1, bias=False, num_experts=4):
+        super().__init__()
+        import torch as _t
+        self.in_chs, self.out_chs, self.groups = in_chs, out_chs, groups
+        self.kernel_size = (kernel_size, kernel_size)
+        self.stride, self.dilation = stride, dilation
+        self.padding = kernel_size // 2 if padding in ('', None) else padding
+        num_w = out_chs * (in_chs // groups) * kernel_size * kernel_size
+        self.weight = nn.Parameter(_t.randn(num_experts, num_w) * 0.01)
+        self.bias = nn.Parameter(_t.zeros(num_experts, out_chs)) if bias else None
+    def forward(self, x, routing_weights):
+        import torch as _t, torch.nn.functional as F
+        b = x.shape[0]
+        w = _t.matmul(routing_weights, self.weight).view(
+            b * self.out_chs, self.in_chs // self.groups, *self.kernel_size)
+        out = F.conv2d(x.reshape(1, -1, *x.shape[2:]), w, stride=self.stride,
+                       padding=self.padding, dilation=self.dilation, groups=self.groups * b)
+        return out.view(b, self.out_chs, *out.shape[2:])
 class ConvBnAct(nn.Module):
     def __init__(self, *a, **k): super().__init__()
 def get_condconv_initializer(*a, **k): return lambda w: w
