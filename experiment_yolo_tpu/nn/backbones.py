@@ -722,6 +722,58 @@ class SwinTransformer(nn.Module):
         return outs
 
 
+UNIREPLK_CFGS = {  # dims, depths
+    "a": ((40, 80, 160, 320), (2, 2, 6, 2)),
+    "f": ((48, 96, 192, 384), (2, 2, 6, 2)),
+    "p": ((64, 128, 256, 512), (2, 2, 6, 2)),
+    "n": ((80, 160, 320, 640), (2, 2, 8, 2)),
+    "t": ((80, 160, 320, 640), (3, 3, 18, 3)),
+    "s": ((96, 192, 384, 768), (3, 3, 27, 3)),
+}
+_UNIREPLK_KS = {  # depths -> per-stage kernel tables (UniRepLKNet.py:336)
+    (2, 2, 6, 2): ((3, 3), (13, 13), (13,) * 6, (13, 13)),
+    (2, 2, 8, 2): ((3, 3), (13, 13), (13,) * 8, (13, 13)),
+    (3, 3, 18, 3): ((3, 3, 3), (13, 13, 13), (13, 3) * 9, (13, 13, 13)),
+    (3, 3, 27, 3): ((3, 3, 3), (13, 13, 13), (13, 3, 3) * 9, (13, 13, 13)),
+}
+
+
+class UniRepLKNet(nn.Module):
+    """UniRepLKNet backbone (reference nn/backbone/UniRepLKNet.py:364,
+    unireplknet_a..s) -> [P2, P3, P4, P5]; dilated-reparam 13x13 blocks."""
+
+    variant: str = "a"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return UNIREPLK_CFGS[variant][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.zoo_blocks import UniRepLKNetBlock
+
+        dims, depths = UNIREPLK_CFGS[self.variant]
+        kss = _UNIREPLK_KS[depths]
+        ln = lambda t, nm: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name=nm)(t)
+        x = nn.Conv(dims[0] // 2, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="stem0")(x)
+        x = jax.nn.gelu(ln(x, "stem0_ln"))
+        x = nn.Conv(dims[0], (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="stem1")(x)
+        x = ln(x, "stem1_ln")
+        outs = []
+        for si in range(4):
+            if si > 0:
+                x = nn.Conv(dims[si], (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, dtype=self.dtype,
+                            param_dtype=jnp.float32, name=f"down{si}")(x)
+                x = ln(x, f"down{si}_ln")
+            for bi in range(depths[si]):
+                x = UniRepLKNetBlock(dims[si], k=kss[si][bi], dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
+            outs.append(ln(x, f"out_norm{si}"))
+        return outs
+
+
 # name -> (class, variant): the reference's callable-name registry
 # (tasks.py:939-957) mapped onto our variant-parameterized modules
 WHOLE_BACKBONES = {
@@ -742,6 +794,12 @@ WHOLE_BACKBONES = {
     "MobileNetV4ConvMedium": (MobileNetV4, "conv_medium"),
     "MobileNetV4ConvLarge": (MobileNetV4, "conv_large"),
     "SwinTransformer_Tiny": (SwinTransformer, "tiny"),
+    "unireplknet_a": (UniRepLKNet, "a"),
+    "unireplknet_f": (UniRepLKNet, "f"),
+    "unireplknet_p": (UniRepLKNet, "p"),
+    "unireplknet_n": (UniRepLKNet, "n"),
+    "unireplknet_t": (UniRepLKNet, "t"),
+    "unireplknet_s": (UniRepLKNet, "s"),
 }
 
 

@@ -1172,6 +1172,99 @@ class _DynamicConvBottleneck(nn.Module):
         return y
 
 
+DRB_CFGS = {  # kernel -> (branch kernels, dilations) (UniRepLKNet.py:158)
+    17: ((5, 9, 3, 3, 3), (1, 2, 4, 5, 7)),
+    15: ((5, 7, 3, 3, 3), (1, 2, 3, 5, 7)),
+    13: ((5, 7, 3, 3, 3), (1, 2, 3, 4, 5)),
+    11: ((5, 5, 3, 3, 3), (1, 2, 3, 4, 5)),
+    9: ((5, 5, 3, 3), (1, 2, 3, 4)),
+    7: ((5, 3, 3), (1, 2, 3)),
+    5: ((3, 3), (1, 2)),
+}
+
+
+class DilatedReparamBlock(nn.Module):
+    """Dilated reparam large-kernel dw conv (UniRepLKNet.py:145): one KxK
+    depthwise conv-BN plus parallel small dilated dw conv-BN branches summed
+    (train-time structure; branches fold into the large kernel at deploy)."""
+
+    k: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        bn = lambda xx, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, param_dtype=jnp.float32, name=nm)(xx)
+        out = bn(_bare_conv(x, c, self.k, self.dtype, "lk_origin", g=c), "origin_bn")
+        ks, ds = DRB_CFGS[self.k]
+        for kk, r in zip(ks, ds):
+            y = nn.Conv(c, (kk, kk), padding=[((r * (kk - 1) + 1) // 2,) * 2] * 2, feature_group_count=c,
+                        kernel_dilation=(r, r), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"dil_conv_k{kk}_{r}")(x)
+            out = out + bn(y, f"dil_bn_k{kk}_{r}")
+        return out
+
+
+class UniRepLKNetBlock(nn.Module):
+    """UniRepLKNetBlock (UniRepLKNet.py:222): DRB dw conv + BN + SE(dim/4) +
+    GRN-gated FFN with layer scale, residual."""
+
+    c2: int
+    k: int = 7
+    ffn_factor: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2
+        if self.k >= 7:
+            y = DilatedReparamBlock(self.k, dtype=self.dtype, name="dwconv")(x, train)
+        elif self.k > 0:
+            y = _bare_conv(x, c, self.k, self.dtype, "dwconv", g=c if self.k != 1 else 1)
+        else:
+            y = x
+        if self.k > 0:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="norm")(y)
+        # SEBlock(dim, dim//4): 1x1 reduce (bias) + ReLU + 1x1 (bias) + sigmoid
+        s = y.mean(axis=(1, 2), keepdims=True)
+        s = _bare_conv(s, c // 4, 1, self.dtype, "se_down", bias=True)
+        s = _bare_conv(jax.nn.relu(s), c, 1, self.dtype, "se_up", bias=True)
+        y = y * jax.nn.sigmoid(s)
+        ffn = self.ffn_factor * c
+        z = nn.Dense(ffn, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="pwconv1")(y)
+        z = jax.nn.gelu(z)
+        # GRNwithNHWC (use_bias=True): gamma/beta + bias term
+        grn_g = self.param("grn_gamma", nn.initializers.zeros, (ffn,), jnp.float32)
+        grn_b = self.param("grn_beta", nn.initializers.zeros, (ffn,), jnp.float32)
+        gx = jnp.sqrt((z**2).sum(axis=(1, 2), keepdims=True) + 1e-12)
+        nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
+        z = grn_g * (z * nx) + grn_b + z
+        z = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="pwconv2")(z)
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="pw_bn")(z)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (c,), jnp.float32)
+        return x + gamma * z
+
+
+class _DRBBottleneck(nn.Module):
+    """Bottleneck_DRB (block.py:3345): cv2 = DilatedReparamBlock(7)."""
+
+    c2: int
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.c2, self.k0, train, self.dtype, "cv1")
+        y = DilatedReparamBlock(7, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
 # ---------------------------------------------------------------------------
 # generic bottleneck + CSP containers
 # ---------------------------------------------------------------------------
@@ -1234,6 +1327,8 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "ODConv": lambda c, s, dt, nm, k0: _ODConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "DynamicConv": lambda c, s, dt, nm, k0: _DynamicConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "GhostDynamicConv": lambda c, s, dt, nm, k0: GhostModuleDyn(c, dtype=dt, name=nm),
+    "DRB": lambda c, s, dt, nm, k0: _DRBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "UniRepLKNetBlock": lambda c, s, dt, nm, k0: UniRepLKNetBlock(c, 7, dtype=dt, name=nm),
 }
 
 

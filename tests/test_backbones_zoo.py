@@ -19,6 +19,7 @@ from experiment_yolo_tpu.nn.backbones import (
     MobileNetV4,
     RepViT,
     SwinTransformer,
+    UniRepLKNet,
     WHOLE_BACKBONES,
 )
 
@@ -31,6 +32,7 @@ CASES = [
     (LSKNet, "t", 4),
     (MobileNetV4, "conv_small", 4),
     (SwinTransformer, "tiny", 4),
+    (UniRepLKNet, "a", 4),
 ]
 
 
@@ -74,7 +76,7 @@ head:
 @pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
 @pytest.mark.parametrize(
     "name",
-    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny"],
+    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a"],
 )
 def test_param_count_parity(name):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
@@ -87,6 +89,7 @@ def test_param_count_parity(name):
         "lsknet_t": "ultralytics.nn.backbone.lsknet",
         "MobileNetV4ConvSmall": "ultralytics.nn.backbone.mobilenetv4",
         "SwinTransformer_Tiny": "ultralytics.nn.backbone.SwinTransformer",
+        "unireplknet_a": "ultralytics.nn.backbone.UniRepLKNet",
     }
     tmodel = getattr(importlib.import_module(mod_of[name]), name)()
     t_params = sum(p.numel() for p in tmodel.parameters())
