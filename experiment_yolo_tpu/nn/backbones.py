@@ -774,6 +774,71 @@ class UniRepLKNet(nn.Module):
         return outs
 
 
+VANILLANET_CFGS = {  # dims, strides (VanillaNet.py:224-297)
+    "5": ((512, 1024, 2048, 4096), (2, 2, 2)),
+    "6": ((512, 1024, 2048, 4096, 4096), (2, 2, 2, 1)),
+    "7": ((512, 512, 1024, 2048, 4096, 4096), (1, 2, 2, 2, 1)),
+    "8": ((512, 512, 1024, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 2, 1)),
+    "9": ((512, 512, 1024, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 2, 1)),
+    "10": ((512, 512, 1024, 2048, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 1, 2, 1)),
+}
+
+
+class VanillaNet(nn.Module):
+    """VanillaNet backbone (reference nn/backbone/VanillaNet.py:121,
+    vanillanet_5..10) -> [P2, P3, P4, P5]; 1x1 conv pairs + learned
+    depthwise 'activation' convs, scale-keyed feature collection."""
+
+    variant: str = "5"
+    act_num: int = 3
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        dims, strides = VANILLANET_CFGS[variant]
+        outs, stride = {}, 4
+        outs[4] = dims[0]
+        for i, s in enumerate(strides):
+            stride *= s
+            outs[min(stride, 32)] = dims[i + 1]
+        return tuple(outs[s] for s in (4, 8, 16, 32))
+
+    def _act(self, x, train, name):
+        """activation (VanillaNet.py:11): ReLU -> learned dw conv -> BN."""
+        c = x.shape[-1]
+        k = self.act_num * 2 + 1
+        y = nn.Conv(c, (k, k), padding=[(self.act_num,) * 2] * 2, feature_group_count=c,
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"{name}_aw")(jax.nn.relu(x))
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=jnp.float32, name=f"{name}_abn")(y)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, strides = VANILLANET_CFGS[self.variant]
+        bn = lambda t, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
+                                        dtype=self.dtype, param_dtype=jnp.float32, name=nm)(t)
+        x = bn(nn.Conv(dims[0], (4, 4), strides=(4, 4), use_bias=True, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="stem1")(x), "stem1_bn")
+        # leaky_relu(slope=act_learn=1) is the identity at the trained state
+        x = bn(nn.Conv(dims[0], (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="stem2")(x), "stem2_bn")
+        x = self._act(x, train, "stem_act")
+        outs = {4: x}
+        stride = 4
+        for i, s in enumerate(strides):
+            y = bn(nn.Conv(dims[i], (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                           name=f"b{i}_conv1")(x), f"b{i}_bn1")
+            y = bn(nn.Conv(dims[i + 1], (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                           name=f"b{i}_conv2")(y), f"b{i}_bn2")
+            if s > 1:
+                y = nn.max_pool(y, (s, s), strides=(s, s))
+                stride *= s
+            x = self._act(y, train, f"b{i}_act")
+            outs[min(stride, 32)] = x
+        return [outs[s] for s in (4, 8, 16, 32)]
+
+
 # name -> (class, variant): the reference's callable-name registry
 # (tasks.py:939-957) mapped onto our variant-parameterized modules
 WHOLE_BACKBONES = {
@@ -800,6 +865,12 @@ WHOLE_BACKBONES = {
     "unireplknet_n": (UniRepLKNet, "n"),
     "unireplknet_t": (UniRepLKNet, "t"),
     "unireplknet_s": (UniRepLKNet, "s"),
+    "vanillanet_5": (VanillaNet, "5"),
+    "vanillanet_6": (VanillaNet, "6"),
+    "vanillanet_7": (VanillaNet, "7"),
+    "vanillanet_8": (VanillaNet, "8"),
+    "vanillanet_9": (VanillaNet, "9"),
+    "vanillanet_10": (VanillaNet, "10"),
 }
 
 

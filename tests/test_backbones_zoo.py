@@ -20,6 +20,7 @@ from experiment_yolo_tpu.nn.backbones import (
     RepViT,
     SwinTransformer,
     UniRepLKNet,
+    VanillaNet,
     WHOLE_BACKBONES,
 )
 
@@ -33,6 +34,7 @@ CASES = [
     (MobileNetV4, "conv_small", 4),
     (SwinTransformer, "tiny", 4),
     (UniRepLKNet, "a", 4),
+    (VanillaNet, "6", 4),
 ]
 
 
@@ -76,7 +78,7 @@ head:
 @pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
 @pytest.mark.parametrize(
     "name",
-    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a"],
+    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a", "vanillanet_6"],
 )
 def test_param_count_parity(name):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
@@ -90,6 +92,7 @@ def test_param_count_parity(name):
         "MobileNetV4ConvSmall": "ultralytics.nn.backbone.mobilenetv4",
         "SwinTransformer_Tiny": "ultralytics.nn.backbone.SwinTransformer",
         "unireplknet_a": "ultralytics.nn.backbone.UniRepLKNet",
+        "vanillanet_6": "ultralytics.nn.backbone.VanillaNet",
     }
     tmodel = getattr(importlib.import_module(mod_of[name]), name)()
     t_params = sum(p.numel() for p in tmodel.parameters())
