@@ -81,6 +81,17 @@ _ATTENTION = {
     "MLCA": X.MLCA,
 }
 
+# HS-FPN gates (reference tasks.py:966: channel-preserving, args prepended)
+def _hsfpn_registry():
+    from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+    return {
+        "ChannelAttention_HSFPN": Z.ChannelAttentionHSFPN,
+        "ELA_HSFPN": Z.ELAHSFPN,
+        "CA_HSFPN": Z.CAHSFPN,
+        "CAA_HSFPN": Z.CAAHSFPN,
+    }
+
 
 @dataclass
 class LayerSpec:
@@ -228,6 +239,28 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 mod = Z.DWR(c2, dtype=dtype)
             else:
                 mod = Z.PartialConv3(dtype=dtype)
+        elif mname in ("ChannelAttention_HSFPN", "ELA_HSFPN", "CA_HSFPN", "CAA_HSFPN"):
+            c2 = c1
+            mod = _hsfpn_registry()[mname](*args, dtype=dtype)
+        elif mname == "Multiply":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = src_ch(f_list[0])
+            mod = Z.Multiply()
+            list_input = True
+        elif mname == "SDI":
+            # args [[ch...]]; output channels = first input's (tasks.py:1012)
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            inc = tuple(src_ch(j) for j in f_list)
+            c2 = inc[0]
+            mod = Z.SDI(c2, inc=inc, dtype=dtype)
+            list_input = True
+        elif mname == "HWD":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = Z.HWD(c2, dtype=dtype)
         elif mname == "ContextGuidedBlock_Down":
             from experiment_yolo_tpu.nn import zoo_blocks as Z
 

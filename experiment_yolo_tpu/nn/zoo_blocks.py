@@ -1265,9 +1265,135 @@ class _DRBBottleneck(nn.Module):
         return y
 
 
-# ---------------------------------------------------------------------------
-# generic bottleneck + CSP containers
-# ---------------------------------------------------------------------------
+class ChannelAttentionHSFPN(nn.Module):
+    """ChannelAttention_HSFPN (block.py:3702): CBAM-style shared-MLP gate;
+    flag=False returns the gate itself (the HS-FPN select signal)."""
+
+    ratio: int = 4
+    flag: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        fc1 = nn.Conv(c // self.ratio, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv1")
+        fc2 = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv2")
+        avg = fc2(jax.nn.relu(fc1(x.mean(axis=(1, 2), keepdims=True))))
+        mx = fc2(jax.nn.relu(fc1(x.max(axis=(1, 2), keepdims=True))))
+        gate = jax.nn.sigmoid(avg + mx)
+        return gate * x if self.flag else gate
+
+
+class ELAHSFPN(nn.Module):
+    """ELA_HSFPN (block.py:3723): shared Conv1d+GN+sigmoid over pooled H
+    and W profiles."""
+
+    flag: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        kern = self.param("conv1x1_kernel", nn.initializers.lecun_normal(), (1, c, c), jnp.float32)
+        bias = self.param("conv1x1_bias", nn.initializers.zeros, (c,), jnp.float32)
+        gn_s = self.param("gn_scale", nn.initializers.ones, (c,), jnp.float32)
+        gn_b = self.param("gn_bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        def branch(seq):  # (b, L, c) -> sigmoid(GN(conv1d_1x1(seq)))
+            y = seq @ kern[0].T + bias
+            # GroupNorm(16, c) over (c/16, L) groups — torch normalizes each
+            # group over (c_g, L)
+            L = y.shape[1]
+            g = 16
+            yg = y.transpose(0, 2, 1).reshape(b, g, -1)
+            mu = yg.mean(axis=2, keepdims=True)
+            var = yg.var(axis=2, keepdims=True)
+            yn = ((yg - mu) * jax.lax.rsqrt(var + 1e-5)).reshape(b, c, L).transpose(0, 2, 1)
+            return jax.nn.sigmoid(yn * gn_s + gn_b)
+
+        x_h = branch(x.mean(axis=2))[:, :, None]  # (b, h, 1, c)
+        x_w = branch(x.mean(axis=1))[:, None]  # (b, 1, w, c)
+        return x * x_h * x_w if self.flag else x_h * x_w
+
+
+class CAHSFPN(nn.Module):
+    """CA_HSFPN (block.py:3758): coordinate attention gate."""
+
+    reduction: int = 8
+    flag: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        mip = max(8, c // self.reduction)
+        ph = x.mean(axis=2)[:, :, None]  # (b, h, 1, c)
+        pw = x.mean(axis=1)[:, :, None]  # (b, w, 1, c)
+        y = jnp.concatenate([ph, pw], axis=1)
+        y = _bare_conv(y, mip, 1, self.dtype, "conv1", bias=True)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn1")(y)
+        y = y * jax.nn.relu6(y + 3.0) / 6.0  # h_swish
+        a_h = jax.nn.sigmoid(_bare_conv(y[:, :h], c, 1, self.dtype, "conv_h", bias=True))
+        a_w = jax.nn.sigmoid(_bare_conv(y[:, h:], c, 1, self.dtype, "conv_w", bias=True))
+        gate = a_h * a_w[:, :, 0][:, None]
+        return x * gate if self.flag else gate
+
+
+class CAAHSFPN(nn.Module):
+    """CAA_HSFPN (block.py:3791): CAA context-anchor gate variant."""
+
+    flag: bool = True
+    h_k: int = 11
+    v_k: int = 11
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.avg_pool(jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0))), (7, 7), strides=(1, 1))
+        y = _conv(y, c, 1, train, self.dtype, "conv1")
+        y = nn.Conv(c, (1, self.h_k), padding=[(0, 0), (self.h_k // 2,) * 2], feature_group_count=c,
+                    use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="h_conv")(y)
+        y = nn.Conv(c, (self.v_k, 1), padding=[(self.v_k // 2,) * 2, (0, 0)], feature_group_count=c,
+                    use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="v_conv")(y)
+        gate = jax.nn.sigmoid(_conv(y, c, 1, train, self.dtype, "conv2"))
+        return gate * x if self.flag else gate
+
+
+class Multiply(nn.Module):
+    """Elementwise product of two inputs (block.py:3808, HS-FPN select)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return xs[0] * xs[1]
+
+
+class SDI(nn.Module):
+    """Semantics-detail infusion (block.py:3634): every input resized to the
+    first input's resolution, GSConv-projected, multiplied together."""
+
+    c2: int
+    inc: Tuple[int, ...] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        th, tw = xs[0].shape[1:3]
+        ans = jnp.ones_like(xs[0][..., :1])
+        out = None
+        for i, x in enumerate(xs):
+            if x.shape[1] > th:
+                k = x.shape[1] // th
+                x = nn.avg_pool(x, (k, k), strides=(k, k))
+            elif x.shape[1] < th:
+                # align_corners=True bilinear (the reference's interpolate)
+                from experiment_yolo_tpu.nn.heads_extra import _resize_align_corners
+
+                x = _resize_align_corners(x, th, tw)
+            y = GSConv(self.c2, dtype=self.dtype, name=f"convs{i}")(x, train)
+            out = y if out is None else out * y
+        return out
 
 
 class _SwapBottleneck(nn.Module):
@@ -1395,3 +1521,25 @@ class C3X(nn.Module):
             y1 = INNER_BLOCKS[self.inner](c_, self.shortcut, self.dtype, f"m{i}", 1)(y1, train)
         y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+class HWD(nn.Module):
+    """Haar wavelet downsample (block.py:3942, pytorch_wavelets DWTForward
+    J=1 haar): the four 2x2 Haar subbands concatenated + 1x1 Conv. The DWT is
+    four fixed linear combinations of each 2x2 block — pure jnp here."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = x[:, 0::2, 0::2]
+        b = x[:, 0::2, 1::2]
+        c = x[:, 1::2, 0::2]
+        d = x[:, 1::2, 1::2]
+        ll = (a + b + c + d) / 2.0
+        hl = (a - b + c - d) / 2.0
+        lh = (a + b - c - d) / 2.0
+        hh = (a - b - c + d) / 2.0
+        y = jnp.concatenate([ll, hl, lh, hh], -1)
+        return _conv(y, self.c2, 1, train, self.dtype, "conv")

@@ -85,3 +85,67 @@ def test_param_count_parity(name):
     v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, c)), False))
     o_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
     assert o_params == t_params, f"{name}: ours {o_params:,} vs reference {t_params:,}"
+
+
+def test_hsfpn_sdi_hwd_multiply():
+    """HS-FPN gates, SDI fusion, HWD wavelet downsample, Multiply
+    (block.py:3634-3955)."""
+    from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+    x = jnp.zeros((1, 16, 16, 64))
+    for mod, gate_only in [
+        (Z.ChannelAttentionHSFPN(), False), (Z.ChannelAttentionHSFPN(flag=False), True),
+        (Z.ELAHSFPN(), False), (Z.CAHSFPN(), False), (Z.CAAHSFPN(), False),
+    ]:
+        v = mod.init(jax.random.PRNGKey(0), x, True)
+        args = {"params": v["params"]}
+        if "batch_stats" in v:
+            args["batch_stats"] = v["batch_stats"]
+        y = mod.apply(args, x, False)
+        if gate_only:
+            assert y.shape[-1] == x.shape[-1]
+        else:
+            assert y.shape == x.shape
+
+    hwd = Z.HWD(32)
+    v = hwd.init(jax.random.PRNGKey(0), x, False)
+    assert hwd.apply(v, x, False).shape == (1, 8, 8, 32)
+
+    sdi = Z.SDI(64, inc=(64, 32, 128))
+    xs = [jnp.ones((1, 16, 16, 64)), jnp.ones((1, 32, 32, 32)), jnp.ones((1, 8, 8, 128))]
+    v = sdi.init(jax.random.PRNGKey(0), xs, False)
+    assert sdi.apply(v, xs, False).shape == (1, 16, 16, 64)
+
+    mul = Z.Multiply()
+    v = mul.init(jax.random.PRNGKey(0), [x, x], False)
+    np.testing.assert_array_equal(mul.apply(v, [jnp.ones_like(x) * 2, jnp.ones_like(x) * 3], False), 6.0)
+
+
+def test_hsfpn_param_parity():
+    import importlib
+    import sys
+    from pathlib import Path
+
+    ref = Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(ref))
+    block = importlib.import_module("ultralytics.nn.extra_modules.block")
+    from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+    x = jnp.zeros((1, 16, 16, 64))
+    cases = [
+        (block.ChannelAttention_HSFPN(64), Z.ChannelAttentionHSFPN(), x),
+        (block.ELA_HSFPN(64), Z.ELAHSFPN(), x),
+        (block.CA_HSFPN(64), Z.CAHSFPN(), x),
+        (block.CAA_HSFPN(64), Z.CAAHSFPN(), x),
+        (block.HWD(64, 32), Z.HWD(32), x),
+        (block.SDI([64, 32]), Z.SDI(64, inc=(64, 32)),
+         [jnp.zeros((1, 16, 16, 64)), jnp.zeros((1, 32, 32, 32))]),
+    ]
+    for tm, om, xs in cases:
+        t = sum(p.numel() for p in tm.parameters())
+        v = jax.eval_shape(lambda om=om, xs=xs: om.init(jax.random.PRNGKey(0), xs, True))
+        o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert t == o, f"{type(tm).__name__}: ours {o:,} vs reference {t:,}"
