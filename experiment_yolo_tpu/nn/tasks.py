@@ -256,6 +256,16 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             c2 = inc[0]
             mod = Z.SDI(c2, inc=inc, dtype=dtype)
             list_input = True
+        elif mname in ("DCNV3_YOLO", "DCNV4_YOLO", "DCNv2"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            k = args[1] if len(args) > 1 else (1 if mname.startswith("DCNV") else 3)
+            s_ = args[2] if len(args) > 2 else 1
+            if mname == "DCNv2":
+                mod = Z.DCNv2Conv(c2, k=k, s=s_, dtype=dtype)
+            else:
+                mod = Z.DCNV3YOLO(c2, k=k, version=3 if "V3" in mname else 4, dtype=dtype)
         elif mname == "HWD":
             from experiment_yolo_tpu.nn import zoo_blocks as Z
 

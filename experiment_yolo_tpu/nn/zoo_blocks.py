@@ -1265,6 +1265,62 @@ class _DRBBottleneck(nn.Module):
         return y
 
 
+class DCNv2Conv(nn.Module):
+    """The zoo's own DCNv2 layer (block.py:1423): offset+mask conv (kxk,
+    zero-init), sigmoid modulation, deformable conv + BN + SiLU."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.ops.dcnv3 import dcnv2_core
+
+        c1 = x.shape[-1]
+        K = self.k * self.k
+        p = self.k // 2
+        om = nn.Conv(3 * K, (self.k, self.k), strides=(self.s, self.s), padding=[(p, p)] * 2,
+                     use_bias=True, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="conv_offset_mask")(x)
+        o1, o2, mask = om[..., :K], om[..., K : 2 * K], jax.nn.sigmoid(om[..., 2 * K :])
+        offset = jnp.stack([o1, o2], -1).reshape(*o1.shape[:3], 2 * K)  # (dy,dx) interleaved
+        n = c1 * K
+        std = 1.0 / (n**0.5)
+        weight = self.param("weight", nn.initializers.uniform(scale=2 * std), (self.k, self.k, c1, self.c2),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+        y = dcnv2_core(x.astype(self.dtype), offset.astype(jnp.float32), mask.astype(self.dtype),
+                       weight.astype(self.dtype), bias.astype(self.dtype), stride=self.s, pad=p)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn")(y)
+        return jax.nn.silu(y) if self.act else y
+
+
+class DCNV3YOLO(nn.Module):
+    """DCNV3_YOLO / DCNV4_YOLO wrapper (block.py:1512/3662): optional 1x1
+    stem when channels change, DCNv3/v4 core, BN + SiLU."""
+
+    c2: int
+    k: int = 1
+    version: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.ops.dcnv3 import DCNv3, DCNv4
+
+        if x.shape[-1] != self.c2:
+            x = _conv(x, self.c2, 1, train, self.dtype, "stem_conv")
+        cls = DCNv3 if self.version == 3 else DCNv4
+        y = cls(self.c2, kernel=self.k, pad=self.k // 2, group=1, dtype=self.dtype, name="dcn")(x, train)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn")(y)
+        return jax.nn.silu(y)
+
+
 class ChannelAttentionHSFPN(nn.Module):
     """ChannelAttention_HSFPN (block.py:3702): CBAM-style shared-MLP gate;
     flag=False returns the gate itself (the HS-FPN select signal)."""
@@ -1425,6 +1481,9 @@ INNER_UNITS: Dict[str, Callable] = {
     "RFCBAMConv": lambda c2, dt: RFCBAMConv(c2, dtype=dt, name="cv2"),
     "RFCAConv": lambda c2, dt: RFCAConv(c2, dtype=dt, name="cv2"),
     "VSS": lambda c2, dt: VSSBlock(c2, dtype=dt, name="cv2"),
+    "DCNv2": lambda c2, dt: DCNv2Conv(c2, 3, dtype=dt, name="cv2"),
+    "DCNv3": lambda c2, dt: DCNV3YOLO(c2, 3, version=3, dtype=dt, name="cv2"),
+    "DCNv4": lambda c2, dt: DCNV3YOLO(c2, 3, version=4, dtype=dt, name="cv2"),
 }
 
 # whole inner block per chain slot: builder(c, shortcut, dtype, name, k0).
@@ -1455,7 +1514,39 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "GhostDynamicConv": lambda c, s, dt, nm, k0: GhostModuleDyn(c, dtype=dt, name=nm),
     "DRB": lambda c, s, dt, nm, k0: _DRBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "UniRepLKNetBlock": lambda c, s, dt, nm, k0: UniRepLKNetBlock(c, 7, dtype=dt, name=nm),
+    "DCNv2": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "DCNv2", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DCNv3": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "DCNv3", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DCNv4": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "DCNv4", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "MLCA": lambda c, s, dt, nm, k0: _AttnBottleneck(c, "MLCA", k0=k0, shortcut=s, dtype=dt, name=nm),
 }
+
+
+class _AttnBottleneck(nn.Module):
+    """Standard bottleneck + trailing attention (the Bottleneck_MLCA /
+    _CloAtt pattern, block.py:2962: attention applied after cv2, inside the
+    residual)."""
+
+    c2: int
+    attn: str
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn import extra_modules as X
+
+        y = _conv(x, self.c2, self.k0, train, self.dtype, "cv1")
+        y = _conv(y, self.c2, 3, train, self.dtype, "cv2")
+        if self.attn == "MLCA":
+            y = X.MLCA(self.c2, dtype=self.dtype, name="attention")(y, train)
+        elif self.attn == "EMA":
+            y = X.EMAAttention(dtype=self.dtype, name="attention")(y, train)
+        elif self.attn == "SE":
+            y = X.SEAttention(dtype=self.dtype, name="attention")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
 
 
 class _AKConvBottleneck(nn.Module):

@@ -64,7 +64,7 @@ head:
     [
         "C2f_Faster", "C3_Faster", "C2f_Faster_EMA", "C2f_ContextGuided",
         "C2f_DWR", "C3_DWR", "C2f_MSBlock", "C2f_SCConv", "C2f_ScConv", "C2f_RFCBAMConv", "C2f_RFCAConv", "C2f_AKConv", "C3_AKConv",
-        "C2f_EMSC", "C2f_EMSCP", "C2f_RFAConv", "C3_RFAConv", "C2f_iRMB", "C2f_DBB", "C3_DBB", "C2f_DySnakeConv", "C3_DySnakeConv", "C2f_VSS", "C3_LVMB", "C2f_ODConv", "C3_ODConv", "C2f_DynamicConv", "C2f_GhostDynamicConv", "C2f_DRB", "C3_DRB", "C2f_UniRepLKNetBlock",
+        "C2f_EMSC", "C2f_EMSCP", "C2f_RFAConv", "C3_RFAConv", "C2f_iRMB", "C2f_DBB", "C3_DBB", "C2f_DySnakeConv", "C3_DySnakeConv", "C2f_VSS", "C3_LVMB", "C2f_ODConv", "C3_ODConv", "C2f_DynamicConv", "C2f_GhostDynamicConv", "C2f_DRB", "C3_DRB", "C2f_UniRepLKNetBlock", "C2f_DCNv2", "C3_DCNv2", "C2f_MLCA",
     ],
 )
 def test_param_count_parity(name):
