@@ -1239,3 +1239,32 @@ class CARAFE(nn.Module):
                 shift = xp[:, i * s : i * s + ho, j * s : j * s + wo]
                 out = out + wgt[..., i * k + j : i * k + j + 1] * shift
         return out
+
+
+class LocalWindowAttention(nn.Module):
+    """EfficientViT local-window cascaded group attention
+    (extra_modules/attention.py:1683): pad to a window multiple, partition
+    into window x window tiles, run CascadedGroupAttention per tile with a
+    learned relative-position bias, and stitch back."""
+
+    key_dim: int = 16
+    num_heads: int = 4
+    window: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.backbones import _CascadedGroupAttention
+
+        B, H, W, C = x.shape
+        w = self.window
+        attn = _CascadedGroupAttention(C, self.key_dim, self.num_heads, w,
+                                       (5, 5, 5, 5), dtype=self.dtype, name="attn")
+        pad_b, pad_r = (w - H % w) % w, (w - W % w) % w
+        y = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        pH, pW = H + pad_b, W + pad_r
+        nH, nW = pH // w, pW // w
+        y = y.reshape(B, nH, w, nW, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B * nH * nW, w, w, C)
+        y = attn(y, train)
+        y = y.reshape(B, nH, nW, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, pH, pW, C)
+        return y[:, :H, :W]

@@ -79,6 +79,7 @@ _ATTENTION = {
     "LSKA": X.LSKA,
     "SegNext_Attention": X.SegNextAttention,
     "MLCA": X.MLCA,
+    "LocalWindowAttention": X.LocalWindowAttention,
 }
 
 # HS-FPN gates (reference tasks.py:966: channel-preserving, args prepended)
@@ -186,9 +187,15 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             from experiment_yolo_tpu.nn import zoo_blocks as Z
 
             c2 = _scale_ch(args[0], nc, width, max_channels)
-            shortcut = bool(args[1]) if len(args) > 1 else False
+            inner = _zoo_inner(mname)
+            extra = None
+            rest = list(args[1:])
+            if inner in ("SWC", "iRMB_DRB", "iRMB_SWC", "UniRepLKNetBlock") and rest:
+                # reference signature (c1, c2, n, kernel_size, shortcut, ...)
+                extra = rest.pop(0)
+            shortcut = bool(rest[0]) if rest else False
             cls = Z.C2fX if mname.startswith("C2f_") else Z.C3X
-            mod = cls(c2, inner=_zoo_inner(mname), n=n, shortcut=shortcut, dtype=dtype)
+            mod = cls(c2, inner=inner, n=n, shortcut=shortcut, extra=extra, dtype=dtype)
             n = 1
         elif mname in ("RFAConv", "RFCBAMConv", "RFCAConv"):
             from experiment_yolo_tpu.nn import zoo_blocks as Z
@@ -276,6 +283,22 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
 
             c2 = c1 * 2
             mod = Z.ContextGuidedDown(c2, dtype=dtype)
+        elif mname == "SPPF_LSKA":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = Z.SPPFLSKA(c2, k=args[1] if len(args) > 1 else 5, dtype=dtype)
+        elif mname == "C3TR":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = Z.C3TR(c2, n=n, dtype=dtype)
+            n = 1
+        elif mname == "DGCST":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            mod = Z.DGCST(c2, dtype=dtype)
         elif mname in ("SPPF", "SPP"):
             c2 = _scale_ch(args[0], nc, width, max_channels)
             cls = M.SPPF if mname == "SPPF" else M.SPP

@@ -15,7 +15,7 @@ inference semantics are exact).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -347,6 +347,8 @@ class IRMB(nn.Module):
     dim_head: int = 16
     window: int = 7
     dw_ks: int = 3
+    local: str = "dw"  # dw | drb (block.py:4230) | swc (block.py:4317)
+    cascaded: bool = False  # iRMB_Cascaded (block.py:4185): LWA attention
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -355,27 +357,38 @@ class IRMB(nn.Module):
         B, H, W, C = x.shape
         x = _bn(x, train, self.dtype, "norm")
         dim_mid = int(C * self.exp_ratio)
-        nh = C // self.dim_head
-        # EMO's interleaved windows: H = h1*n1 with h1 (window) the OUTER factor
-        wsW = self.window if self.window > 0 else W
-        wsH = self.window if self.window > 0 else H
-        pad_r = (wsW - W % wsW) % wsW
-        pad_b = (wsH - H % wsH) % wsH
-        y = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        pH, pW = H + pad_b, W + pad_r
-        n1, n2 = pH // wsH, pW // wsW
-        y = y.reshape(B, wsH, n1, wsW, n2, C).transpose(0, 2, 4, 1, 3, 5).reshape(B * n1 * n2, wsH, wsW, C)
-        bb = y.shape[0]
-        qk = _bare_conv(y, 2 * C, 1, self.dtype, "qk")
-        qk = qk.reshape(bb, wsH * wsW, 2, nh, self.dim_head).transpose(2, 0, 3, 1, 4)
-        q, k = qk[0], qk[1]
-        attn = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) * self.dim_head**-0.5, axis=-1)
-        v = jax.nn.silu(_bare_conv(y, dim_mid, 1, self.dtype, "v"))
-        v = v.reshape(bb, wsH * wsW, nh, dim_mid // nh).transpose(0, 2, 1, 3)
-        sp = (attn @ v).transpose(0, 2, 1, 3).reshape(bb, wsH, wsW, dim_mid)
-        sp = sp.reshape(B, n1, n2, wsH, wsW, dim_mid).transpose(0, 3, 1, 4, 2, 5).reshape(B, pH, pW, dim_mid)
-        y = sp[:, :H, :W]
-        y = y + _conv(y, dim_mid, self.dw_ks, train, self.dtype, "conv_local", g=dim_mid)
+        if self.cascaded:
+            from experiment_yolo_tpu.nn.extra_modules import LocalWindowAttention
+
+            y = LocalWindowAttention(dtype=self.dtype, name="attn")(x, train)
+        else:
+            nh = C // self.dim_head
+            # EMO's interleaved windows: H = h1*n1 with h1 (window) the OUTER factor
+            wsW = self.window if self.window > 0 else W
+            wsH = self.window if self.window > 0 else H
+            pad_r = (wsW - W % wsW) % wsW
+            pad_b = (wsH - H % wsH) % wsH
+            y = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            pH, pW = H + pad_b, W + pad_r
+            n1, n2 = pH // wsH, pW // wsW
+            y = y.reshape(B, wsH, n1, wsW, n2, C).transpose(0, 2, 4, 1, 3, 5).reshape(B * n1 * n2, wsH, wsW, C)
+            bb = y.shape[0]
+            qk = _bare_conv(y, 2 * C, 1, self.dtype, "qk")
+            qk = qk.reshape(bb, wsH * wsW, 2, nh, self.dim_head).transpose(2, 0, 3, 1, 4)
+            q, k = qk[0], qk[1]
+            attn = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) * self.dim_head**-0.5, axis=-1)
+            v = jax.nn.silu(_bare_conv(y, dim_mid, 1, self.dtype, "v"))
+            v = v.reshape(bb, wsH * wsW, nh, dim_mid // nh).transpose(0, 2, 1, 3)
+            sp = (attn @ v).transpose(0, 2, 1, 3).reshape(bb, wsH, wsW, dim_mid)
+            sp = sp.reshape(B, n1, n2, wsH, wsW, dim_mid).transpose(0, 3, 1, 4, 2, 5).reshape(B, pH, pW, dim_mid)
+            y = sp[:, :H, :W]
+        if self.local == "drb":
+            y = y + DilatedReparamBlock(self.dw_ks, dtype=self.dtype, name="conv_local")(y, train)
+        elif self.local == "swc":
+            y = y + ReparamLKConv(dim_mid, k=self.dw_ks, groups=dim_mid // 16,
+                                  dtype=self.dtype, name="conv_local")(y, train)
+        else:
+            y = y + _conv(y, dim_mid, self.dw_ks, train, self.dtype, "conv_local", g=dim_mid)
         y = _bare_conv(y, self.c2, 1, self.dtype, "proj", bias=True)
         return shortcut + y
 
@@ -1490,34 +1503,41 @@ INNER_UNITS: Dict[str, Callable] = {
 # k0 is the swap-bottleneck cv1 kernel — 3 inside C2f_<X>, 1 inside C3_<X>
 # (the reference passes k=((1,1),(3,3)) in every C3_<X>, block.py:1056).
 INNER_BLOCKS: Dict[str, Callable] = {
-    "Faster": lambda c, s, dt, nm, k0: FasterBlock(c, dtype=dt, name=nm),
-    "Faster_EMA": lambda c, s, dt, nm, k0: FasterBlockEMA(c, dtype=dt, name=nm),
-    "ContextGuided": lambda c, s, dt, nm, k0: ContextGuidedBlock(c, dtype=dt, name=nm),
-    "DWR": lambda c, s, dt, nm, k0: DWR(c, dtype=dt, name=nm),
-    "MSBlock": lambda c, s, dt, nm, k0: MSBlock(c, dtype=dt, name=nm),
-    "iRMB": lambda c, s, dt, nm, k0: IRMB(c, dtype=dt, name=nm),
-    "SCConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "SCConv", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "ScConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "ScConv", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "EMSC": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "EMSC", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "EMSCP": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "EMSCP", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "RFAConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "RFCBAMConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFCBAMConv", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "RFCAConv": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "RFCAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "AKConv": lambda c, s, dt, nm, k0: _AKConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
-    "DBB": lambda c, s, dt, nm, k0: _DBBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
-    "EMBC": lambda c, s, dt, nm, k0: _EMBCBottleneck(c, shortcut=True, dtype=dt, name=nm),
-    "DySnakeConv": lambda c, s, dt, nm, k0: _DySnakeBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
-    "VSS": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "VSS", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "LVMB": lambda c, s, dt, nm, k0: VSSBlock(c, dtype=dt, name=nm),
-    "ODConv": lambda c, s, dt, nm, k0: _ODConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
-    "DynamicConv": lambda c, s, dt, nm, k0: _DynamicConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
-    "GhostDynamicConv": lambda c, s, dt, nm, k0: GhostModuleDyn(c, dtype=dt, name=nm),
-    "DRB": lambda c, s, dt, nm, k0: _DRBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
-    "UniRepLKNetBlock": lambda c, s, dt, nm, k0: UniRepLKNetBlock(c, 7, dtype=dt, name=nm),
-    "DCNv2": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "DCNv2", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "DCNv3": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "DCNv3", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "DCNv4": lambda c, s, dt, nm, k0: _SwapBottleneck(c, "DCNv4", k0=k0, shortcut=s, dtype=dt, name=nm),
-    "MLCA": lambda c, s, dt, nm, k0: _AttnBottleneck(c, "MLCA", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "Faster": lambda c, s, dt, nm, k0, ex=None: FasterBlock(c, dtype=dt, name=nm),
+    "Faster_EMA": lambda c, s, dt, nm, k0, ex=None: FasterBlockEMA(c, dtype=dt, name=nm),
+    "ContextGuided": lambda c, s, dt, nm, k0, ex=None: ContextGuidedBlock(c, dtype=dt, name=nm),
+    "DWR": lambda c, s, dt, nm, k0, ex=None: DWR(c, dtype=dt, name=nm),
+    "MSBlock": lambda c, s, dt, nm, k0, ex=None: MSBlock(c, dtype=dt, name=nm),
+    "iRMB": lambda c, s, dt, nm, k0, ex=None: IRMB(c, dtype=dt, name=nm),
+    "SCConv": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "SCConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "ScConv": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "ScConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "EMSC": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "EMSC", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "EMSCP": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "EMSCP", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "RFAConv": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "RFAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "RFCBAMConv": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "RFCBAMConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "RFCAConv": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "RFCAConv", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "AKConv": lambda c, s, dt, nm, k0, ex=None: _AKConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DBB": lambda c, s, dt, nm, k0, ex=None: _DBBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "EMBC": lambda c, s, dt, nm, k0, ex=None: _EMBCBottleneck(c, shortcut=True, dtype=dt, name=nm),
+    "DySnakeConv": lambda c, s, dt, nm, k0, ex=None: _DySnakeBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "VSS": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "VSS", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "LVMB": lambda c, s, dt, nm, k0, ex=None: VSSBlock(c, dtype=dt, name=nm),
+    "ODConv": lambda c, s, dt, nm, k0, ex=None: _ODConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DynamicConv": lambda c, s, dt, nm, k0, ex=None: _DynamicConvBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "GhostDynamicConv": lambda c, s, dt, nm, k0, ex=None: GhostModuleDyn(c, dtype=dt, name=nm),
+    "DRB": lambda c, s, dt, nm, k0, ex=None: _DRBBottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "UniRepLKNetBlock": lambda c, s, dt, nm, k0, ex=None: UniRepLKNetBlock(c, ex or 7, dtype=dt, name=nm),
+    "RVB": lambda c, s, dt, nm, k0, ex=None: _RVBUnit(c, "none", dtype=dt, name=nm),
+    "RVB_SE": lambda c, s, dt, nm, k0, ex=None: _RVBUnit(c, "se", dtype=dt, name=nm),
+    "RVB_EMA": lambda c, s, dt, nm, k0, ex=None: _RVBUnit(c, "ema", dtype=dt, name=nm),
+    "SWC": lambda c, s, dt, nm, k0, ex=None: _SWCBottleneck(c, k=ex or 13, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "iRMB_Cascaded": lambda c, s, dt, nm, k0, ex=None: IRMB(c, cascaded=True, dtype=dt, name=nm),
+    "iRMB_DRB": lambda c, s, dt, nm, k0, ex=None: IRMB(c, local="drb", dw_ks=ex or 7, dtype=dt, name=nm),
+    "iRMB_SWC": lambda c, s, dt, nm, k0, ex=None: IRMB(c, local="swc", dw_ks=ex or 13, dtype=dt, name=nm),
+    "DCNv2": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv2", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DCNv3": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv3", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DCNv4": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv4", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "MLCA": lambda c, s, dt, nm, k0, ex=None: _AttnBottleneck(c, "MLCA", k0=k0, shortcut=s, dtype=dt, name=nm),
 }
 
 
@@ -1581,6 +1601,7 @@ class C2fX(nn.Module):
     n: int = 1
     shortcut: bool = False
     e: float = 0.5
+    extra: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -1589,7 +1610,7 @@ class C2fX(nn.Module):
         y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
-            blk = INNER_BLOCKS[self.inner](c, self.shortcut, self.dtype, f"m{i}", 3)
+            blk = INNER_BLOCKS[self.inner](c, self.shortcut, self.dtype, f"m{i}", 3, self.extra)
             ys.append(blk(ys[-1], train))
         return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
 
@@ -1602,6 +1623,7 @@ class C3X(nn.Module):
     n: int = 1
     shortcut: bool = False
     e: float = 0.5
+    extra: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -1609,7 +1631,7 @@ class C3X(nn.Module):
         c_ = int(self.c2 * self.e)
         y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         for i in range(self.n):
-            y1 = INNER_BLOCKS[self.inner](c_, self.shortcut, self.dtype, f"m{i}", 1)(y1, train)
+            y1 = INNER_BLOCKS[self.inner](c_, self.shortcut, self.dtype, f"m{i}", 1, self.extra)(y1, train)
         y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
         return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
 
@@ -1634,3 +1656,215 @@ class HWD(nn.Module):
         hh = (a - b - c + d) / 2.0
         y = jnp.concatenate([ll, hl, lh, hh], -1)
         return _conv(y, self.c2, 1, train, self.dtype, "conv")
+
+
+class _RVBUnit(nn.Module):
+    """RepViTBlock zoo inner (block.py:4830): stride-1 RepVGGDW token mixer
+    (repvit.py RepVGGDW: dw3x3-BN + dw1x1(bias) + identity, then BN) with an
+    optional SE (timm, rd=0.25) or EMA attention, and a residual 1x1
+    expand(x2)/GELU/project channel mixer whose tail BN starts at zero."""
+
+    c2: int
+    attn: str = "none"  # none (C2f_RVB) | se (C2f_RVB_SE) | ema (C2f_RVB_EMA)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.backbones import _conv_bn as _cbn
+        from experiment_yolo_tpu.nn.backbones import _squeeze_excite
+        from experiment_yolo_tpu.nn.extra_modules import EMAAttention
+
+        c = self.c2
+        y = _cbn(x, c, 3, 1, 1, train, self.dtype, "rvg_dw", groups=c)
+        y1 = nn.Conv(c, (1, 1), feature_group_count=c, use_bias=True, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="rvg_pw")(x)
+        y = _bn(y + y1 + x, train, self.dtype, "rvg_bn")
+        if self.attn == "se":
+            y = _squeeze_excite(y, c, train, self.dtype, "tm_se")
+        elif self.attn == "ema":
+            y = EMAAttention(dtype=self.dtype, name="tm_ema")(y, train)
+        z = _cbn(y, 2 * c, 1, 1, 0, train, self.dtype, "cm_pw1")
+        return y + _cbn(jax.nn.gelu(z, approximate=False), c, 1, 1, 0, train, self.dtype,
+                        "cm_pw2", bn_init=0.0)
+
+
+class ReparamLKConv(nn.Module):
+    """Shift-wise large-kernel conv (shiftwise_conv.py:219, Decom branch):
+    one grouped small-kernel conv emits nk=ceil(K/small) copies per channel;
+    each copy is sigmoid-masked (lora1/lora2), statically shifted along W
+    resp. H to tile the KxK footprint, summed per direction and BN'd; a
+    plain small-kernel conv-BN branch is added; output = SiLU(BN(sum))."""
+
+    c2: int
+    k: int = 13
+    small: int = 5
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math as _m
+
+        mink, maxk = self.small, self.k
+        nk = _m.ceil(maxk / mink)
+        mid_p = maxk // 2
+        off_l = mid_p % mink
+        off_r = (nk * mink - mid_p - 1) % mink
+        padding = off_l % mink
+        while padding < off_r:
+            padding += mink
+        while padding < mink - 1:
+            padding += mink
+        index = _m.ceil((mid_p + 1) / mink)
+        B, H, W, C = x.shape
+        out_n = self.c2 * nk
+        y = nn.Conv(out_n, (mink, mink), padding=[(padding, padding)] * 2,
+                    feature_group_count=self.groups, use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="split_convs")(x)
+        crop = padding - mink // 2
+        guard = nk * mink  # bounds the largest |shift|
+
+        def _lora(mask_name, shift_axis):
+            m = self.param(mask_name, lambda k_, s_: jax.random.uniform(k_, s_, jnp.float32, -1.0, 1.0),
+                           (out_n,))
+            yy = (y * jax.nn.sigmoid(m)).reshape(B, y.shape[1], y.shape[2], self.c2, nk)
+            acc = None
+            for i in range(nk):
+                s = (i + 1 - index) * mink
+                t = yy[..., i]
+                if shift_axis == 2:  # lora1: shift along W, center-crop H
+                    t = t[:, crop:crop + H]
+                    t = jnp.pad(t, ((0, 0), (0, 0), (guard, guard), (0, 0)))
+                    t = t[:, :, guard + s:guard + s + W]
+                else:  # lora2: shift along H, center-crop W
+                    t = t[:, :, crop:crop + W]
+                    t = jnp.pad(t, ((0, 0), (guard, guard), (0, 0), (0, 0)))
+                    t = t[:, guard + s:guard + s + H]
+                acc = t if acc is None else acc + t
+            return _bn(acc, train, self.dtype, f"bn_{mask_name}")
+
+        out = _lora("lora1", 2) + _lora("lora2", 1)
+        sc = nn.Conv(self.c2, (mink, mink), padding=[(mink // 2, mink // 2)] * 2,
+                     feature_group_count=self.groups, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="small_conv")(x)
+        out = out + _bn(sc, train, self.dtype, "small_bn")
+        return jax.nn.silu(_bn(out, train, self.dtype, "bn"))
+
+
+class _SWCBottleneck(nn.Module):
+    """Bottleneck_SWC (block.py:4074): cv2 = ReparamLargeKernelConv(K,
+    groups=c2//16)."""
+
+    c2: int
+    k: int = 13
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.c2, self.k0, train, self.dtype, "cv1")
+        y = ReparamLKConv(self.c2, k=self.k, groups=self.c2 // 16,
+                          dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class SPPFLSKA(nn.Module):
+    """SPPF_LSKA (block.py:2625): SPPF whose pooled concat is gated by
+    LSKA(k=11) before the output 1x1."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import LSKA
+
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        p = self.k // 2
+        win = (1, self.k, self.k, 1)
+        pads = ((0, 0), (p, p), (p, p), (0, 0))
+        y1 = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, win, (1, 1, 1, 1), pads)
+        y2 = jax.lax.reduce_window(y1, -jnp.inf, jax.lax.max, win, (1, 1, 1, 1), pads)
+        y3 = jax.lax.reduce_window(y2, -jnp.inf, jax.lax.max, win, (1, 1, 1, 1), pads)
+        cat = jnp.concatenate([y, y1, y2, y3], -1)
+        cat = LSKA(11, dtype=self.dtype, name="lska")(cat, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(cat, train)
+
+
+class TransformerBlockTR(nn.Module):
+    """TransformerBlock (modules/transformer.py:137): learned position
+    embedding + n TransformerLayers (bias-free q/k/v projections feeding a
+    4-head attention with biased in/out projections, then a bias-free MLP)."""
+
+    c2: int
+    num_heads: int = 4
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    def _dense(self, c, name, bias):
+        return nn.Dense(c, use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.c2:
+            x = _conv(x, self.c2, 1, train, self.dtype, "conv")
+        b, h, w, c = x.shape
+        hd = c // self.num_heads
+        p = x.reshape(b, h * w, c)
+        p = p + self._dense(c, "linear", True)(p)
+        for i in range(self.n):
+            q = self._dense(c, f"tr{i}_q", False)(p)
+            k = self._dense(c, f"tr{i}_k", False)(p)
+            v = self._dense(c, f"tr{i}_v", False)(p)
+            q = self._dense(c, f"tr{i}_inq", True)(q).reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+            k = self._dense(c, f"tr{i}_ink", True)(k).reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+            v = self._dense(c, f"tr{i}_inv", True)(v).reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+            a = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) * hd**-0.5, axis=-1)
+            o = (a @ v).transpose(0, 2, 1, 3).reshape(b, -1, c)
+            p = self._dense(c, f"tr{i}_out", True)(o) + p
+            p = self._dense(c, f"tr{i}_fc2", False)(self._dense(c, f"tr{i}_fc1", False)(p)) + p
+        return p.reshape(b, h, w, c)
+
+
+class C3TR(nn.Module):
+    """C3TR (modules/block.py:279): C3 whose bottleneck chain is one
+    TransformerBlock with num_layers = n."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = TransformerBlockTR(c_, 4, self.n, dtype=self.dtype, name="m")(y1, train)
+        y2 = ConvBN(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+class DGCST(nn.Module):
+    """Dynamic group convolution shuffle transformer (block.py:4901): 1x1 in,
+    dw-1x1 on the first quarter + 2-group channel shuffle, concat back, and a
+    residual two-conv tail."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2 // 4
+        x = _conv(x, self.c2, 1, train, self.dtype, "conv1")
+        x1, x2 = x[..., :c], x[..., c:]
+        x1 = _conv(x1, c, 1, train, self.dtype, "gconv", g=c)
+        x1 = jnp.concatenate([x1[..., 0::2], x1[..., 1::2]], -1)
+        x = jnp.concatenate([x1, x2], -1)
+        y = _conv(x, self.c2, 1, train, self.dtype, "conv2_0")
+        y = _conv(y, self.c2, 1, train, self.dtype, "conv2_1")
+        return x + y

@@ -65,6 +65,8 @@ head:
         "C2f_Faster", "C3_Faster", "C2f_Faster_EMA", "C2f_ContextGuided",
         "C2f_DWR", "C3_DWR", "C2f_MSBlock", "C2f_SCConv", "C2f_ScConv", "C2f_RFCBAMConv", "C2f_RFCAConv", "C2f_AKConv", "C3_AKConv",
         "C2f_EMSC", "C2f_EMSCP", "C2f_RFAConv", "C3_RFAConv", "C2f_iRMB", "C2f_DBB", "C3_DBB", "C2f_DySnakeConv", "C3_DySnakeConv", "C2f_VSS", "C3_LVMB", "C2f_ODConv", "C3_ODConv", "C2f_DynamicConv", "C2f_GhostDynamicConv", "C2f_DRB", "C3_DRB", "C2f_UniRepLKNetBlock", "C2f_DCNv2", "C3_DCNv2", "C2f_MLCA",
+        "C2f_RVB", "C3_RVB", "C2f_RVB_SE", "C2f_RVB_EMA",
+        "C2f_SWC", "C3_SWC", "C2f_iRMB_Cascaded", "C2f_iRMB_DRB", "C2f_iRMB_SWC",
     ],
 )
 def test_param_count_parity(name):
@@ -76,12 +78,14 @@ def test_param_count_parity(name):
     tcls = getattr(block, name)
     # EMSConv asserts c/4 (per-chain channels / 4) >= 16 in the reference
     c = 128 if "EMSC" in name else 64
-    tm = tcls(c, c, 1)
+    # kernel_size-signature classes (C3_SWC etc.): pass it explicitly
+    extra = {"C2f_SWC": 13, "C3_SWC": 13, "C2f_iRMB_DRB": 13, "C2f_iRMB_SWC": 13}.get(name)
+    tm = tcls(c, c, 1) if extra is None else tcls(c, c, 1, extra)
     t_params = sum(p.numel() for p in tm.parameters())
 
     container = C2fX if name.startswith("C2f_") else C3X
     inner = name.split("_", 1)[1]
-    m = container(c, inner=inner, n=1)
+    m = container(c, inner=inner, n=1, extra=extra)
     v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, c)), False))
     o_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
     assert o_params == t_params, f"{name}: ours {o_params:,} vs reference {t_params:,}"
@@ -149,3 +153,42 @@ def test_hsfpn_param_parity():
         v = jax.eval_shape(lambda om=om, xs=xs: om.init(jax.random.PRNGKey(0), xs, True))
         o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
         assert t == o, f"{type(tm).__name__}: ours {o:,} vs reference {t:,}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+def test_sppf_lska_c3tr_dgcst_parity():
+    """SPPF_LSKA (block.py:2625), C3TR (modules/block.py:279), DGCST
+    (block.py:4901), LocalWindowAttention (attention.py:1683)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    from experiment_yolo_tpu.nn import zoo_blocks as Z
+    from experiment_yolo_tpu.nn.extra_modules import LocalWindowAttention
+
+    block = importlib.import_module("ultralytics.nn.extra_modules.block")
+    mblock = importlib.import_module("ultralytics.nn.modules.block")
+    attn = importlib.import_module("ultralytics.nn.extra_modules.attention")
+
+    x = jnp.zeros((1, 16, 16, 64))
+    cases = [
+        (block.SPPF_LSKA(64, 64), Z.SPPFLSKA(64), x),
+        (mblock.C3TR(64, 64, 2), Z.C3TR(64, n=2), x),
+        (block.DGCST(64, 64), Z.DGCST(64), x),
+        (attn.LocalWindowAttention(64), LocalWindowAttention(), x),
+    ]
+    for tm, om, xi in cases:
+        t = sum(p.numel() for p in tm.parameters())
+        v = jax.eval_shape(lambda om=om: om.init(jax.random.PRNGKey(0), xi, False))
+        o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert t == o, f"{type(tm).__name__}: ours {o:,} vs reference {t:,}"
+
+
+def test_sppf_lska_c3tr_dgcst_shapes():
+    from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+    x = jnp.zeros((2, 16, 16, 64))
+    for m in [Z.SPPFLSKA(64), Z.C3TR(64), Z.DGCST(64), Z.ReparamLKConv(64, 13, groups=4)]:
+        v = m.init(jax.random.PRNGKey(0), x, False)
+        assert m.apply(v, x, False).shape == x.shape, type(m).__name__
