@@ -1268,3 +1268,225 @@ class LocalWindowAttention(nn.Module):
         y = attn(y, train)
         y = y.reshape(B, nH, nW, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, pH, pW, C)
         return y[:, :H, :W]
+
+
+class EfficientAttention(nn.Module):
+    """CloFormer efficient attention (extra_modules/attention.py:773): local
+    high-frequency heads (dw-mixed qkv, gated by a tanh'd conv-swish-conv
+    score on q*k) plus global low-frequency heads (avg-pooled kv, standard
+    softmax attention), concatenated and 1x1-projected."""
+
+    num_heads: int = 8
+    group_split: Tuple[int, ...] = (4, 4)
+    kernel_sizes: Tuple[int, ...] = (5,)
+    window_size: int = 4
+    dtype: Dtype = jnp.float32
+
+    def _pw(self, c, name, bias=True):
+        return nn.Conv(c, (1, 1), use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        dh = c // self.num_heads
+        scalor = dh**-0.5
+        res = []
+        for i, ks in enumerate(self.kernel_sizes):
+            gh = self.group_split[i]
+            if gh == 0:
+                continue
+            gc = gh * dh
+            qkv = self._pw(3 * gc, f"qkv{i}")(x)
+            qkv = nn.Conv(3 * gc, (ks, ks), padding=[(ks // 2, ks // 2)] * 2, feature_group_count=3 * gc,
+                          use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name=f"mix{i}")(qkv)
+            q, k, v = qkv[..., :gc], qkv[..., gc:2 * gc], qkv[..., 2 * gc:]
+            # AttnMap: pw -> swish -> pw on q*k
+            a = self._pw(gc, f"attn{i}_0")(q * k)
+            a = self._pw(gc, f"attn{i}_1")(jax.nn.silu(a))
+            res.append(jnp.tanh(a * scalor) * v)
+        gh = self.group_split[-1]
+        if gh != 0:
+            gc = gh * dh
+            q = self._pw(gc, "global_q")(x).reshape(b, h * w, gh, dh).transpose(0, 2, 1, 3)
+            ws = self.window_size
+            kv_in = nn.avg_pool(x, (ws, ws), strides=(ws, ws)) if ws != 1 else x
+            kv = self._pw(2 * gc, "global_kv")(kv_in)
+            n2 = kv.shape[1] * kv.shape[2]
+            kv = kv.reshape(b, n2, 2, gh, dh).transpose(2, 0, 3, 1, 4)
+            k, v = kv[0], kv[1]
+            attn = jax.nn.softmax(scalor * q @ k.transpose(0, 1, 3, 2), axis=-1)
+            o = (attn @ v).transpose(0, 2, 1, 3).reshape(b, h, w, gc)
+            res.append(o)
+        return self._pw(c, "proj")(jnp.concatenate(res, -1))
+
+
+def _bilinear_zeros(img, py, px):
+    """Sample img (B,H,W,C) at float pixel coords py/px (B,N) with zero
+    padding outside (torch grid_sample padding_mode='zeros')."""
+    B, H, W, C = img.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = py - y0
+    wx = px - x0
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yy = y0 + dy
+            xx = x0 + dx
+            wgt = (wy if dy else 1 - wy) * (wx if dx else 1 - wx)
+            valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+            yc = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+            xc = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+            g = jnp.take_along_axis(
+                img.reshape(B, H * W, C),
+                (yc * W + xc)[..., None].astype(jnp.int32), axis=1)
+            out = out + g * (wgt * valid)[..., None]
+    return out
+
+
+class DeformableLKA(nn.Module):
+    """deformable_LKA (extra_modules/attention.py:1038): LKA whose 5x5 and
+    dilated 7x7 depthwise convs are plain (non-modulated) deformable convs,
+    finishing with a 1x1 conv multiplicative gate."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.ops.dcnv3 import dcnv2_core
+
+        c = x.shape[-1]
+
+        def dconv(y, k, pad, dil, name):
+            off = nn.Conv(2 * k * k, (k, k), padding=[(pad, pad)] * 2, kernel_dilation=(dil, dil),
+                          use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                          name=f"{name}_offset")(y)
+            wkey = self.param(f"{name}_weight",
+                              nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                              (k, k, 1, c), jnp.float32)
+            ones = jnp.ones(off.shape[:3] + (k * k,), off.dtype)
+            return dcnv2_core(y.astype(self.dtype), off.astype(jnp.float32), ones,
+                              wkey.astype(self.dtype), stride=1, pad=pad, dilation=dil, groups=c)
+
+        a = dconv(x, 5, 2, 1, "conv0")
+        a = dconv(a, 7, 9, 3, "conv_spatial")
+        a = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(a)
+        return x * a
+
+
+class DAttention(nn.Module):
+    """Deformable attention (DAT, CVPR'22 — extra_modules/attention.py:1161,
+    default flags: dwc_pe=True so the positional term is a depthwise conv on
+    q): per-group offset net -> tanh-bounded offsets over a reference grid ->
+    bilinear-sampled kv -> softmax attention + dw-conv positional residual.
+    `q_size` is accepted for YAML parity; with dwc_pe the tables it would
+    size are not used at runtime."""
+
+    q_size: Tuple[int, int] = (0, 0)
+    n_heads: int = 8
+    n_groups: int = 4
+    offset_range_factor: int = 4
+    ksize: int = 3
+    dtype: Dtype = jnp.float32
+
+    def _pw(self, c, name):
+        return nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        g = self.n_groups
+        gc = C // g
+        nh = self.n_heads
+        dh = C // nh
+        q = self._pw(C, "proj_q")(x)
+        qg = q.reshape(B, H, W, g, gc).transpose(0, 3, 1, 2, 4).reshape(B * g, H, W, gc)
+        ks = self.ksize
+        off = nn.Conv(gc, (ks, ks), padding=[(ks // 2, ks // 2)] * 2, feature_group_count=gc,
+                      use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="offset_dw")(qg)
+        off = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="offset_ln")(off)
+        off = nn.Conv(2, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="offset_out")(jax.nn.gelu(off, approximate=False))
+        rng = jnp.array([1.0 / (H - 1.0), 1.0 / (W - 1.0)], off.dtype)
+        off = jnp.tanh(off) * rng * self.offset_range_factor  # (B*g, H, W, 2) (dy, dx)
+        ref_y = (jnp.linspace(0.5, H - 0.5, H) / (H - 1.0)) * 2.0 - 1.0
+        ref_x = (jnp.linspace(0.5, W - 0.5, W) / (W - 1.0)) * 2.0 - 1.0
+        ref = jnp.stack(jnp.meshgrid(ref_y, ref_x, indexing="ij"), -1)  # (H, W, 2)
+        pos = off + ref.astype(off.dtype)
+        # grid_sample bilinear, align_corners=True, zero padding
+        py = (pos[..., 0].reshape(B * g, H * W) + 1.0) * 0.5 * (H - 1.0)
+        px = (pos[..., 1].reshape(B * g, H * W) + 1.0) * 0.5 * (W - 1.0)
+        xg = x.reshape(B, H, W, g, gc).transpose(0, 3, 1, 2, 4).reshape(B * g, H, W, gc)
+        sampled = _bilinear_zeros(xg, py, px)
+        sampled = sampled.reshape(B, g, H * W, gc).transpose(0, 2, 1, 3).reshape(B, H * W, 1, C)
+        k = self._pw(C, "proj_k")(sampled).reshape(B, H * W, nh, dh).transpose(0, 2, 1, 3)
+        v = self._pw(C, "proj_v")(sampled).reshape(B, H * W, nh, dh).transpose(0, 2, 1, 3)
+        qa = q.reshape(B, H * W, nh, dh).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(qa @ k.transpose(0, 1, 3, 2) * dh**-0.5, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, H, W, C)
+        lepe = nn.Conv(C, (3, 3), padding=[(1, 1)] * 2, feature_group_count=C, use_bias=True,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="rpe_table")(q)
+        return self._pw(C, "proj_out")(out + lepe)
+
+
+class FocusedLinearAttention(nn.Module):
+    """Focused linear attention (FLatten-Transformer — attention.py:1385;
+    here H_sp/W_sp = the full `resolution`, so the window is the whole map):
+    ReLU feature maps sharpened by a focusing power, linear attention via the
+    kv-first associativity, plus a depthwise-conv feature map on v and a
+    per-window lepe dw conv."""
+
+    resolution: Tuple[int, int] = (20, 20)
+    num_heads: int = 8
+    focusing_factor: int = 3
+    kernel_size: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+        qkv = nn.Conv(3 * C, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv_qkv")(x)
+        q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+        q = q.reshape(B, H * W, C)
+        k = k.reshape(B, H * W, C)
+        lepe = nn.Conv(C, (3, 3), padding=[(1, 1)] * 2, feature_group_count=C, use_bias=True,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="get_v")(v)
+        lepe = lepe.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, H * W, hd)
+        v = v.reshape(B, H * W, C)
+        pe = self.param("positional_encoding", nn.initializers.zeros,
+                        (1, self.resolution[0] * self.resolution[1], C), jnp.float32)
+        k = k + pe[:, :H * W].astype(k.dtype)
+        scale = jax.nn.softplus(self.param("scale", nn.initializers.zeros, (1, 1, C), jnp.float32))
+        ff = self.focusing_factor
+        q = jax.nn.relu(q) + 1e-6
+        k = jax.nn.relu(k) + 1e-6
+        q = q / scale
+        k = k / scale
+        qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        kn = jnp.linalg.norm(k, axis=-1, keepdims=True)
+        q = q**ff
+        k = k**ff
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * qn
+        k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * kn
+        q = q.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, H * W, hd)
+        k = k.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, H * W, hd)
+        vv = v.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, H * W, hd)
+        z = 1.0 / (jnp.einsum("bic,bc->bi", q, k.sum(axis=1)) + 1e-6)
+        i = j = H * W
+        c_, d_ = hd, hd
+        if i * j * (c_ + d_) > c_ * d_ * (i + j):
+            kv = jnp.einsum("bjc,bjd->bcd", k, vv)
+            o = jnp.einsum("bic,bcd,bi->bid", q, kv, z)
+        else:
+            qk = jnp.einsum("bic,bjc->bij", q, k)
+            o = jnp.einsum("bij,bjd,bi->bid", qk, vv, z)
+        fm = vv.reshape(B * nh, H, W, hd)
+        fm = nn.Conv(hd, (self.kernel_size, self.kernel_size),
+                     padding=[(self.kernel_size // 2, self.kernel_size // 2)] * 2,
+                     feature_group_count=hd, use_bias=True, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="dwc")(fm).reshape(B * nh, H * W, hd)
+        o = o + fm + lepe
+        return o.reshape(B, nh, H * W, hd).transpose(0, 2, 1, 3).reshape(B, H, W, C)

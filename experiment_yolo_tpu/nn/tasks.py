@@ -80,6 +80,10 @@ _ATTENTION = {
     "SegNext_Attention": X.SegNextAttention,
     "MLCA": X.MLCA,
     "LocalWindowAttention": X.LocalWindowAttention,
+    "EfficientAttention": X.EfficientAttention,
+    "deformable_LKA": X.DeformableLKA,
+    "DAttention": X.DAttention,
+    "FocusedLinearAttention": X.FocusedLinearAttention,
 }
 
 # HS-FPN gates (reference tasks.py:966: channel-preserving, args prepended)
@@ -190,7 +194,8 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             inner = _zoo_inner(mname)
             extra = None
             rest = list(args[1:])
-            if inner in ("SWC", "iRMB_DRB", "iRMB_SWC", "UniRepLKNetBlock") and rest:
+            if inner in ("SWC", "iRMB_DRB", "iRMB_SWC", "UniRepLKNetBlock",
+                         "DAttention", "FocusedLinearAttention") and rest:
                 # reference signature (c1, c2, n, kernel_size, shortcut, ...)
                 extra = rest.pop(0)
             shortcut = bool(rest[0]) if rest else False
@@ -329,6 +334,10 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             c2 = c1
             if mname == "MLCA":  # ECA kernel size derives from the channels
                 mod = _ATTENTION[mname](c1, *args, dtype=dtype)
+            elif mname in ("DAttention", "FocusedLinearAttention"):
+                # reference signature (channel, fmapsize); channels inferred here
+                fs = tuple(args[0]) if args else (20, 20)
+                mod = _ATTENTION[mname](fs, dtype=dtype)
             elif mname == "SimAM":
                 mod = _ATTENTION[mname](*args)
             else:

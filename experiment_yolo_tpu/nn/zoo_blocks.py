@@ -1497,6 +1497,8 @@ INNER_UNITS: Dict[str, Callable] = {
     "DCNv2": lambda c2, dt: DCNv2Conv(c2, 3, dtype=dt, name="cv2"),
     "DCNv3": lambda c2, dt: DCNV3YOLO(c2, 3, version=3, dtype=dt, name="cv2"),
     "DCNv4": lambda c2, dt: DCNV3YOLO(c2, 3, version=4, dtype=dt, name="cv2"),
+    "DLKA": lambda c2, dt: __import__("experiment_yolo_tpu.nn.extra_modules", fromlist=["x"]).DeformableLKA(dtype=dt, name="cv2"),
+    "DCNv2_Dynamic": lambda c2, dt: DCNv2DynamicConv(c2, 3, dtype=dt, name="cv2"),
 }
 
 # whole inner block per chain slot: builder(c, shortcut, dtype, name, k0).
@@ -1538,6 +1540,12 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "DCNv3": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv3", k0=k0, shortcut=s, dtype=dt, name=nm),
     "DCNv4": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv4", k0=k0, shortcut=s, dtype=dt, name=nm),
     "MLCA": lambda c, s, dt, nm, k0, ex=None: _AttnBottleneck(c, "MLCA", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "CloAtt": lambda c, s, dt, nm, k0, ex=None: _AttnBottleneck(c, "CloAtt", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DAttention": lambda c, s, dt, nm, k0, ex=None: _AttnBottleneck(c, "DAttention", k0=k0, shortcut=s, extra=ex, dtype=dt, name=nm),
+    "FocusedLinearAttention": lambda c, s, dt, nm, k0, ex=None: _AttnBottleneck(c, "FocusedLinearAttention", k0=k0, shortcut=s, extra=ex, dtype=dt, name=nm),
+    "DLKA": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DLKA", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DCNv2_Dynamic": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv2_Dynamic", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "DWR_DRB": lambda c, s, dt, nm, k0, ex=None: DWRDRB(c, dtype=dt, name=nm),
 }
 
 
@@ -1550,6 +1558,7 @@ class _AttnBottleneck(nn.Module):
     attn: str
     k0: int = 3
     shortcut: bool = True
+    extra: Any = None  # fmapsize for DAttention / FocusedLinearAttention
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -1564,6 +1573,14 @@ class _AttnBottleneck(nn.Module):
             y = X.EMAAttention(dtype=self.dtype, name="attention")(y, train)
         elif self.attn == "SE":
             y = X.SEAttention(dtype=self.dtype, name="attention")(y, train)
+        elif self.attn == "CloAtt":
+            y = X.EfficientAttention(dtype=self.dtype, name="attention")(y, train)
+        elif self.attn == "DAttention":
+            fs = tuple(self.extra) if self.extra else (x.shape[1], x.shape[2])
+            y = X.DAttention(fs, dtype=self.dtype, name="attention")(y, train)
+        elif self.attn == "FocusedLinearAttention":
+            fs = tuple(self.extra) if self.extra else (x.shape[1], x.shape[2])
+            y = X.FocusedLinearAttention(fs, dtype=self.dtype, name="attention")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             return x + y
         return y
@@ -1868,3 +1885,56 @@ class DGCST(nn.Module):
         y = _conv(x, self.c2, 1, train, self.dtype, "conv2_0")
         y = _conv(y, self.c2, 1, train, self.dtype, "conv2_1")
         return x + y
+
+
+class DWRDRB(nn.Module):
+    """DWR_DRB (block.py:3368): DWR whose d3/d5 dilation branches are
+    DilatedReparamBlocks (k=5 and k=7)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2
+        y = _conv(x, c // 2, 3, train, self.dtype, "conv_3x3")
+        x1 = _conv(y, c, 3, train, self.dtype, "d1")
+        x2 = DilatedReparamBlock(5, dtype=self.dtype, name="d3")(y, train)
+        x3 = DilatedReparamBlock(7, dtype=self.dtype, name="d5")(y, train)
+        out = jnp.concatenate([x1, x2, x3], -1)
+        return _conv(out, c, 1, train, self.dtype, "conv_1x1") + x
+
+
+class DCNv2DynamicConv(nn.Module):
+    """DCNv2_Dynamic (block.py:1693): DCNv2 whose offset+mask features pass
+    through an MPCA attention before the chunk/sigmoid split."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import MPCA
+        from experiment_yolo_tpu.ops.dcnv3 import dcnv2_core
+
+        c1 = x.shape[-1]
+        K = self.k * self.k
+        p = self.k // 2
+        om = nn.Conv(3 * K, (self.k, self.k), strides=(self.s, self.s), padding=[(p, p)] * 2,
+                     use_bias=True, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="conv_offset_mask")(x)
+        om = MPCA(dtype=self.dtype, name="offset_attention")(om, train)
+        o1, o2, mask = om[..., :K], om[..., K:2 * K], jax.nn.sigmoid(om[..., 2 * K:])
+        offset = jnp.stack([o1, o2], -1).reshape(*o1.shape[:3], 2 * K)
+        n = c1 * K
+        std = 1.0 / (n**0.5)
+        weight = self.param("weight", nn.initializers.uniform(scale=2 * std),
+                            (self.k, self.k, c1, self.c2), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+        y = dcnv2_core(x.astype(self.dtype), offset.astype(jnp.float32), mask.astype(self.dtype),
+                       weight.astype(self.dtype), bias.astype(self.dtype), stride=self.s, pad=p)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn")(y)
+        return jax.nn.silu(y)

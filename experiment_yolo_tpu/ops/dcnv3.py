@@ -77,6 +77,7 @@ def dcnv2_core(
     stride: int = 1,
     pad: int = 1,
     dilation: int = 1,
+    groups: int = 1,
 ) -> jnp.ndarray:
     """Modulated deformable conv v2 (mmcv ModulatedDeformConv2d semantics,
     the reference's DyDCNv2 backend — extra block.py:57): sample the input
@@ -106,7 +107,14 @@ def dcnv2_core(
 
     sampled = _bilinear_sample_zeros(xp, loc).reshape(b, ho, wo, k, c)
     sampled = sampled * mask.reshape(b, ho, wo, k, 1)
-    out = jnp.einsum("bhwkc,kco->bhwo", sampled, weight.reshape(k, c, cout))
+    if groups == 1:
+        out = jnp.einsum("bhwkc,kco->bhwo", sampled, weight.reshape(k, c, cout))
+    else:
+        # grouped conv: weight (kh, kw, c//groups, cout), flax layout
+        cg, og = c // groups, cout // groups
+        sg = sampled.reshape(b, ho, wo, k, groups, cg)
+        wg = weight.reshape(k, cg, groups, og)
+        out = jnp.einsum("bhwkgc,kcgo->bhwgo", sg, wg).reshape(b, ho, wo, cout)
     if bias is not None:
         out = out + bias
     return out

@@ -67,6 +67,8 @@ head:
         "C2f_EMSC", "C2f_EMSCP", "C2f_RFAConv", "C3_RFAConv", "C2f_iRMB", "C2f_DBB", "C3_DBB", "C2f_DySnakeConv", "C3_DySnakeConv", "C2f_VSS", "C3_LVMB", "C2f_ODConv", "C3_ODConv", "C2f_DynamicConv", "C2f_GhostDynamicConv", "C2f_DRB", "C3_DRB", "C2f_UniRepLKNetBlock", "C2f_DCNv2", "C3_DCNv2", "C2f_MLCA",
         "C2f_RVB", "C3_RVB", "C2f_RVB_SE", "C2f_RVB_EMA",
         "C2f_SWC", "C3_SWC", "C2f_iRMB_Cascaded", "C2f_iRMB_DRB", "C2f_iRMB_SWC",
+        "C2f_CloAtt", "C3_CloAtt", "C2f_DLKA", "C3_DLKA", "C2f_DCNv2_Dynamic",
+        "C2f_DWR_DRB", "C3_DWR_DRB", "C2f_DAttention", "C2f_FocusedLinearAttention",
     ],
 )
 def test_param_count_parity(name):
@@ -79,7 +81,8 @@ def test_param_count_parity(name):
     # EMSConv asserts c/4 (per-chain channels / 4) >= 16 in the reference
     c = 128 if "EMSC" in name else 64
     # kernel_size-signature classes (C3_SWC etc.): pass it explicitly
-    extra = {"C2f_SWC": 13, "C3_SWC": 13, "C2f_iRMB_DRB": 13, "C2f_iRMB_SWC": 13}.get(name)
+    extra = {"C2f_SWC": 13, "C3_SWC": 13, "C2f_iRMB_DRB": 13, "C2f_iRMB_SWC": 13,
+             "C2f_DAttention": (16, 16), "C2f_FocusedLinearAttention": (16, 16)}.get(name)
     tm = tcls(c, c, 1) if extra is None else tcls(c, c, 1, extra)
     t_params = sum(p.numel() for p in tm.parameters())
 
