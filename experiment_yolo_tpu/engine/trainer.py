@@ -228,7 +228,15 @@ class DetectionTrainer:
                 if args.multi_scale:
                     batch = self._rescale_batch(batch, ms_rng)
                 batch = meshlib.shard_batch(batch, self.mesh)
-                state, comps = train_step(state, batch)
+                if getattr(self.model, "kw_manager", None) is not None:
+                    # temperature anneal (reference trainer.py:795-797)
+                    from experiment_yolo_tpu.nn.kernel_warehouse import get_temperature
+
+                    kw_t = get_temperature(i + 1, epoch, len(self.train_loader),
+                                           temp_epoch=20, temp_init_value=1.0)
+                    state, comps = train_step(state, batch, jnp.float32(kw_t))
+                else:
+                    state, comps = train_step(state, batch)
                 if loss_keys is None:
                     loss_keys = sorted(comps)
                     mean_loss = np.zeros(len(loss_keys))
@@ -330,15 +338,19 @@ class DetectionTrainer:
         pose_gain, kobj_gain = float(self.args.pose), float(self.args.kobj)
         kpt_shape = getattr(model, "kpt_shape", (17, 3))
 
-        def step_fn(state: TrainState, batch):
+        has_kw = getattr(model, "kw_manager", None) is not None
+
+        def step_fn(state: TrainState, batch, kw_temp=0.0):
             imgs = batch["img"].astype(dtype) / 255.0
 
             def loss_fn(params):
+                kw_kwargs = {"kw_temp": kw_temp} if has_kw else {}
                 out, upd = model.module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     imgs,
                     True,
                     mutable=["batch_stats"],
+                    **kw_kwargs,
                 )
                 tb = {"bboxes": batch["bboxes"], "cls": batch["cls"], "mask": batch["mask"]}
                 if is_rtdetr:

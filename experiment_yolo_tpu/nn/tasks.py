@@ -114,7 +114,8 @@ def _scale_ch(c2: int, nc: int, width: float, max_channels: float) -> int:
     return make_divisible(min(c2, max_channels) * width, 8)
 
 
-def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.float32, verbose: bool = False):
+def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.float32, verbose: bool = False,
+                out_extras: Optional[dict] = None):
     """Compile a model-YAML dict into layer specs.
 
     Returns (layers: List[LayerSpec], save: sorted list of indices whose
@@ -288,6 +289,34 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
 
             c2 = c1 * 2
             mod = Z.ContextGuidedDown(c2, dtype=dtype)
+        elif mname in ("KWConv", "C2f_KW", "C3_KW"):
+            # Kernel Warehouse (kernel_warehouse.py; YAML keys
+            # Warehouse_Manager / Warehouse_Manager_Ratio, reference
+            # tasks.py:283-301): convs drawn from shared cell warehouses
+            from experiment_yolo_tpu.nn import kernel_warehouse as KW
+
+            if out_extras is not None and out_extras.get("kw_manager") is None:
+                out_extras["kw_manager"] = KW.KWManager(
+                    cell_num_ratio=float(d.get("Warehouse_Manager_Ratio", 1.0)))
+            kw_manager = out_extras["kw_manager"] if out_extras is not None else KW.KWManager()
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            wm_name = str(args[1]) if len(args) > 1 else f"kw{i}"
+            if mname == "KWConv":
+                kk = int(args[2]) if len(args) > 2 else 1
+                st = int(args[3]) if len(args) > 3 else 1
+                plan = kw_manager.reserve(c1, c2, kk, 1, wm_name)
+                mod = KW.KWConvModule(plan, stride=st, dtype=dtype)
+            else:
+                shortcut = bool(args[2]) if len(args) > 2 else False
+                cc = c2 // 2
+                k0 = 3 if mname == "C2f_KW" else 1
+                plans = tuple(
+                    (kw_manager.reserve(cc, cc, k0, 1, f"{wm_name}_cv1"),
+                     kw_manager.reserve(cc, cc, 3, 1, f"{wm_name}_cv2"))
+                    for _ in range(n))
+                cls = KW.C2fKW if mname == "C2f_KW" else KW.C3KW
+                mod = cls(c2, plans=plans, shortcut=shortcut, dtype=dtype)
+                n = 1
         elif mname == "SPPF_LSKA":
             from experiment_yolo_tpu.nn import zoo_blocks as Z
 
@@ -641,9 +670,11 @@ class GraphModel(nn.Module):
     froms: Tuple[Tuple[int, ...], ...]
     list_inputs: Tuple[bool, ...]
     save: Tuple[int, ...]
+    kw: Any = None  # KWManager plan (kernel_warehouse.py) or None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, capture: Tuple[int, ...] = ()):
+    def __call__(self, x, train: bool = False, capture: Tuple[int, ...] = (), kw_temp=0.0):
+        kw_cells = self.kw.warehouse_params(self) if self.kw is not None else None
         saved: Dict[int, Any] = {}
         captured: Dict[int, Any] = {}
         out = x
@@ -652,7 +683,10 @@ class GraphModel(nn.Module):
                 inp = [out if j == -1 else saved[j] for j in f]
             else:
                 inp = out if f[0] == -1 else saved[f[0]]
-            out = m(inp, train)
+            if getattr(m, "kw_aware", False):
+                out = m(inp, train, warehouse=kw_cells, kw_temp=kw_temp)
+            else:
+                out = m(inp, train)
             if i in self.save:
                 saved[i] = out
             if i in capture:
@@ -703,9 +737,13 @@ class DetectionModel:
         if nc and nc != self.yaml.get("nc"):
             self.yaml["nc"] = nc
         scale = self.yaml.get("scale")
+        extras: Dict[str, Any] = {"kw_manager": None}
         layers, save, detect_idx, self.nc, self.reg_max = parse_model(
-            self.yaml, ch, scale=scale, dtype=dtype, verbose=verbose
+            self.yaml, ch, scale=scale, dtype=dtype, verbose=verbose, out_extras=extras
         )
+        self.kw_manager = extras.get("kw_manager")
+        if self.kw_manager is not None:
+            self.kw_manager.store()
         self.specs = layers
         self.detect_idx = detect_idx
         self.module = GraphModel(
@@ -713,6 +751,7 @@ class DetectionModel:
             froms=tuple(s.f for s in layers),
             list_inputs=tuple(s.is_list_input for s in layers),
             save=tuple(save),
+            kw=self.kw_manager,
         )
         self.no = self.nc + 4 * self.reg_max
         self.names = {i: f"{i}" for i in range(self.nc)}
@@ -777,12 +816,14 @@ class DetectionModel:
         return variables
 
     # -- functional forward ------------------------------------------------
-    def apply(self, variables, x, train: bool = False, mutable=False):
+    def apply(self, variables, x, train: bool = False, mutable=False, kw_temp=0.0):
         """Raw forward: returns list of per-level (B,H,W,no) maps.
 
         With train=True and mutable=['batch_stats'], returns (feats, updates).
+        `kw_temp` is the Kernel-Warehouse temperature (0 = learned mixture
+        only — the inference setting, reference tasks.py:301).
         """
-        return self.module.apply(variables, x, train, mutable=mutable)
+        return self.module.apply(variables, x, train, mutable=mutable, kw_temp=kw_temp)
 
     def predict(self, variables, x):
         """Inference decode: (boxes xywh pixels (B,A,4), scores (B,A,nc)).
