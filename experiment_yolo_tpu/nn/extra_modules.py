@@ -877,6 +877,7 @@ class RepNCSP(nn.Module):
     n: int = 1
     e: float = 0.5
     inner: str = "rep"
+    kernel: int = 7  # DRBNCSP branch kernel (block.py:4641)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -888,6 +889,14 @@ class RepNCSP(nn.Module):
                 from experiment_yolo_tpu.nn.zoo_blocks import DiverseBranchBlock
 
                 z = DiverseBranchBlock(c_, k=3, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
+            elif self.inner == "orepa":
+                from experiment_yolo_tpu.nn.zoo_blocks import OREPA
+
+                z = OREPA(c_, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
+            elif self.inner == "drb":
+                from experiment_yolo_tpu.nn.zoo_blocks import DilatedReparamBlock
+
+                z = DilatedReparamBlock(self.kernel, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
             else:
                 z = RepConv(c_, 3, 1, dtype=self.dtype, name=f"m{i}_cv1")(y1, train)
             z = ConvBN(c_, 3, 1, dtype=self.dtype, name=f"m{i}_cv2")(z, train)
@@ -908,6 +917,7 @@ class RepNCSPELAN4(nn.Module):
     n: int = 1
     inner: str = "rep"
     caa: bool = False
+    kernel: int = 7
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -915,10 +925,10 @@ class RepNCSPELAN4(nn.Module):
         half = self.c3 // 2
         y = ConvBN(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         ys = [y[..., :half], y[..., half:]]
-        z = RepNCSP(self.c4, n=self.n, inner=self.inner, dtype=self.dtype, name="cv2_csp")(ys[-1], train)
+        z = RepNCSP(self.c4, n=self.n, inner=self.inner, kernel=self.kernel, dtype=self.dtype, name="cv2_csp")(ys[-1], train)
         z = ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv2_conv")(z, train)
         ys.append(z)
-        z = RepNCSP(self.c4, n=self.n, inner=self.inner, dtype=self.dtype, name="cv3_csp")(ys[-1], train)
+        z = RepNCSP(self.c4, n=self.n, inner=self.inner, kernel=self.kernel, dtype=self.dtype, name="cv3_csp")(ys[-1], train)
         z = ConvBN(self.c4, 3, 1, dtype=self.dtype, name="cv3_conv")(z, train)
         ys.append(z)
         out = jnp.concatenate(ys, -1)

@@ -317,6 +317,18 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 cls = KW.C2fKW if mname == "C2f_KW" else KW.C3KW
                 mod = cls(c2, plans=plans, shortcut=shortcut, dtype=dtype)
                 n = 1
+        elif mname in ("OREPA", "OREPA_LargeConv", "RepVGGBlock_OREPA"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            if mname == "OREPA":
+                mod = Z.OREPA(c2, k=args[1] if len(args) > 1 else 3,
+                              s=args[2] if len(args) > 2 else 1, dtype=dtype)
+            elif mname == "OREPA_LargeConv":
+                mod = Z.OREPALargeConv(c2, k=args[1] if len(args) > 1 else 5,
+                                       s=args[2] if len(args) > 2 else 1, dtype=dtype)
+            else:
+                mod = Z.RepVGGBlockOREPA(c2, s=args[2] if len(args) > 2 else 1, dtype=dtype)
         elif mname == "SPPF_LSKA":
             from experiment_yolo_tpu.nn import zoo_blocks as Z
 
@@ -395,15 +407,17 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "ADown":
             c2 = _scale_ch(args[0], nc, width, max_channels)
             mod = X.ADown(c2, dtype=dtype)
-        elif mname in ("DBBNCSPELAN4", "RepNCSPELAN4_CAA"):
-            # v9 ELAN variants (extra block.py:4667/5047): same arg layout as
-            # RepNCSPELAN4 [c2, c3, c4, n]
+        elif mname in ("DBBNCSPELAN4", "RepNCSPELAN4_CAA", "OREPANCSPELAN4", "DRBNCSPELAN4"):
+            # v9 ELAN variants (extra block.py:4667/4673/4679/5047): same arg
+            # layout as RepNCSPELAN4 [c2, c3, c4, n] (+kernel for DRB)
             c2 = _scale_ch(args[0], nc, width, max_channels)
             c3 = _scale_ch(args[1], nc, width, max_channels)
             c4 = _scale_ch(args[2], nc, width, max_channels)
+            inner = {"DBBNCSPELAN4": "dbb", "OREPANCSPELAN4": "orepa",
+                     "DRBNCSPELAN4": "drb"}.get(mname, "rep")
             mod = X.RepNCSPELAN4(c2, c3, c4, n=args[3] if len(args) > 3 else 1,
-                                 inner="dbb" if mname.startswith("DBB") else "rep",
-                                 caa=mname.endswith("CAA"), dtype=dtype)
+                                 inner=inner, caa=mname.endswith("CAA"),
+                                 kernel=args[4] if len(args) > 4 else 7, dtype=dtype)
         elif mname == "CBLinear":
             # args [c2s_list, k?, s?] (reference tasks.py:927): output is the
             # LIST of branch tensors; Index selects one downstream

@@ -15,6 +15,7 @@ inference semantics are exact).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -1546,6 +1547,8 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "DLKA": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DLKA", k0=k0, shortcut=s, dtype=dt, name=nm),
     "DCNv2_Dynamic": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv2_Dynamic", k0=k0, shortcut=s, dtype=dt, name=nm),
     "DWR_DRB": lambda c, s, dt, nm, k0, ex=None: DWRDRB(c, dtype=dt, name=nm),
+    "OREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "REPVGGOREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, repvgg=True, dtype=dt, name=nm),
 }
 
 
@@ -1938,3 +1941,193 @@ class DCNv2DynamicConv(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(y)
         return jax.nn.silu(y)
+
+
+def _kaiming_uniform(gain2=2.0):
+    return nn.initializers.variance_scaling(gain2, "fan_in", "uniform")
+
+
+class _OREPAWeight(nn.Module):
+    """OREPA branch-parameterized kernel generator (orepa.py:21): six reparam
+    branches (origin kxk, avg, frequency prior, 1x1->kxk, padded 1x1,
+    expanded depthwise-separable) summed with per-branch per-out-channel
+    gates. Returns the effective OIHW kernel; generation is a handful of tiny
+    einsums that XLA folds into the conv's prologue."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    groups: int = 1
+    repvgg_style: bool = False  # OREPA_3x3_RepVGG (orepa.py:424): no 1x1 branch
+    single_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        import numpy as np
+
+        o, c1, k, g = self.c2, self.c1, self.k, self.groups
+        ig = c1 // g
+        ku = _kaiming_uniform()
+        w_origin = self.param("weight_orepa_origin", ku, (o, ig, k, k), jnp.float32)
+        w_avg = self.param("weight_orepa_avg_conv", ku, (o, ig, 1, 1), jnp.float32)
+        w_pfir = self.param("weight_orepa_pfir_conv", ku, (o, ig, 1, 1), jnp.float32)
+        if not self.repvgg_style:
+            w_1x1 = self.param("weight_orepa_1x1", ku, (o, ig, 1, 1), jnp.float32)
+        internal = c1 if (g <= 4 if not self.repvgg_style else g < o) else 2 * c1
+        w_id1 = self.param("weight_orepa_1x1_kxk_idconv1", nn.initializers.zeros,
+                           (internal, ig, 1, 1), jnp.float32)
+        w_kxk2 = self.param("weight_orepa_1x1_kxk_conv2", ku, (o, internal // g, k, k), jnp.float32)
+        er = 8
+        w_gdw = self.param("weight_orepa_gconv_dw", ku, (c1 * er, 1, k, k), jnp.float32)
+        w_gpw = self.param("weight_orepa_gconv_pw", ku, (o, c1 * er // g, 1, 1), jnp.float32)
+        nb = 5 if self.repvgg_style else 6
+        if self.repvgg_style and o == c1:
+            nb += 1  # unused identity gate row (orepa.py:494 — dead params)
+        rows = ([0.25, 0.25, 0.0, 0.5, 0.5] if self.repvgg_style else [0.25, 0.25, 0.0, 0.5, 1.0, 0.5])
+        rows = rows + [0.0] * (nb - len(rows))
+        if self.single_init:
+            rows = [1.0] + [0.0] * (nb - 1)
+        vec = self.param("vector", lambda _, sh: jnp.tile(jnp.asarray(rows, jnp.float32)[:, None], (1, sh[1])),
+                         (nb, o))
+        # constants
+        avg_avg = jnp.full((k, k), 1.0 / (k * k), jnp.float32)
+        prior = np.zeros((o, k, k), np.float32)  # fre_init (orepa.py:157)
+        half = o / 2
+        for i in range(o):
+            for h in range(min(3, k)):
+                for w_ in range(min(3, k)):
+                    if i < half:
+                        prior[i, h, w_] = math.cos(math.pi * (h + 0.5) * (i + 1) / 3)
+                    else:
+                        prior[i, h, w_] = math.cos(math.pi * (w_ + 0.5) * (i + 1 - half) / 3)
+        prior = jnp.asarray(prior)
+        idv = np.zeros((internal, ig), np.float32)
+        for i in range(internal):
+            idv[i, i % ig] = 1.0
+        idv = jnp.asarray(idv)
+
+        w = jnp.einsum("oihw,o->oihw", w_origin, vec[0])
+        w = w + jnp.einsum("oihw,o->oihw", jnp.einsum("oi,hw->oihw", w_avg[..., 0, 0], avg_avg), vec[1])
+        w = w + jnp.einsum("oihw,o->oihw", jnp.einsum("oi,ohw->oihw", w_pfir[..., 0, 0], prior), vec[2])
+        conv1 = w_id1[..., 0, 0] + idv  # (internal, ig)
+        if g > 1:
+            c1g = conv1.reshape(g, internal // g, ig)
+            c2g = w_kxk2.reshape(g, o // g, internal // g, k, k)
+            kxk = jnp.einsum("gti,gothw->goihw", c1g, c2g).reshape(o, ig, k, k)
+        else:
+            kxk = jnp.einsum("ti,othw->oihw", conv1, w_kxk2)
+        w = w + jnp.einsum("oihw,o->oihw", kxk, vec[3])
+        if not self.repvgg_style:
+            p = (k - 1) // 2
+            pad1x1 = jnp.pad(w_1x1, ((0, 0), (0, 0), (p, p), (p, p)))
+            w = w + jnp.einsum("oihw,o->oihw", pad1x1, vec[4])
+        # dwsc2full (orepa.py:234): expand_ratio-8 depthwise-separable branch
+        gc = g
+        ggc = c1 // gc
+        dw = w_gdw.reshape(gc, ggc, er, 1, k, k)
+        pw = w_gpw[..., 0, 0].reshape(o // gc, gc, ggc, er)
+        gconv = jnp.einsum("cgtihw,ocgt->cogihw", dw, pw).reshape(o, c1 // gc, k, k)
+        w = w + jnp.einsum("oihw,o->oihw", gconv, vec[4 if self.repvgg_style else 5])
+        return w
+
+
+class OREPA(nn.Module):
+    """OREPA conv (orepa.py:21): generated kernel + conv + BN + SiLU."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    groups: int = 1
+    act: bool = True
+    single_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        w = _OREPAWeight(c1, self.c2, self.k, self.groups, single_init=self.single_init,
+                         dtype=self.dtype, name="w")()
+        pad = self.k // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.transpose(2, 3, 1, 0).astype(self.dtype),
+            (self.s, self.s), [(pad, pad)] * 2, feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = _bn(y, train, self.dtype, "bn")
+        return jax.nn.silu(y) if self.act else y
+
+
+class OREPALargeConv(nn.Module):
+    """OREPA_LargeConv (orepa.py:308): (k-1)/2 chained 3x3 OREPA kernels
+    composed into one KxK kernel by convolving the weights themselves."""
+
+    c2: int
+    k: int = 5
+    s: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        layers = (self.k - 1) // 2
+        w = _OREPAWeight(c1, self.c2, 3, dtype=self.dtype, name="w0")()
+        w = w.transpose(1, 0, 2, 3)  # (i, o0, 3, 3) as an "image" batch
+        for i in range(layers - 1):
+            w2 = _OREPAWeight(self.c2, self.c2, 3, dtype=self.dtype, name=f"w{i + 1}")()
+            w = jax.lax.conv_general_dilated(w, w2, (1, 1), [(2, 2)] * 2,
+                                             dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        w = w.transpose(1, 0, 2, 3)  # (o, i, K, K)
+        pad = self.k // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.transpose(2, 3, 1, 0).astype(self.dtype),
+            (self.s, self.s), [(pad, pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = _bn(y, train, self.dtype, "bn")
+        return jax.nn.silu(y) if self.act else y
+
+
+class RepVGGBlockOREPA(nn.Module):
+    """RepVGGBlock_OREPA (orepa.py:573): OREPA-3x3-RepVGG dense branch +
+    plain 1x1 conv-BN + identity BN, summed, SiLU."""
+
+    c2: int
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        w = _OREPAWeight(c1, self.c2, 3, repvgg_style=True, dtype=self.dtype, name="rbr_dense_w")()
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.transpose(2, 3, 1, 0).astype(self.dtype),
+            (self.s, self.s), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = _bn(y, train, self.dtype, "rbr_dense_bn")
+        y1 = _bare_conv(x, self.c2, 1, self.dtype, "rbr_1x1", s=self.s)
+        out = out + _bn(y1, train, self.dtype, "rbr_1x1_bn")
+        if c1 == self.c2 and self.s == 1:
+            out = out + _bn(x, train, self.dtype, "rbr_identity")
+        return jax.nn.silu(out)
+
+
+class _OREPABottleneck(nn.Module):
+    """Bottleneck_OREPA (block.py:1624): cv1 = Conv(1x1) or OREPA(3);
+    cv2 = OREPA(3)."""
+
+    c2: int
+    k0: int = 3
+    shortcut: bool = True
+    repvgg: bool = False  # Bottleneck_REPVGGOREPA (block.py:1651)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cls = RepVGGBlockOREPA if self.repvgg else OREPA
+        if self.k0 == 1:
+            y = _conv(x, self.c2, 1, train, self.dtype, "cv1")
+        else:
+            y = cls(self.c2, dtype=self.dtype, name="cv1")(x, train)
+        y = cls(self.c2, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
