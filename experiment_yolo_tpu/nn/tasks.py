@@ -289,6 +289,62 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
 
             c2 = c1 * 2
             mod = Z.ContextGuidedDown(c2, dtype=dtype)
+        elif mname in ("LAWDS", "FocalModulation", "CAFM"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = c1
+            if mname == "LAWDS":
+                mod = Z.LAWDS(c1, group=args[0] if args else 16, dtype=dtype)
+            elif mname == "FocalModulation":
+                mod = Z.FocalModulation(dtype=dtype)
+            else:
+                mod = Z.CAFM(dtype=dtype)
+        elif mname in ("RCSOSA", "CSP_EDLAN", "RGCSPELAN", "SRFD", "DRFD", "CFC_CRB", "PPA"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            if mname == "CFC_CRB":
+                c2 = c1 // 2
+                mod = Z.CFC_CRB(dtype=dtype)
+            else:
+                c2 = _scale_ch(args[0], nc, width, max_channels) if args else c1
+                if mname == "RCSOSA":
+                    mod = Z.RCSOSA(c2, n=n, se=bool(args[1]) if len(args) > 1 else False, dtype=dtype)
+                    n = 1
+                elif mname == "CSP_EDLAN":
+                    mod = Z.CSPEDLAN(c2, n=n, dtype=dtype)
+                    n = 1
+                elif mname == "RGCSPELAN":
+                    mod = Z.RGCSPELAN(c2, n=n, scale=args[1] if len(args) > 1 else 0.5, dtype=dtype)
+                    n = 1
+                elif mname == "SRFD":
+                    mod = Z.SRFD(c2, dtype=dtype)
+                elif mname == "DRFD":
+                    mod = Z.DRFD(c2, dtype=dtype)
+                else:
+                    mod = Z.PPA(c2, dtype=dtype)
+        elif mname in ("FocusFeature", "CSMHSA", "SFC_G2", "CGAFusion", "CAFMFusion", "DASI"):
+            # multi-input fusion modules (reference tasks.py:1016-1037)
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            inc = tuple(src_ch(j) for j in f_list)
+            if mname == "FocusFeature":
+                c2 = int(inc[1] * 0.5 * 3)
+                mod = Z.FocusFeature(inc, dtype=dtype)
+            elif mname == "CSMHSA":
+                c2 = inc[-1]
+                mod = Z.CSMHSA(dtype=dtype)
+            elif mname == "SFC_G2":
+                c2 = inc[0]
+                mod = Z.SFC_G2(inc, dtype=dtype)
+            elif mname in ("CGAFusion", "CAFMFusion"):
+                c2 = inc[1]
+                if mname == "CGAFusion":
+                    mod = Z.CGAFusion(dtype=dtype)
+                else:
+                    mod = Z.CAFMFusion(heads=args[0] if args else 8, dtype=dtype)
+            else:
+                c2 = _scale_ch(args[0], nc, width, max_channels)
+                mod = Z.DASI(c2, inc=inc, dtype=dtype)
         elif mname in ("KWConv", "C2f_KW", "C3_KW"):
             # Kernel Warehouse (kernel_warehouse.py; YAML keys
             # Warehouse_Manager / Warehouse_Manager_Ratio, reference

@@ -1548,6 +1548,8 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "DCNv2_Dynamic": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv2_Dynamic", k0=k0, shortcut=s, dtype=dt, name=nm),
     "DWR_DRB": lambda c, s, dt, nm, k0, ex=None: DWRDRB(c, dtype=dt, name=nm),
     "OREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "PPA": lambda c, s, dt, nm, k0, ex=None: PPA(c, dtype=dt, name=nm),
+    "Faster_CGLU": lambda c, s, dt, nm, k0, ex=None: FasterBlockCGLU(c, dtype=dt, name=nm),
     "REPVGGOREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, repvgg=True, dtype=dt, name=nm),
 }
 
@@ -2131,3 +2133,613 @@ class _OREPABottleneck(nn.Module):
         if self.shortcut and x.shape[-1] == self.c2:
             return x + y
         return y
+
+
+class LAWDS(nn.Module):
+    """Light adaptive-weight downsampling (block.py:1208): a 4-way grouped
+    stride-2 conv whose four candidate outputs are blended per-pixel by a
+    softmax over an avg-pool+1x1 attention map."""
+
+    c2: int
+    group: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        att = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1)] * 2)
+        att = _conv(att, C, 1, train, self.dtype, "attention")
+        h, w = H // 2, W // 2
+        # rearrange 'bs ch (s1 h) (s2 w) -> bs ch h w (s1 s2)' (s1/s2 OUTER)
+        att = att.reshape(B, 2, h, 2, w, C).transpose(0, 2, 4, 5, 1, 3).reshape(B, h, w, C, 4)
+        att = jax.nn.softmax(att, axis=-1)
+        y = _conv(x, C * 4, 3, train, self.dtype, "ds_conv", s=2, g=C // self.group)
+        # '(s ch) h w -> ch h w s' (s OUTER in channel dim)
+        y = y.reshape(B, h, w, 4, C).transpose(0, 1, 2, 4, 3)
+        return (y * att).sum(-1)
+
+
+class _SR(nn.Module):
+    """Shuffle-RepVGG cell (block.py:1321): RepConv on the second half +
+    2-group channel shuffle."""
+
+    c: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import RepConv
+
+        half = x.shape[-1] // 2
+        x2 = RepConv(self.c // 2, 3, 1, use_bn_branch=True, dtype=self.dtype, name="repconv")(
+            x[..., half:], train)
+        y = jnp.concatenate([x[..., :half], x2], -1)
+        c = y.shape[-1]
+        return y.reshape(*y.shape[:-1], 2, c // 2).transpose(0, 1, 2, 4, 3).reshape(*y.shape[:-1], c)
+
+
+class RCSOSA(nn.Module):
+    """RCS-OSA (block.py:1343, RCS-YOLO): RepConv stem, two chains of
+    shuffle-RepVGG cells, one-shot aggregation of the three stages."""
+
+    c2: int
+    n: int = 1
+    se: bool = False
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import RepConv, SEAttention
+        from experiment_yolo_tpu.nn.tasks import make_divisible
+
+        c1 = x.shape[-1]
+        c_ = make_divisible(int(c1 * self.e), 8)
+        n_ = self.n // 2
+        x1 = RepConv(c_, 3, 1, use_bn_branch=True, dtype=self.dtype, name="conv1")(x, train)
+        x2 = x1
+        for i in range(n_):
+            x2 = _SR(c_, dtype=self.dtype, name=f"sr1_{i}")(x2, train)
+        x3 = x2
+        for i in range(n_):
+            x3 = _SR(c_, dtype=self.dtype, name=f"sr2_{i}")(x3, train)
+        y = jnp.concatenate([x1, x2, x3], -1)
+        y = RepConv(self.c2, 3, 1, use_bn_branch=True, dtype=self.dtype, name="conv3")(y, train)
+        if self.se:
+            y = SEAttention(dtype=self.dtype, name="se")(y, train)
+        return y
+
+
+class FocalModulation(nn.Module):
+    """Focal modulation (block.py:1553, FocalNets): query + hierarchically
+    gated depthwise context aggregation + global gate, multiplicative
+    modulation, 1x1 projection."""
+
+    focal_window: int = 3
+    focal_level: int = 2
+    focal_factor: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        y = _bare_conv(x, 2 * C + self.focal_level + 1, 1, self.dtype, "f_linear", bias=True)
+        q, ctx, gates = y[..., :C], y[..., C:2 * C], y[..., 2 * C:]
+        ctx_all = 0.0
+        for l in range(self.focal_level):
+            k = self.focal_factor * l + self.focal_window
+            ctx = jax.nn.gelu(_bare_conv(ctx, C, k, self.dtype, f"focal{l}", g=C), approximate=False)
+            ctx_all = ctx_all + ctx * gates[..., l:l + 1]
+        ctx_global = jax.nn.gelu(ctx.mean(axis=(1, 2), keepdims=True), approximate=False)
+        ctx_all = ctx_all + ctx_global * gates[..., self.focal_level:]
+        out = q * _bare_conv(ctx_all, C, 1, self.dtype, "h", bias=True)
+        return _bare_conv(out, C, 1, self.dtype, "proj", bias=True)
+
+
+class _DualConv(nn.Module):
+    """DualConv (block.py:3552): grouped 3x3 + pointwise, summed."""
+
+    c2: int
+    g: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return (_bare_conv(x, self.c2, 3, self.dtype, "gc", g=self.g)
+                + _bare_conv(x, self.c2, 1, self.dtype, "pwc"))
+
+
+class CSPEDLAN(nn.Module):
+    """CSP_EDLAN (block.py:3583): C2f-style container over stacks of two
+    DualConvs."""
+
+    c2: int
+    n: int = 1
+    g: int = 4
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            z = _DualConv(c, self.g, dtype=self.dtype, name=f"m{i}_0")(ys[-1], train)
+            z = _DualConv(c, self.g, dtype=self.dtype, name=f"m{i}_1")(z, train)
+            ys.append(z)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class FocusFeature(nn.Module):
+    """FocusFeature (block.py:5072): align three pyramid levels (upsample /
+    identity / ADown), concat, add a bank of large-kernel dw convs, 1x1 mix,
+    residual."""
+
+    inc: Tuple[int, int, int]
+    kernel_sizes: Tuple[int, ...] = (5, 7, 9, 11)
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import ADown
+
+        x1, x2, x3 = xs
+        hidc = int(self.inc[1] * self.e)
+        b, h, w, _ = x1.shape
+        x1 = jax.image.resize(x1, (b, h * 2, w * 2, x1.shape[-1]), "nearest")
+        x1 = _conv(x1, hidc, 1, train, self.dtype, "conv1")
+        if self.e != 1:
+            x2 = _conv(x2, hidc, 1, train, self.dtype, "conv2")
+        x3 = ADown(hidc, dtype=self.dtype, name="conv3")(x3, train)
+        x = jnp.concatenate([x1, x2, x3], -1)
+        feat = x
+        for i, k in enumerate(self.kernel_sizes):
+            feat = feat + _bare_conv(x, hidc * 3, k, self.dtype, f"dw{i}", g=hidc * 3, bias=True)
+        feat = _conv(feat, hidc * 3, 1, train, self.dtype, "pw_conv")
+        return x + feat
+
+
+class CSMHSA(nn.Module):
+    """Cross-scale multi-head self-attention (block.py:5143): queries from
+    the upsampled higher-level map attend over the lower-level map."""
+
+    heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x_high, x_low = xs
+        B, H, W, C = x_low.shape
+        hb, hh, hw_, _ = x_high.shape
+        q = jax.image.resize(x_high, (hb, hh * 2, hw_ * 2, x_high.shape[-1]), "nearest")
+        q = _bare_conv(q, C, 1, self.dtype, "query", bias=True)
+        k = _bare_conv(x_low, C, 1, self.dtype, "key", bias=True)
+        v = _bare_conv(x_low, C, 1, self.dtype, "value", bias=True)
+        hd = C // self.heads
+        qf = q.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
+        kf = k.reshape(B, H * W, self.heads, hd).transpose(0, 2, 1, 3)
+        vf = v.reshape(B, H * W, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(qf @ kf.transpose(0, 1, 3, 2), axis=-1)
+        out = (attn @ vf).transpose(0, 2, 1, 3).reshape(B, q.shape[1], q.shape[2], C)
+        return out
+
+
+class _Cut(nn.Module):
+    """Cut (block.py:5172): 2x2 pixel-unshuffle + 1x1 fusion + BN."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        parts = [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]]
+        y = jnp.concatenate(parts, -1)
+        y = _bare_conv(y, self.c2, 1, self.dtype, "conv_fusion", bias=True)
+        return _bn(y, train, self.dtype, "batch_norm")
+
+
+class SRFD(nn.Module):
+    """Shallow robust feature downsampling (block.py:5188): stem that takes
+    RGB to C at stride 4 by fusing conv, cut (pixel-unshuffle) and max-pool
+    paths at each of two downsampling steps."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c14, c12 = self.c2 // 4, self.c2 // 2
+        x = _bare_conv(x, c14, 7, self.dtype, "conv_init", bias=True)
+        c = _Cut(c12, dtype=self.dtype, name="cut_c")(x, train)
+        y = _bare_conv(x, c12, 3, self.dtype, "conv_1", g=c14, bias=True)
+        y = _bare_conv(y, c12, 3, self.dtype, "conv_x1", s=2, g=c12, bias=True)
+        y = _bn(y, train, self.dtype, "batch_norm_x1")
+        y = _bare_conv(jnp.concatenate([y, c], -1), c12, 1, self.dtype, "fusion1", bias=True)
+        r = _Cut(self.c2, dtype=self.dtype, name="cut_r")(y, train)
+        y = _bare_conv(y, self.c2, 3, self.dtype, "conv_2", g=c12, bias=True)
+        m = nn.max_pool(y, (2, 2), strides=(2, 2))
+        m = _bn(m, train, self.dtype, "batch_norm_m")
+        y = _bare_conv(y, self.c2, 3, self.dtype, "conv_x2", s=2, g=self.c2, bias=True)
+        y = _bn(y, train, self.dtype, "batch_norm_x2")
+        y = jnp.concatenate([y, r, m], -1)
+        return _bare_conv(y, self.c2, 1, self.dtype, "fusion2", bias=True)
+
+
+class DRFD(nn.Module):
+    """Deep robust feature downsampling (block.py:5247): cut + conv + max
+    paths fused into one stride-2 step."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c = _Cut(self.c2, dtype=self.dtype, name="cut_c")(x, train)
+        y = _bare_conv(x, self.c2, 3, self.dtype, "conv", g=c1, bias=True)
+        m = nn.max_pool(y, (2, 2), strides=(2, 2))
+        m = _bn(m, train, self.dtype, "batch_norm_m")
+        y = _bare_conv(y, self.c2, 3, self.dtype, "conv_x", s=2, g=self.c2, bias=True)
+        y = _bn(jax.nn.gelu(y, approximate=False), train, self.dtype, "batch_norm_x")
+        y = jnp.concatenate([c, y, m], -1)
+        return _bare_conv(y, self.c2, 1, self.dtype, "fusion", bias=True)
+
+
+class CFC_CRB(nn.Module):
+    """Context feature calibration (block.py:5337): pyramid-pooled key/value
+    attention over a channel-reduced map + tanh-gated local attention,
+    residual."""
+
+    grids: Tuple[int, ...] = (6, 3, 2, 1)
+    dtype: Dtype = jnp.float32
+
+    def _psp(self, x):
+        from experiment_yolo_tpu.nn.extra_modules import _adaptive_avg_pool
+
+        b, h, w, c = x.shape
+        outs = []
+        for g in self.grids:
+            p = _adaptive_avg_pool(x, g, g)
+            outs.append(p.reshape(b, g * g, c))
+        return jnp.concatenate(outs, 1)  # (b, S, c)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = x.shape[-1] // 2
+        x = _conv(x, inter, 3, train, self.dtype, "reduce_channel")
+        b, h, w, c = x.shape
+        q = _bare_conv(x, 32, 1, self.dtype, "query_conv", bias=True).reshape(b, h * w, 32)
+        kpsp = self._psp(x)
+        k = nn.Dense(32, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="key_conv")(kpsp)
+        v = nn.Dense(inter, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="value_conv")(self._psp(x))
+        sim = jax.nn.softmax(q @ k.transpose(0, 2, 1), axis=-1)  # (b, N, S)
+        ctx = (sim @ v).reshape(b, h, w, inter)
+        # LocalAttenModule (block.py:5315): conv1x1 -> 3x3(zero-init) -> tanh gate
+        la = _conv(ctx, inter // 8, 1, train, self.dtype, "la_conv1")
+        la = nn.Conv(inter, (3, 3), padding=[(1, 1)] * 2, use_bias=False, kernel_init=nn.initializers.zeros,
+                     dtype=self.dtype, param_dtype=jnp.float32, name="la_conv2")(la)
+        ctx = ctx * jnp.tanh(la) + ctx
+        return x + ctx
+
+
+class SFC_G2(nn.Module):
+    """Spatial feature calibration (block.py:5393): aligned bilinear upsample
+    of the semantic map, learned per-group flow offsets for both maps
+    (grid_sample), tanh attention blend."""
+
+    inc: Tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import _bilinear_zeros
+        from experiment_yolo_tpu.nn.heads_extra import _resize_align_corners
+
+        cp, sp = xs
+        n, H, W, _ = cp.shape
+        hidc = self.inc[0]
+        groups = 2
+        sp = _conv(sp, hidc, 3, train, self.dtype, "conv_32")
+        sp = _resize_align_corners(sp, H, W)
+        cp = _conv(cp, hidc, 3, train, self.dtype, "conv_8")
+        off = _conv(jnp.concatenate([cp, sp], -1), 64, 1, train, self.dtype, "offset_conv")
+        off = nn.Conv(groups * 4 + 2, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                      kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="offset_out")(off)
+        cg = hidc // groups
+        spg = sp.reshape(n, H, W, groups, cg).transpose(0, 3, 1, 2, 4).reshape(n * groups, H, W, cg)
+        cpg = cp.reshape(n, H, W, groups, cg).transpose(0, 3, 1, 2, 4).reshape(n * groups, H, W, cg)
+        # offsets: per-group (dx, dy) flows, normalized by (W, H)
+        ol = off[..., :groups * 2].reshape(n, H, W, groups, 2).transpose(0, 3, 1, 2, 4).reshape(n * groups, H, W, 2)
+        oh = off[..., groups * 2:groups * 4].reshape(n, H, W, groups, 2).transpose(0, 3, 1, 2, 4).reshape(n * groups, H, W, 2)
+        gy, gx = jnp.meshgrid(jnp.linspace(-1.0, 1.0, H), jnp.linspace(-1.0, 1.0, W), indexing="ij")
+
+        def sample(img, o):
+            px = (gx[None] + o[..., 0] / W + 1.0) * 0.5 * (W - 1.0)
+            py = (gy[None] + o[..., 1] / H + 1.0) * 0.5 * (H - 1.0)
+            return _bilinear_zeros(img, py.reshape(n * groups, -1), px.reshape(n * groups, -1)).reshape(n * groups, H, W, cg)
+
+        cp2 = sample(cpg, ol).reshape(n, groups, H, W, cg).transpose(0, 2, 3, 1, 4).reshape(n, H, W, hidc)
+        sp2 = sample(spg, oh).reshape(n, groups, H, W, cg).transpose(0, 2, 3, 1, 4).reshape(n, H, W, hidc)
+        att = 1.0 + jnp.tanh(off[..., groups * 4:])
+        return sp2 * att[..., 0:1] + cp2 * att[..., 1:2]
+
+
+class _PixelAttentionCGA(nn.Module):
+    """PixelAttention_CGA (block.py:5494): interleave x with the combined
+    attention map channel-wise, 7x7 dw conv (reflect pad), sigmoid."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pattn1):
+        B, H, W, C = x.shape
+        x2 = jnp.stack([x, pattn1], -1).reshape(B, H, W, 2 * C)
+        x2 = jnp.pad(x2, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        y = nn.Conv(C, (7, 7), padding="VALID", feature_group_count=C, use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="pa2")(x2)
+        return y
+
+
+class CGAFusion(nn.Module):
+    """CGAFusion (block.py:5504, DEA-Net): channel + spatial attention fused
+    into a pixel gate blending the two inputs."""
+
+    reduction: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x, y = xs
+        C = x.shape[-1]
+        initial = x + y
+        # channel attention
+        gap = initial.mean(axis=(1, 2), keepdims=True)
+        ca = _bare_conv(gap, C // self.reduction, 1, self.dtype, "ca_fc1", bias=True)
+        ca = _bare_conv(jax.nn.relu(ca), C, 1, self.dtype, "ca_fc2", bias=True)
+        # spatial attention (7x7 reflect conv on avg/max)
+        s = jnp.concatenate([initial.mean(-1, keepdims=True), initial.max(-1, keepdims=True)], -1)
+        s = jnp.pad(s, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        sa = nn.Conv(1, (7, 7), padding="VALID", use_bias=True, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="sa")(s)
+        pattn1 = sa + ca
+        pattn2 = jax.nn.sigmoid(_PixelAttentionCGA(dtype=self.dtype, name="pa")(initial, pattn1))
+        out = initial + pattn2 * x + (1.0 - pattn2) * y
+        return _bare_conv(out, C, 1, self.dtype, "conv", bias=True)
+
+
+class CAFM(nn.Module):
+    """Convolution-and-attention fusion module (block.py:5525): a channel
+    transposed-attention branch plus a dynamic local conv branch whose 3x3
+    kernels come from the qkv features. The reference uses Conv3d with a
+    singleton depth — only the middle depth slice touches data; full-depth
+    weights are kept for state-dict parity and the middle slice computes."""
+
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        temp = self.param("temperature", nn.initializers.ones, (nh, 1, 1), jnp.float32)
+        qkv = _bare_conv(x, 3 * C, 1, self.dtype, "qkv")
+        w3 = self.param("qkv_dwconv", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                        (3, 3, 3, 1, 3 * C), jnp.float32)  # (d, kh, kw, 1, 3C) dw conv3d
+        qkv = jax.lax.conv_general_dilated(
+            qkv.astype(self.dtype), w3[1].astype(self.dtype), (1, 1), [(1, 1)] * 2,
+            feature_group_count=3 * C, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # f_all: the reference reshapes NCHW (B,3C,H,W) -> (B, HW, 3nh, C/nh)
+        qkv_nchw = qkv.transpose(0, 3, 1, 2)
+        f_all = qkv_nchw.reshape(B, H * W, 3 * nh, C // nh)
+        f_all = f_all.transpose(0, 2, 1, 3)  # (B, 3nh, HW, C/nh)
+        fw = self.param("fc", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                        (9, 3 * nh), jnp.float32)
+        fb = self.param("fc_bias", nn.initializers.zeros, (9,), jnp.float32)
+        f_all = jnp.einsum("bchd,oc->bohd", f_all, fw.astype(f_all.dtype)) + fb.astype(f_all.dtype)[None, :, None, None]
+        # local conv branch: (B, 9, HW, C/nh) -> permute(0,3,1,2) -> (B, 9C/nh, H, W)
+        f_conv = f_all.transpose(0, 3, 1, 2).reshape(B, 9 * C // nh, H, W)
+        dcw = self.param("dep_conv", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                         (3, 3, 3, 9, C), jnp.float32)  # (d, kh, kw, in/g=9, C)
+        dcb = self.param("dep_conv_bias", nn.initializers.zeros, (C,), jnp.float32)
+        out_conv = jax.lax.conv_general_dilated(
+            f_conv.transpose(0, 2, 3, 1).astype(self.dtype), dcw[1].astype(self.dtype), (1, 1),
+            [(1, 1)] * 2, feature_group_count=C // nh,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + dcb.astype(self.dtype)
+        # global channel attention (NCHW channel-major head split)
+        q, k, v = qkv_nchw[:, :C], qkv_nchw[:, C:2 * C], qkv_nchw[:, 2 * C:]
+        qf = q.reshape(B, nh, C // nh, H * W)
+        kf = k.reshape(B, nh, C // nh, H * W)
+        vf = v.reshape(B, nh, C // nh, H * W)
+        qf = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True) + 1e-12)
+        kf = kf / (jnp.linalg.norm(kf, axis=-1, keepdims=True) + 1e-12)
+        attn = jax.nn.softmax(qf @ kf.transpose(0, 1, 3, 2) * temp.astype(qf.dtype), axis=-1)
+        out = (attn @ vf).reshape(B, C, H, W).transpose(0, 2, 3, 1)
+        out = _bare_conv(out, C, 1, self.dtype, "project_out")
+        return out + out_conv
+
+
+class CAFMFusion(nn.Module):
+    """CAFMFusion (block.py:5579): CAFM on the sum drives a pixel gate."""
+
+    heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x, y = xs
+        C = x.shape[-1]
+        initial = x + y
+        pattn1 = CAFM(self.heads, dtype=self.dtype, name="cfam")(initial, train)
+        pattn2 = jax.nn.sigmoid(_PixelAttentionCGA(dtype=self.dtype, name="pa")(initial, pattn1))
+        out = initial + pattn2 * x + (1.0 - pattn2) * y
+        return _bare_conv(out, C, 1, self.dtype, "conv", bias=True)
+
+
+class RGCSPELAN(nn.Module):
+    """Rep-Ghost CSP-ELAN (block.py:5600): C2f layout with a RepConv entry,
+    cheap 3x3 chain and a 1x1 tail branch."""
+
+    c2: int
+    n: int = 1
+    scale: float = 0.5
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.extra_modules import RepConv
+
+        c = int(self.c2 * self.e)
+        mid = int(c * self.scale)
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        ys[-1] = RepConv(mid, 3, 1, dtype=self.dtype, name="cv3")(ys[-1], train)
+        for i in range(self.n - 1):
+            ys.append(_conv(ys[-1], mid, 3, train, self.dtype, f"m{i}"))
+        ys.append(_conv(ys[-1], mid, 1, train, self.dtype, "cv4"))
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class ConvolutionalGLU(nn.Module):
+    """TransNeXt convolutional GLU (block.py:5634): 1x1 to 2*hidden, dw-3x3
+    GELU gate, 1x1 back, residual."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        hidden = int(2 * C / 3)
+        y = _bare_conv(x, hidden * 2, 1, self.dtype, "fc1", bias=True)
+        a, v = y[..., :hidden], y[..., hidden:]
+        a = jax.nn.gelu(_bare_conv(a, hidden, 3, self.dtype, "dwconv", g=hidden, bias=True), approximate=False)
+        return x + _bare_conv(a * v, C, 1, self.dtype, "fc2", bias=True)
+
+
+class FasterBlockCGLU(nn.Module):
+    """Faster_Block_CGLU (block.py:5665): partial-conv mixing + CGLU MLP."""
+
+    c2: int
+    n_div: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dc = self.c2 // self.n_div
+        x1 = _bare_conv(x[..., :dc], dc, 3, self.dtype, "pconv")
+        mixed = jnp.concatenate([x1, x[..., dc:]], -1)
+        # CGLU carries its own residual: out = x + (mixed + glu_inner(mixed))
+        return x + ConvolutionalGLU(dtype=self.dtype, name="mlp")(mixed, train)
+
+
+class _LocalGlobalAttention(nn.Module):
+    """LocalGlobalAttention (hcfnet.py:22): patch-mean MLP attention with a
+    learned prompt mask and top-down transform, upsampled back."""
+
+    c2: int
+    patch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H0, W0, C = x.shape
+        P = self.patch
+        # tiny-map guard (stride-calibration dry runs): pad up to one patch
+        if H0 < P or W0 < P:
+            x = jnp.pad(x, ((0, 0), (0, max(0, P - H0)), (0, max(0, P - W0)), (0, 0)))
+        B, H, W, _ = x.shape
+        hp, wp = H // P, W // P
+        patches = x[:, :hp * P, :wp * P].reshape(B, hp, P, wp, P, C).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(B, hp * wp, P * P, C).mean(-1)  # (B, N, P*P)
+        y = nn.Dense(self.c2 // 2, dtype=self.dtype, param_dtype=jnp.float32, name="mlp1")(patches)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(y)
+        y = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32, name="mlp2")(y)
+        att = jax.nn.softmax(y, axis=-1)
+        local = y * att
+        prompt = self.param("prompt", nn.initializers.normal(1.0), (self.c2,), jnp.float32)
+        tdt = self.param("top_down_transform", lambda *_: jnp.eye(self.c2), (self.c2, self.c2))
+        cos = (local / (jnp.linalg.norm(local, axis=-1, keepdims=True) + 1e-12)) @ (
+            prompt / (jnp.linalg.norm(prompt) + 1e-12))[:, None].astype(local.dtype)
+        local = local * jnp.clip(cos, 0, 1)
+        local = local @ tdt.astype(local.dtype)
+        local = local.reshape(B, hp, wp, self.c2)
+        local = jax.image.resize(local, (B, H, W, self.c2), "bilinear")[:, :H0, :W0]
+        return _bare_conv(local, self.c2, 1, self.dtype, "conv", bias=True)
+
+
+class PPA(nn.Module):
+    """Parallelized patch-aware attention (hcfnet.py:84): skip 1x1 + three
+    stacked 3x3s + patch attentions at 2 and 4, ECA + spatial gates, BN+SiLU."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skip = _conv(x, self.c2, 1, train, self.dtype, "skip", act=False)
+        lga2 = _LocalGlobalAttention(self.c2, 2, dtype=self.dtype, name="lga2")(skip, train)
+        lga4 = _LocalGlobalAttention(self.c2, 4, dtype=self.dtype, name="lga4")(skip, train)
+        x1 = _conv(x, self.c2, 3, train, self.dtype, "c1")
+        x2 = _conv(x1, self.c2, 3, train, self.dtype, "c2")
+        x3 = _conv(x2, self.c2, 3, train, self.dtype, "c3")
+        y = x1 + x2 + x3 + skip + lga2 + lga4
+        # ECA (hcfnet.py:64)
+        c = y.shape[-1]
+        t = int(abs((math.log2(c) + 1) / 2))
+        kk = t if t % 2 else t + 1
+        s = y.mean(axis=(1, 2))[:, :, None, None]  # (b, c, 1, 1) — channel as H
+        w = self.param("eca_conv", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                       (kk, 1, 1, 1), jnp.float32)
+        s = jax.lax.conv_general_dilated(s.astype(self.dtype), w.astype(self.dtype), (1, 1),
+                                         [(kk // 2, kk // 2), (0, 0)],
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y * jax.nn.sigmoid(s[:, :, 0, 0])[:, None, None, :]
+        # spatial attention (hcfnet.py:9)
+        sp = jnp.concatenate([y.mean(-1, keepdims=True), y.max(-1, keepdims=True)], -1)
+        sp = jax.nn.sigmoid(_bare_conv(sp, 1, 7, self.dtype, "sa", bias=True))
+        y = y * sp
+        y = _bn(y, train, self.dtype, "bn1")
+        return jax.nn.silu(y)
+
+
+class DASI(nn.Module):
+    """DASI (hcfnet.py:123): three-level bag fusion — sigmoid(mid) gates
+    low vs high per quarter-channel chunk, 1x1 tail + BN + SiLU."""
+
+    c2: int
+    inc: Tuple[int, int, int] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.nn.heads_extra import _resize_align_corners
+
+        x_low, x, x_high = xs
+        B, H, W, _ = x.shape
+        x_high = nn.Conv(self.c2, (3, 3), strides=(2, 2), kernel_dilation=(2, 2),
+                         padding=[(2, 2)] * 2, use_bias=True, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="skips_3")(x_high)
+        x_low = _bare_conv(x_low, self.c2, 1, self.dtype, "skips_2", bias=True)
+        x_low = _resize_align_corners(x_low, H, W)
+        x = _bare_conv(x, self.c2, 1, self.dtype, "skips", bias=True)
+        # dead 1x1 conv (hcfnet.py:127): only used in the reference's
+        # None-input branches, kept for state-dict parity
+        self.param("conv_kernel", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                   (1, 1, self.c2 // 2, self.c2 // 4), jnp.float32)
+        self.param("conv_bias", nn.initializers.zeros, (self.c2 // 4,), jnp.float32)
+        skip = x
+        q = self.c2 // 4
+        outs = []
+        for i in range(4):
+            lo = x_low[..., i * q:(i + 1) * q]
+            hi = x_high[..., i * q:(i + 1) * q]
+            mid = x[..., i * q:(i + 1) * q]
+            gate = jax.nn.sigmoid(mid)
+            outs.append(gate * lo + (1.0 - gate) * hi)
+        y = jnp.concatenate(outs, -1)
+        y = _bare_conv(y, self.c2, 1, self.dtype, "tail_conv", bias=True) + skip
+        y = _bn(y, train, self.dtype, "bns")
+        return jax.nn.silu(y)
