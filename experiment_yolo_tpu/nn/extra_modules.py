@@ -751,16 +751,27 @@ class HGBlock(nn.Module):
     n: int = 6
     lightconv: bool = False
     shortcut: bool = False
+    variant: str = "light"  # light | ghost | rep | dynamic (extra block.py:2846-2933)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ys = [x]
         for i in range(self.n):
-            if self.lightconv:
-                ys.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
-            else:
+            if not self.lightconv:
                 ys.append(ConvBN(self.cm, self.k, act="relu", dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+            elif self.variant == "ghost":
+                ys.append(GhostConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+            elif self.variant == "rep":
+                # RepLightConv (extra block.py:2869): 1x1 no-act + dw RepConv
+                z = ConvBN(self.cm, 1, act=False, dtype=self.dtype, name=f"m{i}_pw")(ys[-1], train)
+                ys.append(RepConv(self.cm, self.k, 1, g=self.cm, dtype=self.dtype, name=f"m{i}_rep")(z, train))
+            elif self.variant == "dynamic":
+                from experiment_yolo_tpu.nn.zoo_blocks import DynamicConv
+
+                ys.append(DynamicConv(self.cm, k=self.k, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+            else:
+                ys.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
         y = ConvBN(self.c2 // 2, 1, 1, act="relu", dtype=self.dtype, name="sc")(jnp.concatenate(ys, -1), train)
         y = ConvBN(self.c2, 1, 1, act="relu", dtype=self.dtype, name="ec")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:

@@ -790,6 +790,7 @@ class DetectDyHead(nn.Module):
     block_num: int = 2
     ch: Tuple[int, ...] = ()
     reg_max: int = 16
+    block: str = "dcnv2"  # dcnv2 | dcnv3 | dcnv4 | prune (extra head.py:76-81/380)
     dtype: Dtype = jnp.float32
 
     @property
@@ -799,8 +800,11 @@ class DetectDyHead(nn.Module):
     @nn.compact
     def __call__(self, xs, train: bool = False):
         xs = [ConvBN(self.hidc, 1, dtype=self.dtype, name=f"conv_{i}")(x, train) for i, x in enumerate(xs)]
-        for b in range(self.block_num):
-            xs = DyHeadBlock(self.hidc, dtype=self.dtype, name=f"dyhead_{b}")(xs, train)
+        blk_cls = {"dcnv2": DyHeadBlock, "dcnv3": DyHeadBlockDCNv3,
+                   "dcnv4": DyHeadBlockDCNv4, "prune": DyHeadBlock}[self.block]
+        nblocks = 1 if self.block == "prune" else self.block_num
+        for b in range(nblocks):
+            xs = blk_cls(self.hidc, dtype=self.dtype, name=f"dyhead_{b}")(xs, train)
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
         c3 = max(self.ch[0], self.nc)
         outs = []
@@ -902,3 +906,134 @@ def decode_obb_angle(angle_maps):
     b = angle_maps[0].shape[0]
     flat = jnp.concatenate([a.reshape(b, -1, a.shape[-1]) for a in angle_maps], axis=1)
     return (jax.nn.sigmoid(flat) - 0.25) * jnp.pi
+
+
+class DyHeadBlockDCNv3(nn.Module):
+    """DyHeadBlockWithDCNV3 (extra block.py:283): DyHead whose spatial convs
+    are DCNv3 group-4 deformable samplers fed by per-neighbor dw-conv offset
+    features; the level's own mask uses sigmoid, the neighbours' use the
+    per-group softmax (reference get_offset_mask quirk)."""
+
+    c: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from experiment_yolo_tpu.nn.modules import ConvBN
+        from experiment_yolo_tpu.ops.dcnv3 import dcnv3_core
+
+        g, p = 4, 9
+        dw_high = ConvBN(self.c, 3, g=self.c, dtype=self.dtype, name="dw_conv_high")
+        dw_mid = ConvBN(self.c, 3, g=self.c, dtype=self.dtype, name="dw_conv_mid")
+        dw_low = ConvBN(self.c, 3, g=self.c, dtype=self.dtype, name="dw_conv_low")
+        off_conv = nn.Conv(3 * g * p, (3, 3), padding=[(1, 1)] * 2, feature_group_count=g,
+                           kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                           dtype=self.dtype, param_dtype=jnp.float32, name="spatial_conv_offset")
+        scale_conv = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                             name="scale_attn")
+        out_high = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="high_proj")
+        out_mid = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="mid_proj")
+        out_low = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="low_proj")
+        task = _DyReLU(self.c, dtype=self.dtype, name="task_attn")
+
+        def scale_gate(f):
+            s = scale_conv(f.mean(axis=(1, 2), keepdims=True))
+            return jax.nn.relu6(jax.nn.relu(s) + 3.0) / 6.0
+
+        def off_mask(f, sigmoid_quirk):
+            om = off_conv(f)
+            offset = om[..., : 2 * g * p]
+            m = om[..., 2 * g * p:]
+            if sigmoid_quirk:
+                return offset, jax.nn.sigmoid(m)
+            m = jax.nn.softmax(m.reshape(*m.shape[:-1], g, p), -1)
+            return offset, m.reshape(*m.shape[:-2], g * p)
+
+        outs = []
+        n = len(xs)
+        for lvl in range(n):
+            o, m = off_mask(dw_mid(xs[lvl], train), True)
+            mid_f = out_mid(dcnv3_core(xs[lvl], o, m, group=g))
+            sum_f = mid_f * scale_gate(mid_f)
+            summed = 1
+            if lvl > 0:
+                o, m = off_mask(dw_low(xs[lvl - 1], train), False)
+                # stride-2 sampler: offsets computed at full res are taken at
+                # the stride-2 output grid (the reference feeds a full-res
+                # offset map to its stride-2 CUDA op, which reads the
+                # output-grid subset)
+                low_f = out_low(dcnv3_core(xs[lvl - 1], o[:, ::2, ::2], m[:, ::2, ::2],
+                                           stride=2, group=g))
+                sum_f = sum_f + low_f * scale_gate(low_f)
+                summed += 1
+            if lvl < n - 1:
+                o, m = off_mask(dw_high(xs[lvl + 1], train), False)
+                hi = out_high(dcnv3_core(xs[lvl + 1], o, m, group=g))
+                hi = _resize_align_corners(hi, xs[lvl].shape[1], xs[lvl].shape[2])
+                sum_f = sum_f + hi * scale_gate(hi)
+                summed += 1
+            outs.append(task(sum_f / summed))
+        return outs
+
+
+class DyHeadBlockDCNv4(nn.Module):
+    """DyHeadBlockWithDCNV4 (extra block.py:373): group-1 DCNv4 samplers with
+    a fused 1x1 offset+mask head (channels padded to a multiple of 8) and
+    UNNORMALIZED v4 masks; the low path samples at stride 1 then max-pools.
+    The reference depends on the external DCNv4 CUDA package (absent there
+    too); sampler internals follow the published DCNv4 module layout."""
+
+    c: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        import math as _m
+
+        from experiment_yolo_tpu.nn.modules import ConvBN
+        from experiment_yolo_tpu.ops.dcnv3 import dcnv3_core
+
+        p = 9
+        om_dim = int(_m.ceil((p * 3) / 8) * 8)
+        dw_high = ConvBN(self.c, 3, g=self.c, dtype=self.dtype, name="dw_conv_high")
+        dw_mid = ConvBN(self.c, 3, g=self.c, dtype=self.dtype, name="dw_conv_mid")
+        dw_low = ConvBN(self.c, 3, g=self.c, dtype=self.dtype, name="dw_conv_low")
+        off_conv = nn.Conv(om_dim, (1, 1), kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros, use_bias=True,
+                           dtype=self.dtype, param_dtype=jnp.float32, name="spatial_conv_offset")
+        scale_conv = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                             name="scale_attn")
+        out_high = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="high_proj")
+        out_mid = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="mid_proj")
+        out_low = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="low_proj")
+        task = _DyReLU(self.c, dtype=self.dtype, name="task_attn")
+
+        def scale_gate(f):
+            s = scale_conv(f.mean(axis=(1, 2), keepdims=True))
+            return jax.nn.relu6(jax.nn.relu(s) + 3.0) / 6.0
+
+        def off_mask(f):
+            om = off_conv(f)
+            return om[..., : 2 * p], om[..., 2 * p: 3 * p]
+
+        outs = []
+        n = len(xs)
+        for lvl in range(n):
+            o, m = off_mask(dw_mid(xs[lvl], train))
+            mid_f = out_mid(dcnv3_core(xs[lvl], o, m, group=1))
+            sum_f = mid_f * scale_gate(mid_f)
+            summed = 1
+            if lvl > 0:
+                o, m = off_mask(dw_low(xs[lvl - 1], train))
+                low_f = out_low(dcnv3_core(xs[lvl - 1], o, m, group=1))
+                low_f = nn.max_pool(low_f, (2, 2), strides=(2, 2))
+                sum_f = sum_f + low_f * scale_gate(low_f)
+                summed += 1
+            if lvl < n - 1:
+                o, m = off_mask(dw_high(xs[lvl + 1], train))
+                hi = out_high(dcnv3_core(xs[lvl + 1], o, m, group=1))
+                hi = _resize_align_corners(hi, xs[lvl].shape[1], xs[lvl].shape[2])
+                sum_f = sum_f + hi * scale_gate(hi)
+                summed += 1
+            outs.append(task(sum_f / summed))
+        return outs

@@ -561,7 +561,7 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "PyramidPoolAgg":
             c2 = sum(src_ch(j) for j in f_list)
             mod = X.PyramidPoolAgg(stride=args[0] if args else 2)
-        elif mname in ("HGStem", "HGBlock"):
+        elif mname in ("HGStem", "HGBlock", "Ghost_HGBlock", "Rep_HGBlock", "Dynamic_HGBlock"):
             # reference tasks.py:813: args [cm, c2]; both width-scaled; HGBlock
             # also takes repeats n at arg index 4
             cm = _scale_ch(args[0], nc, width, max_channels)
@@ -570,9 +570,12 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 mod = X.HGStem(cm, c2, dtype=dtype)
             else:
                 extra = args[2:]
+                variant = {"Ghost_HGBlock": "ghost", "Rep_HGBlock": "rep",
+                           "Dynamic_HGBlock": "dynamic"}.get(mname, "light")
                 mod = X.HGBlock(cm, c2, *(extra[:1]), n=n, dtype=dtype,
                                 lightconv=bool(extra[1]) if len(extra) > 1 else False,
-                                shortcut=bool(extra[2]) if len(extra) > 2 else False)
+                                shortcut=bool(extra[2]) if len(extra) > 2 else False,
+                                variant=variant)
                 n = 1
         elif mname == "ResNetLayer":
             # YAML args carry c1 explicitly: [c1, c2, s, is_first, n]
@@ -598,7 +601,8 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             list_input = True
         elif mname in ("Detect", "Detect_Efficient", "DetectAux", "Detect_SEAM",
                        "Detect_MultiSEAM", "Detect_LSCD", "Detect_LADH", "Detect_TADDH",
-                       "Detect_DyHead", "Detect_AFPN_P345", "Detect_AFPN_P345_Custom"):
+                       "Detect_DyHead", "Detect_DyHeadWithDCNV3", "Detect_DyHeadWithDCNV4",
+                       "Detect_DyHead_Prune", "Detect_AFPN_P345", "Detect_AFPN_P345_Custom"):
             from experiment_yolo_tpu.nn import heads_extra as H
 
             ch_in = tuple(src_ch(j) for j in f_list)
@@ -615,11 +619,13 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 mod = H.DetectLSCD(nc=nc, hidc=hidc, ch=ch_in, dtype=dtype)
             elif mname == "Detect_LADH":
                 mod = H.DetectLADH(nc=nc, ch=ch_in, dtype=dtype)
-            elif mname == "Detect_DyHead":
-                # args: [nc, hidc, block_num] (extra head.py:28)
+            elif mname.startswith("Detect_DyHead"):
+                # args: [nc, hidc, block_num] (extra head.py:28/76/81/380)
                 hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
                 bn_ = args[2] if len(args) > 2 else 2
-                mod = H.DetectDyHead(nc=nc, hidc=hidc, block_num=bn_, ch=ch_in, dtype=dtype)
+                blk = {"Detect_DyHead": "dcnv2", "Detect_DyHeadWithDCNV3": "dcnv3",
+                       "Detect_DyHeadWithDCNV4": "dcnv4", "Detect_DyHead_Prune": "prune"}[mname]
+                mod = H.DetectDyHead(nc=nc, hidc=hidc, block_num=bn_, ch=ch_in, block=blk, dtype=dtype)
             elif mname.startswith("Detect_AFPN_P345"):
                 # args: [nc, hidc] (extra head.py:94)
                 hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)

@@ -94,6 +94,8 @@ def test_head_builds_and_predicts(tmp_path, head, args, task):
         ("Pose_LADH", dict(nc=3, kpt_shape=(5, 3), ch=(64, 128, 128))),
         ("OBB_LADH", dict(nc=3, ne=1, ch=(64, 128, 128))),
         ("Detect_DyHead", dict(nc=3, hidc=64, block_num=1, ch=(64, 128, 128))),
+        ("Detect_DyHeadWithDCNV3", dict(nc=3, hidc=64, block_num=1, ch=(64, 128, 128))),
+        ("Detect_DyHead_Prune", dict(nc=3, hidc=64, block_num=1, ch=(64, 128, 128))),
         ("Detect_AFPN_P345", dict(nc=3, hidc=64, ch=(64, 128, 128))),
     ],
 )
@@ -112,6 +114,8 @@ def test_param_count_parity(name, kw):
     ours = {
         "Detect_LADH": lambda: H.DetectLADH(nc=3, ch=(64, 128, 128)),
         "Detect_DyHead": lambda: H.DetectDyHead(nc=3, hidc=64, block_num=1, ch=(64, 128, 128)),
+        "Detect_DyHeadWithDCNV3": lambda: H.DetectDyHead(nc=3, hidc=64, block_num=1, ch=(64, 128, 128), block="dcnv3"),
+        "Detect_DyHead_Prune": lambda: H.DetectDyHead(nc=3, hidc=64, block_num=1, ch=(64, 128, 128), block="prune"),
         "Detect_AFPN_P345": lambda: H.DetectAFPN(nc=3, hidc=64, ch=(64, 128, 128)),
         "Segment_LADH": lambda: H.SegmentLADH(nc=3, nm=16, npr=64, ch=(64, 128, 128)),
         "Pose_LADH": lambda: H.PoseLADH(nc=3, kpt_shape=(5, 3), ch=(64, 128, 128)),
@@ -128,3 +132,43 @@ def test_param_count_parity(name, kw):
     v = jax.eval_shape(lambda: ours.init(jax.random.PRNGKey(0), xs, False))
     o_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
     assert o_params == t_params, f"{name}: ours {o_params:,} vs reference {t_params:,}"
+
+
+def test_dyhead_dcnv4_and_hgblock_variants():
+    """DCNv4 DyHead (reference needs the absent DCNv4 package — run ours) and
+    the Ghost/Rep/Dynamic HGBlock variants (extra block.py:2846-2933)."""
+    from experiment_yolo_tpu.nn import heads_extra as H
+    from experiment_yolo_tpu.nn.extra_modules import HGBlock
+
+    xs = [jnp.zeros((1, 16, 16, 64)), jnp.zeros((1, 8, 8, 64)), jnp.zeros((1, 4, 4, 64))]
+    om = H.DetectDyHead(nc=3, hidc=64, block_num=1, ch=(64, 64, 64), block="dcnv4")
+    v = om.init(jax.random.PRNGKey(0), xs, False)
+    y = om.apply(v, xs, False)
+    assert [o.shape[-1] for o in y] == [67, 67, 67]
+
+    x = jnp.zeros((1, 16, 16, 64))
+    for variant in ("ghost", "rep", "dynamic"):
+        m = HGBlock(32, 64, 3, 6, True, variant=variant)
+        vv = m.init(jax.random.PRNGKey(0), x, False)
+        assert m.apply(vv, x, False).shape == (1, 16, 16, 64), variant
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+def test_hgblock_variant_param_parity():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    block = importlib.import_module("ultralytics.nn.extra_modules.block")
+    from experiment_yolo_tpu.nn.extra_modules import HGBlock
+
+    x = jnp.zeros((1, 16, 16, 64))
+    for name, variant in [("Ghost_HGBlock", "ghost"), ("Rep_HGBlock", "rep"),
+                          ("Dynamic_HGBlock", "dynamic")]:
+        tm = getattr(block, name)(64, 32, 64, 3, 6, True)
+        t = sum(p.numel() for p in tm.parameters())
+        om = HGBlock(32, 64, 3, 6, True, variant=variant)
+        v = jax.eval_shape(lambda om=om: om.init(jax.random.PRNGKey(0), x, False))
+        o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert t == o, f"{name}: ours {o:,} vs reference {t:,}"
