@@ -679,7 +679,8 @@ class DetectAFPN(nn.Module):
         factor = 4
         red = [c // factor for c in self.ch]
         xs = [ConvBN(red[i], 1, dtype=self.dtype, name=f"conv{i}")(x, train) for i, x in enumerate(xs)]
-        xs = list(_AFPNBody345(tuple(red), custom=self.custom, dtype=self.dtype, name="body")(xs, train))
+        body_cls = _AFPNBody345 if len(self.ch) == 3 else _AFPNBody2345
+        xs = list(body_cls(tuple(red), custom=self.custom, dtype=self.dtype, name="body")(xs, train))
         xs = [ConvBN(self.hidc, 1, dtype=self.dtype, name=f"conv{i}{i}")(x, train) for i, x in enumerate(xs)]
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
         c3 = max(self.ch[0], self.nc)
@@ -1037,3 +1038,72 @@ class DyHeadBlockDCNv4(nn.Module):
                 summed += 1
             outs.append(task(sum_f / summed))
         return outs
+
+
+class _AFPNBody2345(nn.Module):
+    """BlockBody_P2345 (afpn.py:329) / _Custom (afpn.py:472): progressive
+    2-, 3-, then 4-level ASFF fusion over a P2-P5 pyramid."""
+
+    chans: Tuple[int, int, int, int]
+    custom: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _group(self, x, c, train, name):
+        if self.custom:
+            from experiment_yolo_tpu.nn.modules import C2f
+
+            return C2f(c, n=1, dtype=self.dtype, name=f"{name}_c2f")(x, train)
+        for i in range(4):
+            x = _AFPNBasic(c, dtype=self.dtype, name=f"{name}_b{i}")(x, train)
+        return x
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c0, c1, c2, c3 = self.chans
+        x0, x1, x2, x3 = xs
+        x0 = ConvBN(c0, 1, dtype=self.dtype, name="scalezero1")(x0, train)
+        x1 = ConvBN(c1, 1, dtype=self.dtype, name="scaleone1")(x1, train)
+        x2 = ConvBN(c2, 1, dtype=self.dtype, name="scaletwo1")(x2, train)
+        x3 = ConvBN(c3, 1, dtype=self.dtype, name="scalethree1")(x3, train)
+
+        s0 = _ASFF(c0, 2, dtype=self.dtype, name="asff_scalezero1")(
+            [x0, _afpn_up(x1, c0, 2, train, self.dtype, "up_one1_2")], train)
+        s1 = _ASFF(c1, 2, dtype=self.dtype, name="asff_scaleone1")(
+            [ConvBN(c1, 2, 2, p=0, dtype=self.dtype, name="down_zero1_2")(x0, train), x1], train)
+        x0 = self._group(s0, c0, train, "scalezero2")
+        x1 = self._group(s1, c1, train, "scaleone2")
+
+        s0 = _ASFF(c0, 3, dtype=self.dtype, name="asff_scalezero2")(
+            [x0, _afpn_up(x1, c0, 2, train, self.dtype, "up_one2_2"),
+             _afpn_up(x2, c0, 4, train, self.dtype, "up_two2_4")], train)
+        s1 = _ASFF(c1, 3, dtype=self.dtype, name="asff_scaleone2")(
+            [ConvBN(c1, 2, 2, p=0, dtype=self.dtype, name="down_zero2_2")(x0, train), x1,
+             _afpn_up(x2, c1, 2, train, self.dtype, "up_two2_2")], train)
+        s2 = _ASFF(c2, 3, dtype=self.dtype, name="asff_scaletwo2")(
+            [ConvBN(c2, 4, 4, p=0, dtype=self.dtype, name="down_zero2_4")(x0, train),
+             ConvBN(c2, 2, 2, p=0, dtype=self.dtype, name="down_one2_2")(x1, train), x2], train)
+        x0 = self._group(s0, c0, train, "scalezero3")
+        x1 = self._group(s1, c1, train, "scaleone3")
+        x2 = self._group(s2, c2, train, "scaletwo3")
+
+        s0 = _ASFF(c0, 4, dtype=self.dtype, name="asff_scalezero3")(
+            [x0, _afpn_up(x1, c0, 2, train, self.dtype, "up_one3_2"),
+             _afpn_up(x2, c0, 4, train, self.dtype, "up_two3_4"),
+             _afpn_up(x3, c0, 8, train, self.dtype, "up_three3_8")], train)
+        s1 = _ASFF(c1, 4, dtype=self.dtype, name="asff_scaleone3")(
+            [ConvBN(c1, 2, 2, p=0, dtype=self.dtype, name="down_zero3_2")(x0, train), x1,
+             _afpn_up(x2, c1, 2, train, self.dtype, "up_two3_2"),
+             _afpn_up(x3, c1, 4, train, self.dtype, "up_three3_4")], train)
+        s2 = _ASFF(c2, 4, dtype=self.dtype, name="asff_scaletwo3")(
+            [ConvBN(c2, 4, 4, p=0, dtype=self.dtype, name="down_zero3_4")(x0, train),
+             ConvBN(c2, 2, 2, p=0, dtype=self.dtype, name="down_one3_2")(x1, train), x2,
+             _afpn_up(x3, c2, 2, train, self.dtype, "up_three3_2")], train)
+        s3 = _ASFF(c3, 4, dtype=self.dtype, name="asff_scalethree3")(
+            [ConvBN(c3, 8, 8, p=0, dtype=self.dtype, name="down_zero3_8")(x0, train),
+             ConvBN(c3, 4, 4, p=0, dtype=self.dtype, name="down_one3_4")(x1, train),
+             ConvBN(c3, 2, 2, p=0, dtype=self.dtype, name="down_two3_2")(x2, train), x3], train)
+        x0 = self._group(s0, c0, train, "scalezero4")
+        x1 = self._group(s1, c1, train, "scaleone4")
+        x2 = self._group(s2, c2, train, "scaletwo4")
+        x3 = self._group(s3, c3, train, "scalethree4")
+        return x0, x1, x2, x3

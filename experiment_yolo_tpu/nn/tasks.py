@@ -602,7 +602,8 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname in ("Detect", "Detect_Efficient", "DetectAux", "Detect_SEAM",
                        "Detect_MultiSEAM", "Detect_LSCD", "Detect_LADH", "Detect_TADDH",
                        "Detect_DyHead", "Detect_DyHeadWithDCNV3", "Detect_DyHeadWithDCNV4",
-                       "Detect_DyHead_Prune", "Detect_AFPN_P345", "Detect_AFPN_P345_Custom"):
+                       "Detect_DyHead_Prune", "Detect_AFPN_P345", "Detect_AFPN_P345_Custom",
+                       "Detect_AFPN_P2345", "Detect_AFPN_P2345_Custom"):
             from experiment_yolo_tpu.nn import heads_extra as H
 
             ch_in = tuple(src_ch(j) for j in f_list)
@@ -626,8 +627,9 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 blk = {"Detect_DyHead": "dcnv2", "Detect_DyHeadWithDCNV3": "dcnv3",
                        "Detect_DyHeadWithDCNV4": "dcnv4", "Detect_DyHead_Prune": "prune"}[mname]
                 mod = H.DetectDyHead(nc=nc, hidc=hidc, block_num=bn_, ch=ch_in, block=blk, dtype=dtype)
-            elif mname.startswith("Detect_AFPN_P345"):
-                # args: [nc, hidc] (extra head.py:94)
+            elif mname.startswith("Detect_AFPN_P"):
+                # args: [nc, hidc] (extra head.py:94/151/163); P2345 reads a
+                # four-level P2-P5 pyramid
                 hidc = _scale_ch(args[1] if len(args) > 1 else 256, nc, width, max_channels)
                 mod = H.DetectAFPN(nc=nc, hidc=hidc, ch=ch_in,
                                    custom=mname.endswith("Custom"), dtype=dtype)

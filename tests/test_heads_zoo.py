@@ -172,3 +172,38 @@ def test_hgblock_variant_param_parity():
         v = jax.eval_shape(lambda om=om: om.init(jax.random.PRNGKey(0), x, False))
         o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
         assert t == o, f"{name}: ours {o:,} vs reference {t:,}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+def test_afpn_p2345_param_parity():
+    """Detect_AFPN_P2345(_Custom) (extra head.py:151/163): 4-level AFPN."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    head_mod = importlib.import_module("ultralytics.nn.extra_modules.head")
+    from experiment_yolo_tpu.nn import heads_extra as H
+
+    xs = [jnp.zeros((1, 32 // (2 ** i), 32 // (2 ** i), 64)) for i in range(4)]
+    for name, kw, om in [
+        ("Detect_AFPN_P2345", dict(nc=3, hidc=64, ch=(64, 64, 64, 64)),
+         H.DetectAFPN(nc=3, hidc=64, ch=(64, 64, 64, 64))),
+        ("Detect_AFPN_P2345_Custom", dict(nc=3, hidc=64, block_type="C2f", ch=(64, 64, 64, 64)),
+         H.DetectAFPN(nc=3, hidc=64, ch=(64, 64, 64, 64), custom=True)),
+    ]:
+        tm = getattr(head_mod, name)(**kw)
+        t = sum(p.numel() for nm, p in tm.named_parameters() if ".dfl" not in nm and not nm.startswith("dfl"))
+        v = jax.eval_shape(lambda om=om: om.init(jax.random.PRNGKey(0), xs, False))
+        o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert o == t, f"{name}: ours {o:,} vs reference {t:,}"
+
+
+def test_afpn_p2345_runs():
+    from experiment_yolo_tpu.nn import heads_extra as H
+
+    xs = [jnp.zeros((1, 32 // (2 ** i), 32 // (2 ** i), 64)) for i in range(4)]
+    m = H.DetectAFPN(nc=3, hidc=64, ch=(64, 64, 64, 64))
+    v = m.init(jax.random.PRNGKey(0), xs, False)
+    y = m.apply(v, xs, False)
+    assert len(y) == 4 and all(o.shape[-1] == 67 for o in y)
