@@ -196,7 +196,7 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             extra = None
             rest = list(args[1:])
             if inner in ("SWC", "iRMB_DRB", "iRMB_SWC", "UniRepLKNetBlock",
-                         "DAttention", "FocusedLinearAttention") and rest:
+                         "DAttention", "FocusedLinearAttention", "Parc") and rest:
                 # reference signature (c1, c2, n, kernel_size, shortcut, ...)
                 extra = rest.pop(0)
             shortcut = bool(rest[0]) if rest else False

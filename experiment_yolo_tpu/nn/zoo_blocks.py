@@ -1500,6 +1500,7 @@ INNER_UNITS: Dict[str, Callable] = {
     "DCNv4": lambda c2, dt: DCNV3YOLO(c2, 3, version=4, dtype=dt, name="cv2"),
     "DLKA": lambda c2, dt: __import__("experiment_yolo_tpu.nn.extra_modules", fromlist=["x"]).DeformableLKA(dtype=dt, name="cv2"),
     "DCNv2_Dynamic": lambda c2, dt: DCNv2DynamicConv(c2, 3, dtype=dt, name="cv2"),
+    "FADC": lambda c2, dt: AdaptiveDilatedConv(c2, 3, dtype=dt, name="cv2"),
 }
 
 # whole inner block per chain slot: builder(c, shortcut, dtype, name, k0).
@@ -1547,6 +1548,8 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "DLKA": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DLKA", k0=k0, shortcut=s, dtype=dt, name=nm),
     "DCNv2_Dynamic": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "DCNv2_Dynamic", k0=k0, shortcut=s, dtype=dt, name=nm),
     "DWR_DRB": lambda c, s, dt, nm, k0, ex=None: DWRDRB(c, dtype=dt, name=nm),
+    "FADC": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "FADC", k0=k0, shortcut=s, dtype=dt, name=nm),
+    "Parc": lambda c, s, dt, nm, k0, ex=None: _ParCBottleneck(c, ex, k0=k0, shortcut=s, dtype=dt, name=nm),
     "OREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "PPA": lambda c, s, dt, nm, k0, ex=None: PPA(c, dtype=dt, name=nm),
     "Faster_CGLU": lambda c, s, dt, nm, k0, ex=None: FasterBlockCGLU(c, dtype=dt, name=nm),
@@ -2743,3 +2746,156 @@ class DASI(nn.Module):
         y = _bare_conv(y, self.c2, 1, self.dtype, "tail_conv", bias=True) + skip
         y = _bn(y, train, self.dtype, "bns")
         return jax.nn.silu(y)
+
+
+class FrequencySelection(nn.Module):
+    """FrequencySelection (fadc.py:123, lp_type='freq'): split the feature
+    into FFT ring bands (center crops of the shifted spectrum at 1/k) and
+    re-weight each band by a zero-init 3x3 conv gate (2*sigmoid), plus a
+    gated low-frequency remainder."""
+
+    k_list: Tuple[int, ...] = (3, 5, 7, 9)
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def _lp_operator(n: int, freq: int):
+        """Real/imag parts of the 1-D low-pass circulant IDFT.diag(box).DFT
+        for a centered spectral box of width n/freq (numpy, trace-time)."""
+        import numpy as np
+
+        F = np.fft.fft(np.eye(n), norm="ortho", axis=0)
+        Fi = np.fft.ifft(np.eye(n), norm="ortho", axis=0)
+        y0, y1 = round(n / 2 - n / (2 * freq)), round(n / 2 + n / (2 * freq))
+        ms = np.zeros(n)
+        ms[y0:y1] = 1.0
+        m = np.fft.ifftshift(ms)
+        A = Fi @ np.diag(m) @ F
+        return A.real.astype(np.float32), A.imag.astype(np.float32)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        gates = [
+            nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, use_bias=True,
+                    kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                    dtype=self.dtype, param_dtype=jnp.float32, name=f"freq_weight_conv_{i}")
+            for i in range(len(self.k_list) + 1)
+        ]
+        # FFT band split as dense DFT matmuls: low = Re(A_h X A_w^T) — two
+        # real matmuls per axis, which maps onto the MXU (and avoids the
+        # FFT custom call, which the TPU relay doesn't implement)
+        pre = x
+        out = 0.0
+        xf = x.astype(jnp.float32)
+        for i, freq in enumerate(self.k_list):
+            ahr, ahi = self._lp_operator(h, freq)
+            awr, awi = self._lp_operator(w, freq)
+            yr = jnp.einsum("ij,bjwc->biwc", jnp.asarray(ahr), xf)
+            yi = jnp.einsum("ij,bjwc->biwc", jnp.asarray(ahi), xf)
+            low = (jnp.einsum("biwc,jw->bijc", yr, jnp.asarray(awr))
+                   - jnp.einsum("biwc,jw->bijc", yi, jnp.asarray(awi))).astype(x.dtype)
+            high = pre - low
+            pre = low
+            out = out + high * (jax.nn.sigmoid(gates[i](x)) * 2.0)
+        out = out + pre * (jax.nn.sigmoid(gates[-1](x)) * 2.0)
+        return out
+
+
+class AdaptiveDilatedConv(nn.Module):
+    """FADC AdaptiveDilatedConv (fadc.py:328, default flags): frequency
+    selection on the input, a zero-init 1-channel offset conv whose ReLU'd
+    scalar scales the fixed 3x3 tap lattice (adaptive dilation), a zero-init
+    sigmoid mask, and a modulated deformable conv."""
+
+    c2: int
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.ops.dcnv3 import dcnv2_core
+
+        c1 = x.shape[-1]
+        K = self.k * self.k
+        x = FrequencySelection(dtype=self.dtype, name="FS")(x, train)
+        off = nn.Conv(1, (self.k, self.k), padding=[(self.k // 2, self.k // 2)] * 2,
+                      use_bias=True, kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv_offset")(x)
+        off = jax.nn.relu(off)
+        lattice = jnp.asarray([-1, -1, -1, 0, -1, 1, 0, -1, 0, 0, 0, 1, 1, -1, 1, 0, 1, 1],
+                              jnp.float32)  # (dy, dx) per tap (fadc.py:458)
+        offset = off * lattice[None, None, None, :]
+        mask = jax.nn.sigmoid(
+            nn.Conv(K, (self.k, self.k), padding=[(self.k // 2, self.k // 2)] * 2,
+                    use_bias=True, kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_mask")(x))
+        n = c1 * K
+        std = 1.0 / (n**0.5)
+        weight = self.param("weight", nn.initializers.uniform(scale=2 * std),
+                            (self.k, self.k, c1, self.c2), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+        return dcnv2_core(x.astype(self.dtype), offset.astype(jnp.float32), mask.astype(self.dtype),
+                          weight.astype(self.dtype), bias.astype(self.dtype), pad=self.k // 2)
+
+
+class ParConv(nn.Module):
+    """ParConv (block.py:2698, ParC-Net): circular depthwise global convs —
+    kernel (H,1) on the first channel half, (1,W) on the second — with
+    positional embeddings, BN + SiLU. fmapsize is the static map size."""
+
+    fmapsize: Tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        half = c // 2
+        gh, gw = self.fmapsize
+
+        def parc(y, axis, gk, name):
+            dim = y.shape[-1]
+            n = y.shape[axis]
+            if axis == 1:
+                pe = self.param(f"{name}_pe", nn.initializers.normal(0.02), (gk, 1, dim), jnp.float32)
+                kshape = (gk, 1)
+            else:
+                pe = self.param(f"{name}_pe", nn.initializers.normal(0.02), (1, gk, dim), jnp.float32)
+                kshape = (1, gk)
+            if n != gk:  # off-size maps: interpolate the positional embedding
+                tgt = (n, 1, dim) if axis == 1 else (1, n, dim)
+                pe = jax.image.resize(pe, tgt, "linear")
+            y = y + jnp.broadcast_to(pe, y.shape[1:]).astype(y.dtype)
+            # circular tiling so the gk-long kernel wraps over the n-long axis
+            need = n + gk - 1
+            reps = -(-need // n)
+            tiled = jnp.concatenate([y] * reps, axis=axis)
+            y = tiled[:, :need] if axis == 1 else tiled[:, :, :need]
+            return nn.Conv(dim, kshape, padding="VALID", feature_group_count=dim, use_bias=True,
+                           dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_conv")(y)
+
+        yh = parc(x[..., :half], 1, gh, "parc_H")
+        yw = parc(x[..., half:], 2, gw, "parc_W")
+        y = _bn(jnp.concatenate([yh, yw], -1), train, self.dtype, "bn")
+        return jax.nn.silu(y)
+
+
+class _ParCBottleneck(nn.Module):
+    """Bottleneck_ParC (block.py:2715): cv2 = ParConv when the hidden width
+    equals c2 (always in the C2f/C3 containers, e=1.0)."""
+
+    c2: int
+    fmapsize: Any = None  # None -> the runtime map size
+    k0: int = 3
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.c2, self.k0, train, self.dtype, "cv1")
+        fs = tuple(self.fmapsize) if self.fmapsize else (x.shape[1], x.shape[2])
+        y = ParConv(fs, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y

@@ -69,6 +69,7 @@ head:
         "C2f_SWC", "C3_SWC", "C2f_iRMB_Cascaded", "C2f_iRMB_DRB", "C2f_iRMB_SWC",
         "C2f_CloAtt", "C3_CloAtt", "C2f_DLKA", "C3_DLKA", "C2f_DCNv2_Dynamic",
         "C2f_DWR_DRB", "C3_DWR_DRB", "C2f_DAttention", "C2f_FocusedLinearAttention",
+        "C2f_FADC", "C3_FADC", "C2f_Parc", "C3_Parc",
     ],
 )
 def test_param_count_parity(name):
@@ -82,7 +83,8 @@ def test_param_count_parity(name):
     c = 128 if "EMSC" in name else 64
     # kernel_size-signature classes (C3_SWC etc.): pass it explicitly
     extra = {"C2f_SWC": 13, "C3_SWC": 13, "C2f_iRMB_DRB": 13, "C2f_iRMB_SWC": 13,
-             "C2f_DAttention": (16, 16), "C2f_FocusedLinearAttention": (16, 16)}.get(name)
+             "C2f_DAttention": (16, 16), "C2f_FocusedLinearAttention": (16, 16),
+             "C2f_Parc": (16, 16), "C3_Parc": (16, 16)}.get(name)
     tm = tcls(c, c, 1) if extra is None else tcls(c, c, 1, extra)
     t_params = sum(p.numel() for p in tm.parameters())
 
