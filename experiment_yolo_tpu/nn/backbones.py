@@ -841,7 +841,167 @@ class VanillaNet(nn.Module):
 
 # name -> (class, variant): the reference's callable-name registry
 # (tasks.py:939-957) mapped onto our variant-parameterized modules
+
+
+# --------------------------------------------------------------------------
+# RMT (RetNet meets vision transformers) — reference nn/backbone/rmt.py
+# --------------------------------------------------------------------------
+
+RMT_CFGS = {  # dims, depths, heads, init_values, heads_ranges, mlp_ratios, chunkwise, layerscales
+    "t": ((64, 128, 256, 512), (2, 2, 8, 2), (4, 4, 8, 16), (2, 2, 2, 2), (4, 4, 6, 6),
+          (3, 3, 3, 3), (True, True, False, False), (False, False, False, False)),
+    "s": ((64, 128, 256, 512), (3, 4, 18, 4), (4, 4, 8, 16), (2, 2, 2, 2), (4, 4, 6, 6),
+          (4, 4, 3, 3), (True, True, True, False), (False, False, False, False)),
+    "b": ((80, 160, 320, 512), (4, 8, 25, 8), (5, 5, 10, 16), (2, 2, 2, 2), (5, 5, 6, 6),
+          (4, 4, 3, 3), (True, True, True, False), (False, False, True, True)),
+    "l": ((112, 224, 448, 640), (4, 8, 25, 8), (7, 7, 14, 20), (2, 2, 2, 2), (6, 6, 6, 6),
+          (4, 4, 3, 3), (True, True, True, False), (False, False, True, True)),
+}
+
+
+def _rmt_decay(num_heads: int, init_value: float, heads_range: float):
+    import numpy as np
+
+    return np.log(1 - 2.0 ** (-init_value - heads_range * np.arange(num_heads) / num_heads))
+
+
+def _rmt_mask_1d(n: int, decay):
+    import numpy as np
+
+    idx = np.arange(n)
+    m = np.abs(idx[:, None] - idx[None, :]).astype(np.float32)
+    return (m[None] * decay[:, None, None]).astype(np.float32)  # (heads, n, n)
+
+
+def _rmt_mask_2d(h: int, w: int, decay):
+    import numpy as np
+
+    gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    g = np.stack([gy, gx], -1).reshape(h * w, 2)
+    m = np.abs(g[:, None] - g[None, :]).sum(-1).astype(np.float32)
+    return (m[None] * decay[:, None, None]).astype(np.float32)  # (heads, hw, hw)
+
+
+class _RetBlock(nn.Module):
+    """RetBlock (rmt.py:280): dw-conv positional residual, Manhattan
+    self-attention with static exponential decay bias — axial (MaSAd,
+    rmt.py:102) in 'chunk' retention or full (MaSA, rmt.py:178) — and an
+    FFN, each LayerNorm'd with optional layerscale."""
+
+    dim: int
+    heads: int
+    ffn_dim: int
+    init_value: float = 2.0
+    heads_range: float = 4.0
+    chunk: bool = True
+    layerscale: bool = False
+    layer_init: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    def _dense(self, c, name):
+        return nn.Dense(c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh = self.heads
+        kd = c // nh
+        decay = _rmt_decay(nh, self.init_value, self.heads_range)
+        pos = nn.Conv(c, (3, 3), padding=[(1, 1)] * 2, feature_group_count=c, use_bias=True,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="pos")(x)
+        x = x + pos
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="retention_layer_norm")(x)
+        q = self._dense(c, "q_proj")(y)
+        k = self._dense(c, "k_proj")(y) * (kd**-0.5)
+        v = self._dense(c, "v_proj")(y)
+        lepe = nn.Conv(c, (5, 5), padding=[(2, 2)] * 2, feature_group_count=c, use_bias=True,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="lepe")(v)
+        if self.chunk:
+            mask_h = jnp.asarray(_rmt_mask_1d(h, decay))
+            mask_w = jnp.asarray(_rmt_mask_1d(w, decay))
+            qr = q.reshape(b, h, w, nh, kd)
+            kr = k.reshape(b, h, w, nh, kd)
+            vr = v.reshape(b, h, w, nh, kd)
+            # along W: (b h n w w)
+            attw = jnp.einsum("bhwnd,bhvnd->bhnwv", qr, kr) + mask_w[None, None].astype(q.dtype)
+            attw = jax.nn.softmax(attw, axis=-1)
+            vv = jnp.einsum("bhnwv,bhvnd->bhwnd", attw, vr)
+            # along H: (b w n h h)
+            atth = jnp.einsum("bhwnd,bgwnd->bwnhg", qr, kr) + mask_h[None, None].astype(q.dtype)
+            atth = jax.nn.softmax(atth, axis=-1)
+            out = jnp.einsum("bwnhg,bgwnd->bhwnd", atth, vv)
+            out = out.reshape(b, h, w, c)
+        else:
+            mask = jnp.asarray(_rmt_mask_2d(h, w, decay))
+            qr = q.reshape(b, h * w, nh, kd).transpose(0, 2, 1, 3)
+            kr = k.reshape(b, h * w, nh, kd).transpose(0, 2, 1, 3)
+            vr = v.reshape(b, h * w, nh, kd).transpose(0, 2, 1, 3)
+            att = jax.nn.softmax(qr @ kr.transpose(0, 1, 3, 2) + mask[None].astype(q.dtype), axis=-1)
+            out = (att @ vr).transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        out = out + lepe
+        out = self._dense(c, "out_proj")(out)
+        if self.layerscale:
+            g1 = self.param("gamma_1", nn.initializers.constant(self.layer_init), (c,), jnp.float32)
+            out = out * g1.astype(out.dtype)
+        x = x + out
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="final_layer_norm")(x)
+        y = self._dense(self.ffn_dim, "ffn_fc1")(y)
+        y = self._dense(c, "ffn_fc2")(jax.nn.gelu(y, approximate=False))
+        if self.layerscale:
+            g2 = self.param("gamma_2", nn.initializers.constant(self.layer_init), (c,), jnp.float32)
+            y = y * g2.astype(y.dtype)
+        return x + y
+
+
+class RMT(nn.Module):
+    """VisRetNet (rmt.py:452): conv patch embed to /4, four stages of
+    RetBlocks with conv-BN patch merging between stages; features at
+    /4, /8, /16, /32."""
+
+    variant: str = "t"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return RMT_CFGS[variant][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, depths, heads, ivs, hrs, mlps, chunks, lss = RMT_CFGS[self.variant]
+        d0 = dims[0]
+
+        def conv_bias_bn(z, out, st, name):  # rmt convs keep their bias under BN
+            z = nn.Conv(out, (3, 3), strides=(st, st), padding=[(1, 1)] * 2, use_bias=True,
+                        dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_c")(z)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_bn")(z)
+
+        # patch embed (rmt.py:417): 4 conv-BN (GELU between)
+        y = conv_bias_bn(x, d0 // 2, 2, "pe0")
+        y = conv_bias_bn(jax.nn.gelu(y, approximate=False), d0 // 2, 1, "pe1")
+        y = conv_bias_bn(jax.nn.gelu(y, approximate=False), d0, 2, "pe2")
+        y = conv_bias_bn(jax.nn.gelu(y, approximate=False), d0, 1, "pe3")
+        feats = [y]
+        for i in range(4):
+            for j in range(depths[i]):
+                y = _RetBlock(dims[i], heads[i], int(mlps[i] * dims[i]), ivs[i], hrs[i],
+                              chunk=chunks[i], layerscale=lss[i], dtype=self.dtype,
+                              name=f"s{i}_b{j}")(y, train)
+            if i < 3:
+                y = conv_bias_bn(y, dims[i + 1], 2, f"merge{i}")
+                feats.append(y)
+        # features: patch-embed map at /4, then the /8 and /16 merges, and
+        # the final stage output at /32 (rmt.py:520 forward)
+        return (feats[0], feats[1], feats[2], y)
+
+
 WHOLE_BACKBONES = {
+    "RMT_T": (RMT, "t"),
+    "RMT_S": (RMT, "s"),
+    "RMT_B": (RMT, "b"),
+    "RMT_L": (RMT, "l"),
     "EfficientViT_M0": (EfficientViT, "m0"),
     "EfficientViT_M1": (EfficientViT, "m1"),
     "EfficientViT_M2": (EfficientViT, "m2"),

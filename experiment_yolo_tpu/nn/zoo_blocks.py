@@ -1550,6 +1550,7 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "DWR_DRB": lambda c, s, dt, nm, k0, ex=None: DWRDRB(c, dtype=dt, name=nm),
     "FADC": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "FADC", k0=k0, shortcut=s, dtype=dt, name=nm),
     "Parc": lambda c, s, dt, nm, k0, ex=None: _ParCBottleneck(c, ex, k0=k0, shortcut=s, dtype=dt, name=nm),
+    "RetBlock": lambda c, s, dt, nm, k0, ex=None: __import__("experiment_yolo_tpu.nn.backbones", fromlist=["x"])._RetBlock(c, 8, c, init_value=2, heads_range=4, chunk=True, dtype=dt, name=nm),
     "OREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "PPA": lambda c, s, dt, nm, k0, ex=None: PPA(c, dtype=dt, name=nm),
     "Faster_CGLU": lambda c, s, dt, nm, k0, ex=None: FasterBlockCGLU(c, dtype=dt, name=nm),

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import pytest
 
 from experiment_yolo_tpu.nn.backbones import (
+    RMT,
     EfficientViT,
     LSKNet,
     MobileNetV4,
@@ -35,6 +36,7 @@ CASES = [
     (SwinTransformer, "tiny", 4),
     (UniRepLKNet, "a", 4),
     (VanillaNet, "6", 4),
+    (RMT, "t", 4),
 ]
 
 
@@ -78,7 +80,7 @@ head:
 @pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
 @pytest.mark.parametrize(
     "name",
-    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a", "vanillanet_6"],
+    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a", "vanillanet_6", "RMT_T"],
 )
 def test_param_count_parity(name):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
@@ -93,6 +95,7 @@ def test_param_count_parity(name):
         "SwinTransformer_Tiny": "ultralytics.nn.backbone.SwinTransformer",
         "unireplknet_a": "ultralytics.nn.backbone.UniRepLKNet",
         "vanillanet_6": "ultralytics.nn.backbone.VanillaNet",
+        "RMT_T": "ultralytics.nn.backbone.rmt",
     }
     tmodel = getattr(importlib.import_module(mod_of[name]), name)()
     t_params = sum(p.numel() for p in tmodel.parameters())
