@@ -1065,3 +1065,299 @@ class FasterNet(nn.Module):
                             dtype=self.dtype, param_dtype=jnp.float32, name=f"merge{si}")(x)
                 x = _bn(x, train, self.dtype, f"merge_bn{si}")
         return outs
+
+
+# --------------------------------------------------------------------------
+# CSWin Transformer — reference nn/backbone/CSwomTramsformer.py
+# --------------------------------------------------------------------------
+
+CSWIN_CFGS = {  # embed, depths, splits, heads
+    "tiny": (64, (1, 2, 21, 1), (1, 2, 8, 8), (2, 4, 8, 16)),
+    "small": (64, (2, 4, 32, 2), (1, 2, 8, 8), (2, 4, 8, 16)),
+    "base": (96, (2, 4, 32, 2), (1, 2, 8, 8), (4, 8, 16, 32)),
+    "large": (144, (2, 4, 32, 2), (1, 2, 8, 8), (6, 12, 24, 24)),
+}
+
+
+class _LePEAttention(nn.Module):
+    """Cross-shaped-window attention branch (CSwomTramsformer.py:43): strip
+    windows (full-height x split or split x full-width), locally-enhanced
+    positional encoding from a dw conv on v."""
+
+    dim: int
+    heads: int
+    h_sp: int
+    w_sp: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):  # (B, H, W, dim) each
+        B, H, W, C = q.shape
+        hs, ws = min(self.h_sp, H), min(self.w_sp, W)
+        nh, nw = H // hs, W // ws
+        hd = C // self.heads
+
+        def part(t):  # windows (B*nh*nw, hs*ws, heads, hd) -> (B', heads, N, hd)
+            t = t.reshape(B, nh, hs, nw, ws, C).transpose(0, 1, 3, 2, 4, 5)
+            t = t.reshape(B * nh * nw, hs * ws, self.heads, hd)
+            return t.transpose(0, 2, 1, 3)
+
+        lepe = nn.Conv(C, (3, 3), padding=[(1, 1)] * 2, feature_group_count=C, use_bias=True,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="get_v")(v)
+        qf, kf, vf, lf = part(q), part(k), part(v), part(lepe)
+        attn = jax.nn.softmax(qf * hd**-0.5 @ kf.transpose(0, 1, 3, 2), axis=-1)
+        o = attn @ vf + lf
+        o = o.transpose(0, 2, 1, 3).reshape(B, nh, nw, hs, ws, C).transpose(0, 1, 3, 2, 4, 5)
+        return o.reshape(B, H, W, C)
+
+
+class _CSWinBlock(nn.Module):
+    """CSWinBlock (CSwomTramsformer.py:122): LN -> qkv -> two half-channel
+    strip-attention branches (or one global branch in the last stage) ->
+    proj, then LN + MLP, both residual."""
+
+    dim: int
+    heads: int
+    split: int
+    last: bool = False
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    def _dense(self, c, name, bias=True):
+        return nn.Dense(c, use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        qkv = self._dense(3 * C, "qkv")(y)
+        q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+        if self.last or H <= self.split:
+            att = _LePEAttention(C, self.heads, H, W, dtype=self.dtype, name="attn0")(q, k, v)
+        else:
+            h = C // 2
+            a1 = _LePEAttention(h, self.heads // 2, H, self.split, dtype=self.dtype, name="attn0")(
+                q[..., :h], k[..., :h], v[..., :h])
+            a2 = _LePEAttention(h, self.heads // 2, self.split, W, dtype=self.dtype, name="attn1")(
+                q[..., h:], k[..., h:], v[..., h:])
+            att = jnp.concatenate([a1, a2], -1)
+        x = x + self._dense(C, "proj")(att)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = self._dense(self.mlp_ratio * C, "mlp_fc1")(y)
+        y = self._dense(C, "mlp_fc2")(jax.nn.gelu(y, approximate=False))
+        return x + y
+
+
+class CSWin(nn.Module):
+    """CSWin Transformer (CSwomTramsformer.py:228): 7x7/s4 conv embed + LN,
+    four stages of cross-shaped-window blocks with conv+LN merges; features
+    at /4, /8, /16, /32."""
+
+    variant: str = "tiny"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        e = CSWIN_CFGS[variant][0]
+        return (e, e * 2, e * 4, e * 8)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        e, depths, splits, heads = CSWIN_CFGS[self.variant]
+        y = nn.Conv(e, (7, 7), strides=(4, 4), padding=[(2, 2)] * 2, use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="embed_conv")(x)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="embed_norm")(y)
+        dims = self.channels(self.variant)
+        feats = []
+        for i in range(4):
+            for j in range(depths[i]):
+                y = _CSWinBlock(dims[i], heads[i], splits[i], last=(i == 3),
+                                dtype=self.dtype, name=f"s{i}_b{j}")(y, train)
+            feats.append(y)
+            if i < 3:
+                y = nn.Conv(dims[i + 1], (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, use_bias=True,
+                            dtype=self.dtype, param_dtype=jnp.float32, name=f"merge{i}_conv")(y)
+                y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=f"merge{i}_norm")(y)
+        return tuple(feats)
+
+
+# --------------------------------------------------------------------------
+# PKINet (Poly Kernel Inception Network) — reference nn/backbone/pkinet.py
+# --------------------------------------------------------------------------
+
+PKINET_CFGS = {  # per stage: (out, blocks, shortcut_ffn_scale, shortcut_ffn_k)
+    "t": (16, ((32, 4, 8.0, 5), (64, 14, 8.0, 7), (128, 22, 4.0, 9), (256, 4, 4.0, 11))),
+    "s": (32, ((64, 4, 8.0, 5), (128, 12, 8.0, 7), (256, 20, 4.0, 9), (512, 4, 4.0, 11))),
+    "b": (40, ((80, 6, 8.0, 5), (160, 16, 8.0, 7), (320, 24, 4.0, 9), (640, 6, 4.0, 11))),
+}
+
+
+def _pki_conv(x, out, k, s, train, dtype, name, g=1, norm=True, act=True, d=1):
+    """mmcv ConvModule (BN momentum 0.03 / SiLU); bias only when norm-free."""
+    pad = (d * (k[0] if isinstance(k, tuple) else k) - d + 1) // 2 if not isinstance(k, tuple) else None
+    if isinstance(k, tuple):
+        kh, kw = k
+        padding = [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
+    else:
+        kh = kw = k
+        p = (d * (k - 1)) // 2
+        padding = [(p, p)] * 2
+    y = nn.Conv(out, (kh, kw), strides=(s, s), padding=padding, feature_group_count=g,
+                kernel_dilation=(d, d), use_bias=not norm, dtype=dtype,
+                param_dtype=jnp.float32, name=f"{name}_c")(x)
+    if norm:
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=dtype, param_dtype=jnp.float32, name=f"{name}_bn")(y)
+    return jax.nn.silu(y) if act else y
+
+
+def _gsilu(x):
+    """GSiLU (pkinet.py:111): gate by the sigmoid of the global average."""
+    return x * jax.nn.sigmoid(x.mean(axis=(1, 2), keepdims=True))
+
+
+class _PKICAA(nn.Module):
+    """Context anchor attention (pkinet.py:121)."""
+
+    k: int = 11
+    norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.avg_pool(x, (7, 7), strides=(1, 1), padding=[(3, 3)] * 2)
+        y = _pki_conv(y, c, 1, 1, train, self.dtype, "conv1", norm=self.norm, act=self.norm)
+        y = _pki_conv(y, c, (1, self.k), 1, train, self.dtype, "h_conv", g=c, norm=False, act=False)
+        y = _pki_conv(y, c, (self.k, 1), 1, train, self.dtype, "v_conv", g=c, norm=False, act=False)
+        y = _pki_conv(y, c, 1, 1, train, self.dtype, "conv2", norm=self.norm, act=self.norm)
+        return jax.nn.sigmoid(y)
+
+
+class _PKIConvFFN(nn.Module):
+    """ConvFFN (pkinet.py:151): LN -> 1x1 up -> dw kxk -> GSiLU -> 1x1 down."""
+
+    out: int
+    scale: float = 4.0
+    k: int = 3
+    add_identity: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # both reference call sites pass norm_cfg=None/act_cfg=None
+        # (pkinet.py:359 ffn, pkinet.py:411 shortcut ffn): bare biased convs
+        hid = int(x.shape[-1] * self.scale)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(x)
+        y = _pki_conv(y, hid, 1, 1, train, self.dtype, "fc1", norm=False, act=False)
+        y = _pki_conv(y, hid, self.k, 1, train, self.dtype, "dw", g=hid, norm=False, act=False)
+        y = _gsilu(y)
+        y = _pki_conv(y, self.out, 1, 1, train, self.dtype, "fc2", norm=False, act=False)
+        return x + y if self.add_identity else y
+
+
+class _PKIInception(nn.Module):
+    """InceptionBottleneck (pkinet.py:236): 1x1 pre, summed multi-kernel dw
+    bank, 1x1 pw, CAA gate on the pre-conv features, 1x1 post."""
+
+    out: int
+    caa_k: int = 11
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.tasks import make_divisible
+
+        hid = make_divisible(self.out, 8)
+        add_identity = x.shape[-1] == self.out
+        x = _pki_conv(x, hid, 1, 1, train, self.dtype, "pre_conv")
+        y = x
+        x = _pki_conv(x, hid, 3, 1, train, self.dtype, "dw_conv", g=hid, norm=False, act=False)
+        acc = x
+        for i, k in enumerate((5, 7, 9, 11)):
+            acc = acc + _pki_conv(x, hid, k, 1, train, self.dtype, f"dw_conv{i + 1}", g=hid,
+                                  norm=False, act=False)
+        x = _pki_conv(acc, hid, 1, 1, train, self.dtype, "pw_conv")
+        y = _PKICAA(self.caa_k, norm=False, dtype=self.dtype, name="caa")(y, train)
+        if add_identity:
+            x = x + x * y
+        else:
+            x = x * y
+        return _pki_conv(x, self.out, 1, 1, train, self.dtype, "post_conv")
+
+
+class _PKIBlock(nn.Module):
+    """PKIBlock (pkinet.py:306): BN -> inception bottleneck, BN -> ConvFFN,
+    layer-scaled residuals."""
+
+    out: int
+    caa_k: int = 11
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.tasks import make_divisible
+
+        hid = make_divisible(self.out, 8)
+        add_identity = x.shape[-1] == self.out
+        g1 = self.param("gamma1", nn.initializers.ones, (hid,), jnp.float32)
+        g2 = self.param("gamma2", nn.initializers.ones, (self.out,), jnp.float32)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        y = g1.astype(x.dtype) * _PKIInception(hid, self.caa_k, dtype=self.dtype, name="block")(y, train)
+        x = x + y if add_identity else y
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        z = g2.astype(x.dtype) * _PKIConvFFN(self.out, 4.0, 3, add_identity=False,
+                                             dtype=self.dtype, name="ffn")(z, train)
+        return x + z if add_identity else z
+
+
+class PKINet(nn.Module):
+    """PKINet (pkinet.py:436): conv stem to /2 plus four PKI stages; outputs
+    all five levels (/2, /4, /8, /16, /32) like the reference's
+    out_indices=(0,1,2,3,4)."""
+
+    variant: str = "t"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        stem, stages = PKINET_CFGS[variant]
+        return tuple([stem] + [s[0] for s in stages])
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.tasks import make_divisible
+
+        stem_c, stages = PKINET_CFGS[self.variant]
+        y = _pki_conv(x, stem_c, 3, 2, train, self.dtype, "stem_down")
+        y = _pki_conv(y, stem_c, 3, 1, train, self.dtype, "stem_c1")
+        y = _pki_conv(y, stem_c, 3, 1, train, self.dtype, "stem_c2")
+        outs = [y]
+        for si, (out, nblocks, sc_scale, sc_k) in enumerate(stages):
+            hid = make_divisible(out // 2, 8)
+            y = _pki_conv(y, out, 3, 2, train, self.dtype, f"s{si}_down")
+            y = _pki_conv(y, 2 * hid, 1, 1, train, self.dtype, f"s{si}_conv1")
+            a, b = y[..., :hid], y[..., hid:]
+            a = _PKIConvFFN(hid, sc_scale, sc_k, add_identity=True, dtype=self.dtype,
+                            name=f"s{si}_ffn")(a, train)
+            t = jnp.zeros_like(b)
+            for bi in range(nblocks):
+                t = t + _PKIBlock(hid, 11 + 2 * bi, dtype=self.dtype, name=f"s{si}_b{bi}")(b, train)
+            y = jnp.concatenate([a, t], -1)
+            y = _pki_conv(y, out, 1, 1, train, self.dtype, f"s{si}_conv2")
+            y = _pki_conv(y, out, 1, 1, train, self.dtype, f"s{si}_conv3")
+            outs.append(y)
+        return tuple(outs)
+
+
+WHOLE_BACKBONES.update({
+    "PKINET_T": (PKINet, "t"),
+    "PKINET_S": (PKINet, "s"),
+    "PKINET_B": (PKINet, "b"),
+    "CSWin_tiny": (CSWin, "tiny"),
+    "CSWin_small": (CSWin, "small"),
+    "CSWin_base": (CSWin, "base"),
+    "CSWin_large": (CSWin, "large"),
+})

@@ -1551,6 +1551,7 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "FADC": lambda c, s, dt, nm, k0, ex=None: _SwapBottleneck(c, "FADC", k0=k0, shortcut=s, dtype=dt, name=nm),
     "Parc": lambda c, s, dt, nm, k0, ex=None: _ParCBottleneck(c, ex, k0=k0, shortcut=s, dtype=dt, name=nm),
     "RetBlock": lambda c, s, dt, nm, k0, ex=None: __import__("experiment_yolo_tpu.nn.backbones", fromlist=["x"])._RetBlock(c, 8, c, init_value=2, heads_range=4, chunk=True, dtype=dt, name=nm),
+    "PKIModule": lambda c, s, dt, nm, k0, ex=None: PKIModule(c, dtype=dt, name=nm),
     "OREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "PPA": lambda c, s, dt, nm, k0, ex=None: PPA(c, dtype=dt, name=nm),
     "Faster_CGLU": lambda c, s, dt, nm, k0, ex=None: FasterBlockCGLU(c, dtype=dt, name=nm),
@@ -2665,8 +2666,10 @@ class _LocalGlobalAttention(nn.Module):
         local = y * att
         prompt = self.param("prompt", nn.initializers.normal(1.0), (self.c2,), jnp.float32)
         tdt = self.param("top_down_transform", lambda *_: jnp.eye(self.c2), (self.c2, self.c2))
-        cos = (local / (jnp.linalg.norm(local, axis=-1, keepdims=True) + 1e-12)) @ (
-            prompt / (jnp.linalg.norm(prompt) + 1e-12))[:, None].astype(local.dtype)
+        # grad-safe normalize (norm has an unbounded gradient at 0)
+        ln = jax.lax.rsqrt((local * local).sum(-1, keepdims=True) + 1e-12)
+        pn = jax.lax.rsqrt((prompt * prompt).sum() + 1e-12)
+        cos = (local * ln) @ (prompt * pn)[:, None].astype(local.dtype)
         local = local * jnp.clip(cos, 0, 1)
         local = local @ tdt.astype(local.dtype)
         local = local.reshape(B, hp, wp, self.c2)
@@ -2900,3 +2903,34 @@ class _ParCBottleneck(nn.Module):
         if self.shortcut and x.shape[-1] == self.c2:
             return x + y
         return y
+
+
+class PKIModule(nn.Module):
+    """PKIModule (block.py:5000): 1x1 pre, summed poly-kernel dw bank, 1x1
+    pw, CAA gate, multiplicative identity mix, 1x1 post."""
+
+    c2: int
+    kernel_sizes: Tuple[int, ...] = (3, 5, 7, 9, 11)
+    caa_k: int = 11
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.backbones import _PKICAA
+        from experiment_yolo_tpu.nn.tasks import make_divisible
+
+        hid = make_divisible(self.c2, 8)
+        add_identity = x.shape[-1] == self.c2
+        x = _conv(x, hid, 1, train, self.dtype, "pre_conv")
+        y = x
+        x = _bare_conv(x, hid, self.kernel_sizes[0], self.dtype, "dw0", g=hid, bias=True)
+        acc = x
+        for i, k in enumerate(self.kernel_sizes[1:]):
+            acc = acc + _bare_conv(x, hid, k, self.dtype, f"dw{i + 1}", g=hid, bias=True)
+        x = _conv(acc, hid, 1, train, self.dtype, "pw_conv")
+        y = _PKICAA(self.caa_k, norm=True, dtype=self.dtype, name="caa")(y, train)
+        if add_identity:
+            x = x + x * y
+        else:
+            x = x * y
+        return _conv(x, self.c2, 1, train, self.dtype, "post_conv")

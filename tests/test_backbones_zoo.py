@@ -80,7 +80,7 @@ head:
 @pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
 @pytest.mark.parametrize(
     "name",
-    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a", "vanillanet_6", "RMT_T"],
+    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a", "vanillanet_6", "RMT_T", "CSWin_tiny", "PKINET_T"],
 )
 def test_param_count_parity(name):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
@@ -96,6 +96,8 @@ def test_param_count_parity(name):
         "unireplknet_a": "ultralytics.nn.backbone.UniRepLKNet",
         "vanillanet_6": "ultralytics.nn.backbone.VanillaNet",
         "RMT_T": "ultralytics.nn.backbone.rmt",
+        "CSWin_tiny": "ultralytics.nn.backbone.CSwomTramsformer",
+        "PKINET_T": "ultralytics.nn.backbone.pkinet",
     }
     tmodel = getattr(importlib.import_module(mod_of[name]), name)()
     t_params = sum(p.numel() for p in tmodel.parameters())
@@ -110,3 +112,19 @@ def test_param_count_parity(name):
     assert o_params == t_params, f"{name}: ours {o_params:,} vs reference {t_params:,}"
     # channel contract matches the reference's measured .channel list
     assert tuple(tmodel.channel) == tuple(cls.channels(variant))
+
+
+def test_cswin_pkinet_shapes():
+    from experiment_yolo_tpu.nn.backbones import CSWin, PKINet
+
+    x = jnp.zeros((1, 64, 64, 3))
+    m = CSWin(variant="tiny")
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    outs = m.apply(v, x, False)
+    assert [o.shape[1:] for o in outs] == [(16, 16, 64), (8, 8, 128), (4, 4, 256), (2, 2, 512)]
+
+    m = PKINet(variant="t")
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    outs = m.apply(v, x, False)  # five levels: /2 /4 /8 /16 /32
+    assert [o.shape[-1] for o in outs] == [16, 32, 64, 128, 256]
+    assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]

@@ -70,6 +70,7 @@ head:
         "C2f_CloAtt", "C3_CloAtt", "C2f_DLKA", "C3_DLKA", "C2f_DCNv2_Dynamic",
         "C2f_DWR_DRB", "C3_DWR_DRB", "C2f_DAttention", "C2f_FocusedLinearAttention",
         "C2f_FADC", "C3_FADC", "C2f_Parc", "C3_Parc", "C2f_RetBlock", "C3_RetBlock",
+        "C2f_PKIModule", "C3_PKIModule",
     ],
 )
 def test_param_count_parity(name):

@@ -50,4 +50,9 @@ class ConvModule(nn.Module):
             self.activate = build_activation_layer(act_cfg)
 
     def forward(self, x):
-        raise NotImplementedError('refstub: param counting only')
+        x = self.conv(x)
+        if hasattr(self, 'norm_name'):
+            x = getattr(self, self.norm_name)(x)
+        if hasattr(self, 'activate'):
+            x = self.activate(x)
+        return x

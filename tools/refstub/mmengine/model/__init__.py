@@ -19,6 +19,17 @@ def kaiming_init(module, **kw):
     pass
 
 
+def trunc_normal_init(module, std=1.0, bias=0.0):
+    if hasattr(module, 'weight') and module.weight is not None:
+        nn.init.normal_(module.weight, 0, std)
+    if hasattr(module, 'bias') and module.bias is not None:
+        nn.init.constant_(module.bias, bias)
+
+
 class BaseModule(nn.Module):
     def __init__(self, init_cfg=None):
         super().__init__()
+        self.init_cfg = init_cfg
+
+    def init_weights(self):
+        pass
