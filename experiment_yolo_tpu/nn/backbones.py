@@ -1352,7 +1352,246 @@ class PKINet(nn.Module):
         return tuple(outs)
 
 
+
+# --------------------------------------------------------------------------
+# EfficientFormerV2 — reference nn/backbone/EfficientFormerV2.py
+# --------------------------------------------------------------------------
+
+EFV2_CFGS = {  # dims, depths, vit_num, e_ratios per stage
+    "s0": ((32, 48, 96, 176), (2, 2, 6, 4), 2,
+           ((4, 4), (4, 4), (4, 3, 3, 3, 4, 4), (4, 3, 3, 4))),
+    "s1": ((32, 48, 120, 224), (3, 3, 9, 6), 2,
+           ((4, 4, 4), (4, 4, 4), (4, 4, 3, 3, 3, 3, 4, 4, 4), (4, 4, 3, 3, 4, 4))),
+    "s2": ((32, 64, 144, 288), (4, 4, 12, 8), 4,
+           ((4, 4, 4, 4), (4, 4, 4, 4), (4, 4, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4), (4, 4, 3, 3, 3, 3, 4, 4))),
+    "l": ((40, 80, 192, 384), (5, 5, 15, 10), 6,
+          ((4, 4, 4, 4, 4), (4, 4, 4, 4, 4), (4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4),
+           (4, 4, 4, 3, 3, 3, 3, 4, 4, 4))),
+}
+
+
+def _efv2_cbn(x, out, k, st, pad, train, dtype, name, groups=1):
+    """EFv2 conv+BN: the reference keeps conv bias=True under BN."""
+    y = nn.Conv(out, (k, k), strides=(st, st), padding=[(pad, pad)] * 2, use_bias=True,
+                feature_group_count=groups, dtype=dtype, param_dtype=jnp.float32,
+                name=f"{name}_c")(x)
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
+                        param_dtype=jnp.float32, name=f"{name}_bn")(y)
+
+
+def _efv2_bias(res: int, res_q: int, q_stride: int):
+    """Offset dictionary + index table for the 7x7-style rel-pos bias
+    (EfficientFormerV2.py:108/239). Returns (n_offsets, idx (Nq, Nk))."""
+    import itertools
+
+    import numpy as np
+
+    pk = list(itertools.product(range(res), range(res)))
+    pq = list(itertools.product(range(res_q), range(res_q)))
+    offsets, idxs = {}, []
+    for p1 in pq:
+        for p2 in pk:
+            off = (abs(p1[0] * q_stride - p2[0]), abs(p1[1] * q_stride - p2[1]))
+            if off not in offsets:
+                offsets[off] = len(offsets)
+            idxs.append(offsets[off])
+    return len(offsets), np.asarray(idxs, np.int32).reshape(len(pq), len(pk))
+
+
+class _EFv2Attention4D(nn.Module):
+    """Attention4D (EfficientFormerV2.py:64): conv-BN qkv with a dw local-v
+    branch, talking heads, learned rel-pos bias; optional stride-2 pre-conv
+    + bilinear upsample."""
+
+    dim: int
+    table_res: int  # bias table resolution (640-based, per reference)
+    stride: int = 0
+    key_dim: int = 32
+    heads: int = 8
+    attn_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H0, W0, C = x.shape
+        if self.stride:
+            x = _efv2_cbn(x, C, 3, self.stride, 1, train, self.dtype, "stride_conv", groups=C)
+        B, H, W, _ = x.shape
+        d = self.attn_ratio * self.key_dim
+        dh = d * self.heads
+        nhkd = self.key_dim * self.heads
+        q = _efv2_cbn(x, nhkd, 1, 1, 0, train, self.dtype, "q")
+        k = _efv2_cbn(x, nhkd, 1, 1, 0, train, self.dtype, "k")
+        v = _efv2_cbn(x, dh, 1, 1, 0, train, self.dtype, "v")
+        v_local = _efv2_cbn(v, dh, 3, 1, 1, train, self.dtype, "v_local", groups=dh)
+        res = self.table_res if self.stride == 0 else -(-self.table_res // self.stride)
+        n_off, idx = _efv2_bias(res, res, 1)
+        biases = self.param("attention_biases", nn.initializers.zeros, (self.heads, n_off), jnp.float32)
+        if H == res and W == res:
+            ab = biases[:, idx]
+        else:  # off-size map: rebuild the index at runtime size, clipped
+            n2, idx2 = _efv2_bias(max(H, W), max(H, W), 1)
+            idx2 = jnp.clip(jnp.asarray(idx2), 0, n_off - 1)
+            ab = biases[:, idx2].reshape(self.heads, max(H, W) ** 2, max(H, W) ** 2)
+            ab = ab[:, : H * W, : H * W]
+        # NCHW channel-major head split (the torch flatten(2).reshape path)
+        qf = q.transpose(0, 3, 1, 2).reshape(B, self.heads, self.key_dim, H * W).transpose(0, 1, 3, 2)
+        kf = k.transpose(0, 3, 1, 2).reshape(B, self.heads, self.key_dim, H * W)
+        vf = v.transpose(0, 3, 1, 2).reshape(B, self.heads, d, H * W).transpose(0, 1, 3, 2)
+        attn = qf @ kf * self.key_dim**-0.5 + ab.astype(qf.dtype)
+        # talking heads: 1x1 convs over the head axis
+        th1 = self.param("talking_head1", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                         (self.heads, self.heads), jnp.float32)
+        th1b = self.param("talking_head1_bias", nn.initializers.zeros, (self.heads,), jnp.float32)
+        th2 = self.param("talking_head2", nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                         (self.heads, self.heads), jnp.float32)
+        th2b = self.param("talking_head2_bias", nn.initializers.zeros, (self.heads,), jnp.float32)
+        attn = jnp.einsum("bhnm,gh->bgnm", attn, th1.astype(attn.dtype)) + th1b.astype(attn.dtype)[None, :, None, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jnp.einsum("bhnm,gh->bgnm", attn, th2.astype(attn.dtype)) + th2b.astype(attn.dtype)[None, :, None, None]
+        out = (attn @ vf).transpose(0, 1, 3, 2).reshape(B, dh, H, W).transpose(0, 2, 3, 1) + v_local
+        if self.stride:
+            out = jax.image.resize(out, (B, H0, W0, dh), "bilinear")
+        out = jax.nn.gelu(out, approximate=False)
+        return _efv2_cbn(out, self.dim, 1, 1, 0, train, self.dtype, "proj")
+
+
+class _EFv2AttnDownsample(nn.Module):
+    """Attention4DDownsample (EfficientFormerV2.py:194): LGQuery stride-2
+    queries attend over full-res keys, plus a stride-2 dw local-v path."""
+
+    out_dim: int
+    table_res: int
+    key_dim: int = 16
+    heads: int = 8
+    attn_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        H2, W2 = -(-H // 2), -(-W // 2)
+        d = self.attn_ratio * self.key_dim
+        dh = d * self.heads
+        nhkd = self.key_dim * self.heads
+        # LGQuery: dw stride-2 + avgpool(1,2) sum, 1x1+BN
+        lq = nn.Conv(C, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2, feature_group_count=C,
+                     use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="q_local")(x)
+        pq = nn.avg_pool(x, (1, 1), strides=(2, 2))
+        q = _efv2_cbn(lq + pq, nhkd, 1, 1, 0, train, self.dtype, "q_proj")
+        k = _efv2_cbn(x, nhkd, 1, 1, 0, train, self.dtype, "k")
+        v = _efv2_cbn(x, dh, 1, 1, 0, train, self.dtype, "v")
+        v_local = _efv2_cbn(v, dh, 3, 2, 1, train, self.dtype, "v_local", groups=dh)
+        res = self.table_res
+        res2 = -(-res // 2)
+        n_off, idx = _efv2_bias(res, res2, 2)
+        biases = self.param("attention_biases", nn.initializers.zeros, (self.heads, n_off), jnp.float32)
+        if H == res and W == res:
+            ab = biases[:, idx]
+        else:
+            n2, idx2 = _efv2_bias(max(H, W), -(-max(H, W) // 2), 2)
+            idx2 = jnp.clip(jnp.asarray(idx2), 0, n_off - 1)
+            ab = biases[:, idx2].reshape(self.heads, (-(-max(H, W) // 2)) ** 2, max(H, W) ** 2)
+            ab = ab[:, : H2 * W2, : H * W]
+        qf = q.transpose(0, 3, 1, 2).reshape(B, self.heads, self.key_dim, H2 * W2).transpose(0, 1, 3, 2)
+        kf = k.transpose(0, 3, 1, 2).reshape(B, self.heads, self.key_dim, H * W)
+        vf = v.transpose(0, 3, 1, 2).reshape(B, self.heads, d, H * W).transpose(0, 1, 3, 2)
+        attn = jax.nn.softmax(qf @ kf * self.key_dim**-0.5 + ab.astype(qf.dtype), axis=-1)
+        out = (attn @ vf).transpose(0, 1, 3, 2).reshape(B, dh, H2, W2).transpose(0, 2, 3, 1) + v_local
+        out = jax.nn.gelu(out, approximate=False)
+        return _efv2_cbn(out, self.out_dim, 1, 1, 0, train, self.dtype, "proj")
+
+
+class _EFv2Mlp(nn.Module):
+    """Mlp with mid dw conv (EfficientFormerV2.py:343)."""
+
+    dim: int
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _bare_conv_bias(x, self.hidden, 1, self.dtype, "fc1")
+        y = _bn(y, train, self.dtype, "norm1")
+        y = jax.nn.gelu(y, approximate=False)
+        m = _bare_conv_bias(y, self.hidden, 3, self.dtype, "mid", g=self.hidden)
+        m = _bn(m, train, self.dtype, "mid_norm")
+        y = jax.nn.gelu(m, approximate=False)
+        y = _bare_conv_bias(y, self.dim, 1, self.dtype, "fc2")
+        return _bn(y, train, self.dtype, "norm2")
+
+
+def _bare_conv_bias(x, out, k, dtype, name, g=1):
+    return nn.Conv(out, (k, k), padding=[(k // 2, k // 2)] * 2, feature_group_count=g,
+                   use_bias=True, dtype=dtype, param_dtype=jnp.float32, name=name)(x)
+
+
+class EfficientFormerV2(nn.Module):
+    """EfficientFormerV2 (EfficientFormerV2.py:489, fork_feat): conv stem to
+    /4, four stages of FFN/AttnFFN meta blocks (the last vit_num of stages
+    3-4 carry Attention4D mixers), attention-assisted downsampling between
+    the later stages, BN on each forked level."""
+
+    variant: str = "s0"
+    base_res: int = 640  # the reference builds its bias tables at 640
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return EFV2_CFGS[variant][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, depths, vit_num, eratios = EFV2_CFGS[self.variant]
+        y = _efv2_cbn(x, dims[0] // 2, 3, 2, 1, train, self.dtype, "stem0")
+        y = jax.nn.gelu(y, approximate=False)
+        y = _efv2_cbn(y, dims[0], 3, 2, 1, train, self.dtype, "stem1")
+        y = jax.nn.gelu(y, approximate=False)
+        outs = []
+        for i in range(4):
+            res_i = -(-self.base_res // (2 ** (i + 2)))
+            for b in range(depths[i]):
+                mlp_ratio = eratios[i][b]
+                ls1 = None
+                if i >= 2 and b > depths[i] - 1 - vit_num:
+                    stride = 2 if i == 2 else 0
+                    ls1 = self.param(f"s{i}_b{b}_ls1", nn.initializers.constant(1e-5), (dims[i],), jnp.float32)
+                    att = _EFv2Attention4D(dims[i], res_i, stride=stride, dtype=self.dtype,
+                                           name=f"s{i}_b{b}_attn")(y, train)
+                    y = y + ls1.astype(y.dtype) * att
+                ls2 = self.param(f"s{i}_b{b}_ls2", nn.initializers.constant(1e-5), (dims[i],), jnp.float32)
+                mlp = _EFv2Mlp(dims[i], int(dims[i] * mlp_ratio), dtype=self.dtype,
+                               name=f"s{i}_b{b}_mlp")(y, train)
+                y = y + ls2.astype(y.dtype) * mlp
+            outs.append(_bn(y, train, self.dtype, f"norm{2 * i}"))
+            if i < 3:
+                conv = _efv2_cbn(y, dims[i + 1], 3, 2, 1, train, self.dtype, f"down{i}_conv")
+                if i >= 2:
+                    attn = _EFv2AttnDownsample(dims[i + 1], res_i, dtype=self.dtype,
+                                               name=f"down{i}_attn")(y, train)
+                    y = conv + attn
+                else:
+                    y = conv
+        return tuple(outs)
+
+
 WHOLE_BACKBONES.update({
+    "efficientformerv2_s0": (EfficientFormerV2, "s0"),
+    "efficientformerv2_s1": (EfficientFormerV2, "s1"),
+    "efficientformerv2_s2": (EfficientFormerV2, "s2"),
+    "efficientformerv2_l": (EfficientFormerV2, "l"),
+    # reference-style function names resolve to the variant classes
+    "convnextv2_atto": (ConvNeXtV2, "atto"),
+    "convnextv2_femto": (ConvNeXtV2, "femto"),
+    "convnextv2_pico": (ConvNeXtV2, "pico"),
+    "convnextv2_nano": (ConvNeXtV2, "nano"),
+    "convnextv2_tiny": (ConvNeXtV2, "tiny"),
+    "fasternet_t0": (FasterNet, "t0"),
+    "fasternet_t1": (FasterNet, "t1"),
+    "fasternet_t2": (FasterNet, "t2"),
+    "fasternet_s": (FasterNet, "s"),
+    "fasternet_m": (FasterNet, "m"),
+    "fasternet_l": (FasterNet, "l"),
     "PKINET_T": (PKINet, "t"),
     "PKINET_S": (PKINet, "s"),
     "PKINET_B": (PKINet, "b"),
