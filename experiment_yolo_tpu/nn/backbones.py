@@ -1575,6 +1575,82 @@ class EfficientFormerV2(nn.Module):
         return tuple(outs)
 
 
+
+class _RevColLevel(nn.Module):
+    """RevCol Level (revcol.py:186): fusion (stride-2 down + nearest up) and
+    a chain of C2f/C3 blocks."""
+
+    level: int
+    channels: Tuple[int, ...]
+    layers: Tuple[int, ...]
+    kernel: str = "C2f"
+    first_col: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c_down, c_up, train: bool = False):
+        from experiment_yolo_tpu.nn.modules import C2f, C3, ConvBN
+
+        ch = self.channels[self.level]
+        if self.level > 0:
+            down = ConvBN(ch, 2, 2, p=0, act=False, dtype=self.dtype, name="down")(c_down, train)
+        else:
+            down = c_down
+        if self.first_col or self.level == 3:
+            x = down
+        else:
+            up = ConvBN(ch, 1, 1, dtype=self.dtype, name="up")(c_up, train)
+            b, h, w, c = up.shape
+            up = jax.image.resize(up, (b, h * 2, w * 2, c), "nearest")
+            x = up + down
+        cls = {"C2f": C2f, "C3": C3}[self.kernel]
+        for i in range(self.layers[self.level]):
+            x = cls(ch, n=1, dtype=self.dtype, name=f"blocks{i}")(x, train)
+        return x
+
+
+class RevCol(nn.Module):
+    """RevCol (revcol.py:252): multi-column reversible network. The
+    reference's custom ReverseFunction is a hand-written activation-recompute
+    autograd; here each subnet column is wrapped in jax.checkpoint (remat),
+    which gives the same memory/recompute trade under XLA with the plain
+    functional forward (_forward_nonreverse semantics, revcol.py:221)."""
+
+    kernel: str = "C2f"
+    chans: Tuple[int, ...] = (32, 64, 96, 128)
+    layers: Tuple[int, ...] = (2, 3, 6, 3)
+    num_subnet: int = 5
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant=None, chans=(32, 64, 96, 128)):
+        return tuple(chans)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.modules import ConvBN
+
+        x = ConvBN(self.chans[0], 4, 4, p=0, dtype=self.dtype, name="stem")(x, train)
+        c0 = c1 = c2 = c3 = None
+        for i in range(self.num_subnet):
+            first = i == 0
+            alphas = [self.param(f"subnet{i}_alpha{l}", nn.initializers.constant(0.5),
+                                 (self.chans[l],), jnp.float32) for l in range(4)]
+            # runtime |alpha| >= 1e-3 clamp (revcol.py:246)
+            alphas = [jnp.sign(a) * jnp.maximum(jnp.abs(a), 1e-3) for a in alphas]
+            lv = [
+                _RevColLevel(l, self.chans, self.layers, self.kernel, first,
+                             dtype=self.dtype, name=f"subnet{i}_level{l}")
+                for l in range(4)
+            ]
+            n0 = lv[0](x, c1, train) + (0 if first else alphas[0].astype(x.dtype) * c0)
+            n1 = lv[1](n0, c2, train) + (0 if first else alphas[1].astype(x.dtype) * c1)
+            n2 = lv[2](n1, c3, train) + (0 if first else alphas[2].astype(x.dtype) * c2)
+            n3 = lv[3](n2, None, train) + (0 if first else alphas[3].astype(x.dtype) * c3)
+            c0, c1, c2, c3 = n0, n1, n2, n3
+        return (c0, c1, c2, c3)
+
+
 WHOLE_BACKBONES.update({
     "efficientformerv2_s0": (EfficientFormerV2, "s0"),
     "efficientformerv2_s1": (EfficientFormerV2, "s1"),

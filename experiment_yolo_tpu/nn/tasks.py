@@ -493,6 +493,17 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "CARAFE":
             c2 = c1
             mod = X.CARAFE(*args, dtype=dtype)
+        elif mname == "RevCol":
+            # reversible-column backbone (revcol.py:252); YAML args
+            # [kernel, [channels], [layers], num_subnet]
+            from experiment_yolo_tpu.nn import backbones as BB
+
+            kern = str(args[0]) if args else "C2f"
+            chans = tuple(args[1]) if len(args) > 1 else (32, 64, 96, 128)
+            lay = tuple(args[2]) if len(args) > 2 else (2, 3, 6, 3)
+            nsub = int(args[3]) if len(args) > 3 else 5
+            c2 = list(chans)
+            mod = BB.RevCol(kernel=kern, chans=chans, layers=lay, num_subnet=nsub, dtype=dtype)
         elif mname in ("FasterNet", "ConvNeXtV2"):
             from experiment_yolo_tpu.nn import backbones as BB
 

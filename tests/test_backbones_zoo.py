@@ -129,3 +129,34 @@ def test_cswin_pkinet_shapes():
     outs = m.apply(v, x, False)  # five levels: /2 /4 /8 /16 /32
     assert [o.shape[-1] for o in outs] == [16, 32, 64, 128, 256]
     assert [o.shape[1] for o in outs] == [32, 16, 8, 4, 2]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+def test_revcol_param_parity():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    from experiment_yolo_tpu.nn.backbones import RevCol
+
+    rv = importlib.import_module("ultralytics.nn.backbone.revcol")
+    tm = rv.RevCol()
+    t = sum(p.numel() for p in tm.parameters())
+    m = RevCol()
+    v = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False))
+    import numpy as np
+
+    o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert o == t
+    assert tuple(tm.channel) == RevCol.channels()
+
+
+def test_revcol_runs():
+    from experiment_yolo_tpu.nn.backbones import RevCol
+
+    m = RevCol(num_subnet=2, layers=(1, 1, 2, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    outs = m.apply(v, x, False)
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
