@@ -1651,7 +1651,249 @@ class RevCol(nn.Module):
         return (c0, c1, c2, c3)
 
 
+
+# --------------------------------------------------------------------------
+# TransNeXt — reference nn/backbone/TransNeXt/TransNext_native.py
+# --------------------------------------------------------------------------
+
+TRANSNEXT_CFGS = {  # dims, heads, mlp_ratios, depths
+    "micro": ((48, 96, 192, 384), (2, 4, 8, 16), (8, 8, 4, 4), (2, 2, 15, 2)),
+    "tiny": ((72, 144, 288, 576), (3, 6, 12, 24), (8, 8, 4, 4), (2, 2, 15, 2)),
+    "small": ((72, 144, 288, 576), (3, 6, 12, 24), (8, 8, 4, 4), (5, 5, 22, 5)),
+    "base": ((96, 192, 384, 768), (4, 8, 16, 32), (8, 8, 4, 4), (5, 5, 23, 5)),
+}
+
+
+def _cpb_table(qh, qw, kh, kw):
+    """get_relative_position_cpb (TransNext_native.py:47) in numpy: unique
+    log-scaled relative offsets between the query grid and the pooled key
+    grid, plus the (Nq*Nk,) index map."""
+    import numpy as np
+
+    def adaptive_1d(n, k):
+        src = np.arange(n, dtype=np.float32)
+        return np.array([src[(i * n) // k: -((-(i + 1) * n) // k)].mean() for i in range(k)],
+                        np.float32)
+
+    akh, akw = adaptive_1d(qh, kh), adaptive_1d(qw, kw)
+    kyy, kxx = np.meshgrid(akh, akw, indexing="ij")
+    qyy, qxx = np.meshgrid(np.arange(qh, dtype=np.float32), np.arange(qw, dtype=np.float32),
+                           indexing="ij")
+    rh = (qyy.reshape(-1)[:, None] - kyy.reshape(-1)[None, :]) / max(qh - 1, 1) * 8
+    rw = (qxx.reshape(-1)[:, None] - kxx.reshape(-1)[None, :]) / max(qw - 1, 1) * 8
+    rel = np.stack([rh, rw], -1).reshape(-1, 2)
+    table, idx = np.unique(rel, axis=0, return_inverse=True)
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.astype(np.float32), idx.astype(np.int32)
+
+
+def _local_mask(h, w, ws):
+    """get_seqlen_and_mask (TransNext_native.py:74): per-position count of
+    valid window taps and the out-of-bounds mask (N, ws*ws)."""
+    import numpy as np
+
+    pad = ws // 2
+    ok = np.zeros((h, w, ws * ws), bool)
+    for i, (dy, dx) in enumerate([(a, b) for a in range(ws) for b in range(ws)]):
+        yy = np.arange(h) + dy - pad
+        xx = np.arange(w) + dx - pad
+        ok[:, :, i] = ((yy >= 0) & (yy < h))[:, None] & ((xx >= 0) & (xx < w))[None, :]
+    ok = ok.reshape(h * w, ws * ws)
+    return ok.sum(-1).astype(np.float32), ~ok
+
+
+class _TNAggregatedAttention(nn.Module):
+    """AggregatedAttention (TransNext_native.py:80): L2-normalized queries
+    with a learned query embedding and softplus temperature attend jointly
+    over a 3x3 local unfold and a pooled global sequence under one softmax,
+    with continuous (MLP) relative position bias on the pooled half and a
+    learnable dynamic bias on the local half."""
+
+    dim: int
+    heads: int
+    sr_ratio: int
+    window: int = 3
+    dtype: Dtype = jnp.float32
+
+    def _dense(self, c, name, bias=True):
+        return nn.Dense(c, use_bias=bias, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # x (B, H, W, C)
+        import numpy as np
+
+        B, H, W, C = x.shape
+        nh, hd = self.heads, C // self.heads
+        ws = self.window
+        L = ws * ws
+        ph, pw = H // self.sr_ratio, W // self.sr_ratio
+        pool_len = ph * pw
+        seq_valid, pad_mask = _local_mask(H, W, ws)
+        seq_scale = jnp.asarray(np.log(seq_valid + pool_len), jnp.float32)  # (N,)
+        table, idx = _cpb_table(H, W, ph, pw)
+
+        temp = self.param("temperature", lambda *_: jnp.full((nh, 1, 1), float(np.log(np.expm1(1 / 0.24)))),
+                          (nh, 1, 1))
+        qemb = self.param("query_embedding", nn.initializers.normal(0.02), (nh, 1, hd), jnp.float32)
+        rpb_local = self.param("relative_pos_bias_local", nn.initializers.normal(0.0004), (nh, L), jnp.float32)
+        ltok = self.param("learnable_tokens", nn.initializers.normal(0.02), (nh, hd, L), jnp.float32)
+        lbias = self.param("learnable_bias", nn.initializers.zeros, (nh, 1, L), jnp.float32)
+
+        N = H * W
+        xt = x.reshape(B, N, C)
+        q = self._dense(C, "q")(xt).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
+        qn = q * jax.lax.rsqrt((q * q).sum(-1, keepdims=True) + 1e-12)
+        qs = (qn + qemb.astype(qn.dtype)) * jax.nn.softplus(temp).astype(qn.dtype) \
+            * seq_scale.astype(qn.dtype)[None, None, :, None]
+        kv_dense = self._dense(2 * C, "kv")
+        kv = kv_dense(xt)
+        k_loc, v_loc = kv[..., :C], kv[..., C:]
+        k_loc = k_loc.reshape(B, N, nh, hd)
+        k_loc = k_loc * jax.lax.rsqrt((k_loc * k_loc).sum(-1, keepdims=True) + 1e-12)
+        k_map = k_loc.reshape(B, H, W, C)
+        v_map = v_loc.reshape(B, H, W, C)
+        pad = ws // 2
+        kp = jnp.pad(k_map, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        vp = jnp.pad(v_map, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        k_win = jnp.stack([kp[:, dy:dy + H, dx:dx + W] for dy in range(ws) for dx in range(ws)], 3)
+        v_win = jnp.stack([vp[:, dy:dy + H, dx:dx + W] for dy in range(ws) for dx in range(ws)], 3)
+        k_win = k_win.reshape(B, N, L, nh, hd).transpose(0, 3, 1, 2, 4)  # (B,nh,N,L,hd)
+        v_win = v_win.reshape(B, N, L, nh, hd).transpose(0, 3, 1, 2, 4)
+        attn_local = jnp.einsum("bhnd,bhnld->bhnl", qs, k_win) + rpb_local.astype(qs.dtype)[None, :, None]
+        attn_local = jnp.where(jnp.asarray(pad_mask)[None, None], -jnp.inf, attn_local)
+
+        # pooled branch: 1x1 sr conv + GELU + adaptive pool + LN
+        sp = _bare_conv_bias(x, C, 1, self.dtype, "sr")
+        sp = _adaptive_pool_nhwc(jax.nn.gelu(sp, approximate=False), ph, pw)
+        sp = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(
+            sp.reshape(B, pool_len, C))
+        kv_pool = kv_dense(sp).reshape(B, pool_len, 2 * nh, hd).transpose(0, 2, 1, 3)
+        k_pool, v_pool = kv_pool[:, :nh], kv_pool[:, nh:]
+        k_pool = k_pool * jax.lax.rsqrt((k_pool * k_pool).sum(-1, keepdims=True) + 1e-12)
+        cpb = self._dense(nh, "cpb_fc2")(jax.nn.relu(self._dense(512, "cpb_fc1")(
+            jnp.asarray(table))))  # (n_off, nh)
+        pool_bias = cpb.T[:, jnp.asarray(idx)].reshape(nh, N, pool_len)
+        attn_pool = qs @ k_pool.transpose(0, 1, 3, 2) + pool_bias.astype(qs.dtype)[None]
+
+        attn = jax.nn.softmax(jnp.concatenate([attn_local, attn_pool], -1), axis=-1)
+        a_loc, a_pool = attn[..., :L], attn[..., L:]
+        dyn = jnp.einsum("bhnd,hdl->bhnl", qn, ltok.astype(qn.dtype)) + lbias.astype(qn.dtype)[None, :, None].reshape(1, nh, 1, L)
+        x_local = jnp.einsum("bhnl,bhnld->bhnd", a_loc + dyn, v_win)
+        x_pool = a_pool @ v_pool
+        out = (x_local + x_pool).transpose(0, 2, 1, 3).reshape(B, H, W, C)
+        return self._dense(C, "proj")(out)
+
+
+def _adaptive_pool_nhwc(x, oh, ow):
+    from experiment_yolo_tpu.nn.extra_modules import _adaptive_avg_pool
+
+    return _adaptive_avg_pool(x, oh, ow)
+
+
+class _TNAttention(nn.Module):
+    """Full attention with cosine qk + cpb bias (TransNext_native.py:188)."""
+
+    dim: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    def _dense(self, c, name):
+        return nn.Dense(c, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import numpy as np
+
+        B, H, W, C = x.shape
+        nh, hd = self.heads, C // self.heads
+        N = H * W
+        table, idx = _cpb_table(H, W, H, W)
+        temp = self.param("temperature", lambda *_: jnp.full((nh, 1, 1), float(np.log(np.expm1(1 / 0.24)))),
+                          (nh, 1, 1))
+        qemb = self.param("query_embedding", nn.initializers.normal(0.02), (nh, 1, hd), jnp.float32)
+        xt = x.reshape(B, N, C)
+        qkv = self._dense(3 * C, "qkv")(xt).reshape(B, N, 3 * nh, hd).transpose(0, 2, 1, 3)
+        q, k, v = qkv[:, :nh], qkv[:, nh:2 * nh], qkv[:, 2 * nh:]
+        qn = q * jax.lax.rsqrt((q * q).sum(-1, keepdims=True) + 1e-12)
+        kn = k * jax.lax.rsqrt((k * k).sum(-1, keepdims=True) + 1e-12)
+        cpb = self._dense(nh, "cpb_fc2")(jax.nn.relu(self._dense(512, "cpb_fc1")(jnp.asarray(table))))
+        bias = cpb.T[:, jnp.asarray(idx)].reshape(nh, N, N)
+        scale = jax.nn.softplus(temp).astype(qn.dtype) * jnp.float32(np.log(N)).astype(qn.dtype)
+        attn = ((qn + qemb.astype(qn.dtype)) * scale) @ kn.transpose(0, 1, 3, 2) + bias.astype(qn.dtype)[None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, H, W, C)
+        return self._dense(C, "proj")(out)
+
+
+class _TNBlock(nn.Module):
+    """TransNeXt Block (TransNext_native.py:233): attention + conv GLU."""
+
+    dim: int
+    heads: int
+    sr_ratio: int
+    mlp_ratio: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        if self.sr_ratio == 1:
+            y = _TNAttention(self.dim, self.heads, dtype=self.dtype, name="attn")(y, train)
+        else:
+            y = _TNAggregatedAttention(self.dim, self.heads, self.sr_ratio,
+                                       dtype=self.dtype, name="attn")(y, train)
+        x = x + y
+        z = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        hidden = int(2 * int(self.dim * self.mlp_ratio) / 3)
+        g = nn.Dense(hidden * 2, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(z)
+        a, v = g[..., :hidden], g[..., hidden:]
+        a = nn.Conv(hidden, (3, 3), padding=[(1, 1)] * 2, feature_group_count=hidden, use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="mlp_dwconv")(a)
+        a = jax.nn.gelu(a, approximate=False) * v
+        z = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(a)
+        return x + z
+
+
+class TransNeXt(nn.Module):
+    """TransNeXt (TransNext_native.py:295): overlap patch embeds + four
+    stages of aggregated/full attention blocks with convolutional GLU FFNs;
+    features at /4, /8, /16, /32."""
+
+    variant: str = "micro"
+    dtype: Dtype = jnp.float32
+
+    @staticmethod
+    def channels(variant: str):
+        return TRANSNEXT_CFGS[variant][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, heads, mlps, depths = TRANSNEXT_CFGS[self.variant]
+        srs = (8, 4, 2, 1)
+        feats = []
+        y = x
+        for i in range(4):
+            k = 7 if i == 0 else 3
+            s = 4 if i == 0 else 2
+            y = nn.Conv(dims[i], (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+                        use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"patch_embed{i + 1}")(y)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"embed_norm{i + 1}")(y)
+            for j in range(depths[i]):
+                y = _TNBlock(dims[i], heads[i], srs[i], mlps[i], dtype=self.dtype,
+                             name=f"s{i}_b{j}")(y, train)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
+                             name=f"norm{i + 1}")(y)
+            feats.append(y)
+        return tuple(feats)
+
+
 WHOLE_BACKBONES.update({
+    "transnext_micro": (TransNeXt, "micro"),
+    "transnext_tiny": (TransNeXt, "tiny"),
+    "transnext_small": (TransNeXt, "small"),
+    "transnext_base": (TransNeXt, "base"),
     "efficientformerv2_s0": (EfficientFormerV2, "s0"),
     "efficientformerv2_s1": (EfficientFormerV2, "s1"),
     "efficientformerv2_s2": (EfficientFormerV2, "s2"),

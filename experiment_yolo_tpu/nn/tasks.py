@@ -84,6 +84,7 @@ _ATTENTION = {
     "deformable_LKA": X.DeformableLKA,
     "DAttention": X.DAttention,
     "FocusedLinearAttention": X.FocusedLinearAttention,
+    "TransNeXt_AggregatedAttention": "TN_AGG",
 }
 
 # HS-FPN gates (reference tasks.py:966: channel-preserving, args prepended)
@@ -195,8 +196,11 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
             inner = _zoo_inner(mname)
             extra = None
             rest = list(args[1:])
-            if inner in ("SWC", "iRMB_DRB", "iRMB_SWC", "UniRepLKNetBlock",
-                         "DAttention", "FocusedLinearAttention", "Parc") and rest:
+            if inner == "AggregatedAtt" and len(rest) >= 2:
+                # (c1, c2, n, input_resolution, sr_ratio, ...) block.py:3609
+                extra = (rest.pop(0), rest.pop(0))
+            elif inner in ("SWC", "iRMB_DRB", "iRMB_SWC", "UniRepLKNetBlock",
+                           "DAttention", "FocusedLinearAttention", "Parc") and rest:
                 # reference signature (c1, c2, n, kernel_size, shortcut, ...)
                 extra = rest.pop(0)
             shortcut = bool(rest[0]) if rest else False
@@ -435,6 +439,12 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 # reference signature (channel, fmapsize); channels inferred here
                 fs = tuple(args[0]) if args else (20, 20)
                 mod = _ATTENTION[mname](fs, dtype=dtype)
+            elif mname == "TransNeXt_AggregatedAttention":
+                # (dim, input_resolution, sr_ratio) attention.py:1530
+                from experiment_yolo_tpu.nn.backbones import _TNAggregatedAttention
+
+                sr = int(args[1]) if len(args) > 1 else 2
+                mod = _TNAggregatedAttention(c1, 8, sr, dtype=dtype)
             elif mname == "SimAM":
                 mod = _ATTENTION[mname](*args)
             else:

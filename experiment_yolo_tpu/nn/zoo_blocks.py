@@ -1552,6 +1552,7 @@ INNER_BLOCKS: Dict[str, Callable] = {
     "Parc": lambda c, s, dt, nm, k0, ex=None: _ParCBottleneck(c, ex, k0=k0, shortcut=s, dtype=dt, name=nm),
     "RetBlock": lambda c, s, dt, nm, k0, ex=None: __import__("experiment_yolo_tpu.nn.backbones", fromlist=["x"])._RetBlock(c, 8, c, init_value=2, heads_range=4, chunk=True, dtype=dt, name=nm),
     "PKIModule": lambda c, s, dt, nm, k0, ex=None: PKIModule(c, dtype=dt, name=nm),
+    "AggregatedAtt": lambda c, s, dt, nm, k0, ex=None: _AttnBottleneck(c, "AggregatedAtt", k0=k0, shortcut=s, extra=ex, dtype=dt, name=nm),
     "OREPA": lambda c, s, dt, nm, k0, ex=None: _OREPABottleneck(c, k0=k0, shortcut=s, dtype=dt, name=nm),
     "PPA": lambda c, s, dt, nm, k0, ex=None: PPA(c, dtype=dt, name=nm),
     "Faster_CGLU": lambda c, s, dt, nm, k0, ex=None: FasterBlockCGLU(c, dtype=dt, name=nm),
@@ -1591,6 +1592,11 @@ class _AttnBottleneck(nn.Module):
         elif self.attn == "FocusedLinearAttention":
             fs = tuple(self.extra) if self.extra else (x.shape[1], x.shape[2])
             y = X.FocusedLinearAttention(fs, dtype=self.dtype, name="attention")(y, train)
+        elif self.attn == "AggregatedAtt":
+            from experiment_yolo_tpu.nn.backbones import _TNAggregatedAttention
+
+            sr = int(self.extra[1]) if self.extra and len(self.extra) > 1 else 2
+            y = _TNAggregatedAttention(self.c2, 8, sr, dtype=self.dtype, name="attention")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             return x + y
         return y

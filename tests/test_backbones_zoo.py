@@ -80,7 +80,7 @@ head:
 @pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
 @pytest.mark.parametrize(
     "name",
-    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a", "vanillanet_6", "RMT_T", "CSWin_tiny", "PKINET_T", "efficientformerv2_s0"],
+    ["EfficientViT_M0", "repvit_m0_9", "lsknet_t", "MobileNetV4ConvSmall", "SwinTransformer_Tiny", "unireplknet_a", "vanillanet_6", "RMT_T", "CSWin_tiny", "PKINET_T", "efficientformerv2_s0", "transnext_micro"],
 )
 def test_param_count_parity(name):
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
@@ -99,6 +99,7 @@ def test_param_count_parity(name):
         "CSWin_tiny": "ultralytics.nn.backbone.CSwomTramsformer",
         "PKINET_T": "ultralytics.nn.backbone.pkinet",
         "efficientformerv2_s0": "ultralytics.nn.backbone.EfficientFormerV2",
+        "transnext_micro": "ultralytics.nn.backbone.TransNext",
     }
     tmodel = getattr(importlib.import_module(mod_of[name]), name)()
     t_params = sum(p.numel() for p in tmodel.parameters())

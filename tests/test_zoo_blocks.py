@@ -70,7 +70,7 @@ head:
         "C2f_CloAtt", "C3_CloAtt", "C2f_DLKA", "C3_DLKA", "C2f_DCNv2_Dynamic",
         "C2f_DWR_DRB", "C3_DWR_DRB", "C2f_DAttention", "C2f_FocusedLinearAttention",
         "C2f_FADC", "C3_FADC", "C2f_Parc", "C3_Parc", "C2f_RetBlock", "C3_RetBlock",
-        "C2f_PKIModule", "C3_PKIModule",
+        "C2f_PKIModule", "C3_PKIModule", "C2f_AggregatedAtt", "C3_AggregatedAtt",
     ],
 )
 def test_param_count_parity(name):
@@ -86,7 +86,13 @@ def test_param_count_parity(name):
     extra = {"C2f_SWC": 13, "C3_SWC": 13, "C2f_iRMB_DRB": 13, "C2f_iRMB_SWC": 13,
              "C2f_DAttention": (16, 16), "C2f_FocusedLinearAttention": (16, 16),
              "C2f_Parc": (16, 16), "C3_Parc": (16, 16)}.get(name)
-    tm = tcls(c, c, 1) if extra is None else tcls(c, c, 1, extra)
+    if "AggregatedAtt" in name:
+        extra = ((16, 16), 2)
+        tm = tcls(c, c, 1, [16, 16], 2)
+    elif extra is None:
+        tm = tcls(c, c, 1)
+    else:
+        tm = tcls(c, c, 1, extra)
     t_params = sum(p.numel() for p in tm.parameters())
 
     container = C2fX if name.startswith("C2f_") else C3X
