@@ -81,6 +81,9 @@ CONVNEXTV2_CFGS = {
     "pico": ((64, 128, 256, 512), (2, 2, 6, 2)),
     "nano": ((80, 160, 320, 640), (2, 2, 8, 2)),
     "tiny": ((96, 192, 384, 768), (3, 3, 9, 3)),
+    "base": ((128, 256, 512, 1024), (3, 3, 27, 3)),
+    "large": ((192, 384, 768, 1536), (3, 3, 27, 3)),
+    "huge": ((352, 704, 1408, 2816), (3, 3, 27, 3)),
 }
 
 
@@ -729,6 +732,9 @@ UNIREPLK_CFGS = {  # dims, depths
     "n": ((80, 160, 320, 640), (2, 2, 8, 2)),
     "t": ((80, 160, 320, 640), (3, 3, 18, 3)),
     "s": ((96, 192, 384, 768), (3, 3, 27, 3)),
+    "b": ((128, 256, 512, 1024), (3, 3, 27, 3)),
+    "l": ((192, 384, 768, 1536), (3, 3, 27, 3)),
+    "xl": ((256, 512, 1024, 2048), (3, 3, 27, 3)),
 }
 _UNIREPLK_KS = {  # depths -> per-stage kernel tables (UniRepLKNet.py:336)
     (2, 2, 6, 2): ((3, 3), (13, 13), (13,) * 6, (13, 13)),
@@ -781,6 +787,10 @@ VANILLANET_CFGS = {  # dims, strides (VanillaNet.py:224-297)
     "8": ((512, 512, 1024, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 2, 1)),
     "9": ((512, 512, 1024, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 2, 1)),
     "10": ((512, 512, 1024, 2048, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 1, 2, 1)),
+    "11": ((512, 512, 1024, 2048, 2048, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 1, 1, 2, 1)),
+    "12": ((512, 512, 1024, 2048, 2048, 2048, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 1, 1, 1, 2, 1)),
+    "13": ((512, 512, 1024, 2048, 2048, 2048, 2048, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1)),
+    "13_x1_5": ((768, 768, 1536, 3072, 3072, 3072, 3072, 3072, 3072, 3072, 6144, 6144), (1, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1)),
 }
 
 
@@ -1890,6 +1900,16 @@ class TransNeXt(nn.Module):
 
 
 WHOLE_BACKBONES.update({
+    "vanillanet_11": (VanillaNet, "11"),
+    "vanillanet_12": (VanillaNet, "12"),
+    "vanillanet_13": (VanillaNet, "13"),
+    "vanillanet_13_x1_5": (VanillaNet, "13_x1_5"),
+    "unireplknet_b": (UniRepLKNet, "b"),
+    "unireplknet_l": (UniRepLKNet, "l"),
+    "unireplknet_xl": (UniRepLKNet, "xl"),
+    "convnextv2_base": (ConvNeXtV2, "base"),
+    "convnextv2_large": (ConvNeXtV2, "large"),
+    "convnextv2_huge": (ConvNeXtV2, "huge"),
     "transnext_micro": (TransNeXt, "micro"),
     "transnext_tiny": (TransNeXt, "tiny"),
     "transnext_small": (TransNeXt, "small"),

@@ -1511,3 +1511,76 @@ class FocusedLinearAttention(nn.Module):
                      param_dtype=jnp.float32, name="dwc")(fm).reshape(B * nh, H * W, hd)
         o = o + fm + lepe
         return o.reshape(B, nh, H * W, hd).transpose(0, 2, 1, 3).reshape(B, H, W, C)
+
+
+class BiLevelRoutingAttention(nn.Module):
+    """BiFormer bi-level routing attention (extra_modules/attention.py:206
+    legacy NHWC form; :489 nchw form via `nchw=True`): window-mean
+    query/key routing picks top-k regions per window (routing is
+    stop-gradiented, diff_routing=False), token attention runs only over the
+    gathered regions, plus a depthwise LCE branch on v."""
+
+    num_heads: int = 8
+    n_win: int = 7
+    topk: int = 4
+    side_dwconv: int = 3
+    nchw: bool = False  # BiLevelRoutingAttention_nchw: conv qkv/proj
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H0, W0, C = x.shape
+        nw = self.n_win
+        pad_b, pad_r = (nw - H0 % nw) % nw, (nw - W0 % nw) % nw
+        xp = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        B, H, W, _ = xp.shape
+        rh, rw = H // nw, W // nw
+        R = nw * nw
+        w2 = rh * rw
+        nh = self.num_heads
+        hd = C // nh
+        scale = C**-0.5
+
+        if self.nchw:
+            qkv = nn.Conv(3 * C, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="qkv_linear")(xp)
+            q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+        else:
+            qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                           name="qkv")(xp)
+            q, kv = qkv[..., :C], qkv[..., C:]
+            k, v = kv[..., :C], kv[..., C:]
+
+        def to_regions(t):  # (B, H, W, C) -> (B, R, w2, C)
+            t = t.reshape(B, nw, rh, nw, rw, C).transpose(0, 1, 3, 2, 4, 5)
+            return t.reshape(B, R, w2, C)
+
+        qr, kr, vr = to_regions(q), to_regions(k), to_regions(v)
+        # routing adjacency on detached window means
+        q_win = jax.lax.stop_gradient(qr.mean(2))
+        k_win = jax.lax.stop_gradient(kr.mean(2))
+        a_r = q_win @ k_win.transpose(0, 2, 1)  # (B, R, R)
+        idx = jax.lax.top_k(a_r, self.topk)[1]  # (B, R, topk)
+
+        def gather(kv_, id_):  # (R, w2, C), (R, k) -> (R, k, w2, C)
+            return kv_[id_]
+
+        k_sel = jax.vmap(gather)(kr, idx).reshape(B, R, self.topk * w2, C)
+        v_sel = jax.vmap(gather)(vr, idx).reshape(B, R, self.topk * w2, C)
+        qf = qr.reshape(B, R, w2, nh, hd).transpose(0, 1, 3, 2, 4)
+        kf = k_sel.reshape(B, R, self.topk * w2, nh, hd).transpose(0, 1, 3, 2, 4)
+        vf = v_sel.reshape(B, R, self.topk * w2, nh, hd).transpose(0, 1, 3, 2, 4)
+        attn = jax.nn.softmax((qf * scale) @ kf.transpose(0, 1, 2, 4, 3), axis=-1)
+        out = (attn @ vf).transpose(0, 1, 3, 2, 4).reshape(B, R, w2, C)
+        out = out.reshape(B, nw, nw, rh, rw, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+        lepe = nn.Conv(C, (self.side_dwconv, self.side_dwconv),
+                       padding=[(self.side_dwconv // 2, self.side_dwconv // 2)] * 2,
+                       feature_group_count=C, use_bias=True, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="lepe")(v)
+        out = out + lepe
+        if self.nchw:
+            out = nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="output_linear")(out)
+        else:
+            out = nn.Dense(C, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="wo")(out)
+        return out[:, :H0, :W0]

@@ -85,6 +85,8 @@ _ATTENTION = {
     "DAttention": X.DAttention,
     "FocusedLinearAttention": X.FocusedLinearAttention,
     "TransNeXt_AggregatedAttention": "TN_AGG",
+    "BiLevelRoutingAttention": X.BiLevelRoutingAttention,
+    "BiLevelRoutingAttention_nchw": "BRA_NCHW",
 }
 
 # HS-FPN gates (reference tasks.py:966: channel-preserving, args prepended)
@@ -389,6 +391,43 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                                        s=args[2] if len(args) > 2 else 1, dtype=dtype)
             else:
                 mod = Z.RepVGGBlockOREPA(c2, s=args[2] if len(args) > 2 else 1, dtype=dtype)
+        elif mname in ("C1", "C2"):
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            if mname == "C1":
+                mod = Z.C1(c2, n=n, dtype=dtype)
+            else:
+                mod = Z.C2(c2, n=n, shortcut=bool(args[1]) if len(args) > 1 else True, dtype=dtype)
+            n = 1
+        elif mname == "DWConvTranspose2d":
+            # depthwise transpose conv (modules/conv.py:124)
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            import math as _m
+
+            k = args[1] if len(args) > 1 else 1
+            st = args[2] if len(args) > 2 else 1
+            mod = X.ConvTranspose(c2, k=k, s=st, bn=False, act=False,
+                                  groups=_m.gcd(c1, c2), dtype=dtype)
+        elif mname == "SEAM":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = c1  # the reference coerces c2 = c1 (block.py:3974)
+            mod = Z.SEAM(c1, n=args[1] if len(args) > 1 else 1,
+                         reduction=args[2] if len(args) > 2 else 16, dtype=dtype)
+        elif mname == "DySnakeConv":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            cc = _scale_ch(args[0], nc, width, max_channels)
+            c2 = cc * 3  # concat of three branches (reference tasks.py:868)
+            mod = Z.DySnakeConv(cc, k=args[1] if len(args) > 1 else 3, dtype=dtype)
+        elif mname == "Bottleneck_LDConv":
+            from experiment_yolo_tpu.nn import zoo_blocks as Z
+
+            c2 = _scale_ch(args[0], nc, width, max_channels)
+            sc = bool(args[1]) if len(args) > 1 else True
+            kk = tuple(args[3]) if len(args) > 3 else (1, 1)
+            mod = Z._LDBottleneck(c2, k=kk, shortcut=sc, dtype=dtype)
         elif mname == "SPPF_LSKA":
             from experiment_yolo_tpu.nn import zoo_blocks as Z
 
@@ -439,6 +478,10 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
                 # reference signature (channel, fmapsize); channels inferred here
                 fs = tuple(args[0]) if args else (20, 20)
                 mod = _ATTENTION[mname](fs, dtype=dtype)
+            elif mname == "BiLevelRoutingAttention_nchw":
+                mod = X.BiLevelRoutingAttention(nchw=True, dtype=dtype)
+            elif mname == "BiLevelRoutingAttention":
+                mod = X.BiLevelRoutingAttention(dtype=dtype)
             elif mname == "TransNeXt_AggregatedAttention":
                 # (dim, input_resolution, sr_ratio) attention.py:1530
                 from experiment_yolo_tpu.nn.backbones import _TNAggregatedAttention

@@ -2940,3 +2940,61 @@ class PKIModule(nn.Module):
         else:
             x = x * y
         return _conv(x, self.c2, 1, train, self.dtype, "post_conv")
+
+
+class C1(nn.Module):
+    """C1 (modules/block.py:174): 1x1 in, n 3x3 convs, residual."""
+
+    c2: int
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _conv(x, self.c2, 1, train, self.dtype, "cv1")
+        z = y
+        for i in range(self.n):
+            z = _conv(z, self.c2, 3, train, self.dtype, f"m{i}")
+        return z + y
+
+
+class C2(nn.Module):
+    """C2 (modules/block.py:189): split-channel CSP with n bottlenecks."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.modules import Bottleneck
+
+        c = self.c2 // 2
+        y = ConvBN(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            a = Bottleneck(c, shortcut=self.shortcut, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m{i}")(a, train)
+        return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
+class _LDBottleneck(nn.Module):
+    """Bottleneck_LDConv (modules/block.py:611): both convs are LDConv with
+    num_param from k."""
+
+    c2: int
+    k: Tuple[int, int] = (1, 1)
+    e: float = 0.5
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from experiment_yolo_tpu.nn.modules import LDConv
+
+        c_ = int(self.c2 * self.e)
+        y = LDConv(c_, self.k[0], dtype=self.dtype, name="cv1")(x, train)
+        y = LDConv(self.c2, self.k[1], dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y

@@ -84,3 +84,41 @@ def test_misc_block_param_parity():
         v = jax.eval_shape(lambda om=om, xi=xi: om.init(jax.random.PRNGKey(0), xi, False))
         o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
         assert t == o, f"{name}: ours {o:,} vs reference {t:,}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+def test_small_registry_parity():
+    """C1/C2 (modules/block.py:174/189), Bottleneck_LDConv (:611),
+    BiLevelRoutingAttention legacy+nchw (attention.py:206/489)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import importlib
+
+    mb = importlib.import_module("ultralytics.nn.modules.block")
+    at = importlib.import_module("ultralytics.nn.extra_modules.attention")
+    from experiment_yolo_tpu.nn.extra_modules import BiLevelRoutingAttention
+
+    x = jnp.zeros((1, 14, 14, 64))
+    cases = [
+        (mb.C1(64, 64, 2), Z.C1(64, n=2)),
+        (mb.C2(64, 64, 2), Z.C2(64, n=2)),
+        (mb.Bottleneck_LDConv(64, 64, True, 1, (4, 4)), Z._LDBottleneck(64, k=(4, 4))),
+        (at.BiLevelRoutingAttention(64), BiLevelRoutingAttention()),
+        (at.BiLevelRoutingAttention_nchw(64), BiLevelRoutingAttention(nchw=True)),
+    ]
+    for tm, om in cases:
+        t = sum(p.numel() for p in tm.parameters())
+        v = jax.eval_shape(lambda om=om: om.init(jax.random.PRNGKey(0), x, False))
+        o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert t == o, f"{type(tm).__name__}: ours {o:,} vs reference {t:,}"
+
+
+def test_bra_runs():
+    from experiment_yolo_tpu.nn.extra_modules import BiLevelRoutingAttention
+
+    x = jnp.ones((2, 14, 14, 64)) * 0.2
+    for m in [BiLevelRoutingAttention(), BiLevelRoutingAttention(nchw=True)]:
+        v = m.init(jax.random.PRNGKey(0), x, False)
+        y = m.apply(v, x, False)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
