@@ -1479,7 +1479,12 @@ class FocusedLinearAttention(nn.Module):
         v = v.reshape(B, H * W, C)
         pe = self.param("positional_encoding", nn.initializers.zeros,
                         (1, self.resolution[0] * self.resolution[1], C), jnp.float32)
-        k = k + pe[:, :H * W].astype(k.dtype)
+        if (H, W) != tuple(self.resolution):  # off-size map: resize the grid
+            pe2 = pe.reshape(1, self.resolution[0], self.resolution[1], C)
+            pe2 = jax.image.resize(pe2, (1, H, W, C), "bilinear").reshape(1, H * W, C)
+        else:
+            pe2 = pe
+        k = k + pe2.astype(k.dtype)
         scale = jax.nn.softplus(self.param("scale", nn.initializers.zeros, (1, 1, C), jnp.float32))
         ff = self.focusing_factor
         q = jax.nn.relu(q) + 1e-6
