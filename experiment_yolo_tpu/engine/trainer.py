@@ -345,6 +345,12 @@ class DetectionTrainer:
 
             def loss_fn(params):
                 kw_kwargs = {"kw_temp": kw_temp} if has_kw else {}
+                if is_rtdetr:
+                    # contrastive denoising groups, keyed off the step
+                    kw_kwargs["dn_gt"] = {"bboxes": batch["bboxes"], "cls": batch["cls"],
+                                          "mask": batch["mask"]}
+                    kw_kwargs["dn_rng"] = jax.random.fold_in(jax.random.PRNGKey(3407),
+                                                             state.step)
                 out, upd = model.module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     imgs,
@@ -356,7 +362,7 @@ class DetectionTrainer:
                 if is_rtdetr:
                     from experiment_yolo_tpu.utils.detr_loss import rtdetr_loss
 
-                    out = jax.tree.map(lambda f: f.astype(jnp.float32), out)
+                    out = jax.tree.map(lambda f: f.astype(jnp.float32) if hasattr(f, "astype") else f, out)
                     total, c = rtdetr_loss(out, tb, model.nc)
                     comps = {"box": c["bbox"] + c["giou"], "cls": c["cls"], "dfl": jnp.asarray(0.0)}
                     new_iou = state.iou_mean

@@ -815,7 +815,8 @@ class GraphModel(nn.Module):
     kw: Any = None  # KWManager plan (kernel_warehouse.py) or None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, capture: Tuple[int, ...] = (), kw_temp=0.0):
+    def __call__(self, x, train: bool = False, capture: Tuple[int, ...] = (), kw_temp=0.0,
+                 dn_gt=None, dn_rng=None):
         kw_cells = self.kw.warehouse_params(self) if self.kw is not None else None
         saved: Dict[int, Any] = {}
         captured: Dict[int, Any] = {}
@@ -827,6 +828,8 @@ class GraphModel(nn.Module):
                 inp = out if f[0] == -1 else saved[f[0]]
             if getattr(m, "kw_aware", False):
                 out = m(inp, train, warehouse=kw_cells, kw_temp=kw_temp)
+            elif getattr(m, "dn_aware", False) and dn_gt is not None:
+                out = m(inp, train, dn_gt=dn_gt, dn_rng=dn_rng)
             else:
                 out = m(inp, train)
             if i in self.save:
@@ -958,14 +961,17 @@ class DetectionModel:
         return variables
 
     # -- functional forward ------------------------------------------------
-    def apply(self, variables, x, train: bool = False, mutable=False, kw_temp=0.0):
+    def apply(self, variables, x, train: bool = False, mutable=False, kw_temp=0.0,
+              dn_gt=None, dn_rng=None):
         """Raw forward: returns list of per-level (B,H,W,no) maps.
 
         With train=True and mutable=['batch_stats'], returns (feats, updates).
         `kw_temp` is the Kernel-Warehouse temperature (0 = learned mixture
-        only — the inference setting, reference tasks.py:301).
+        only — the inference setting, reference tasks.py:301). `dn_gt` /
+        `dn_rng` feed RT-DETR contrastive denoising groups in training.
         """
-        return self.module.apply(variables, x, train, mutable=mutable, kw_temp=kw_temp)
+        return self.module.apply(variables, x, train, mutable=mutable, kw_temp=kw_temp,
+                                 dn_gt=dn_gt, dn_rng=dn_rng)
 
     def predict(self, variables, x):
         """Inference decode: (boxes xywh pixels (B,A,4), scores (B,A,nc)).

@@ -188,11 +188,11 @@ class DeformableDecoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, embed, refer_bbox, feats, shapes, query_pos):
+    def __call__(self, embed, refer_bbox, feats, shapes, query_pos, attn_mask=None):
         q = k = embed + query_pos
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, dtype=self.dtype, param_dtype=jnp.float32, name="self_attn"
-        )(q, k, embed)
+        )(q, k, embed, mask=attn_mask)
         embed = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(embed + attn)
         cross = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points, dtype=self.dtype, name="cross_attn"
@@ -208,8 +208,12 @@ class RTDETRDecoder(nn.Module):
 
     Reference head.py:210. Returns, at inference, (B, nq, 4 + nc) with
     normalized cxcywh boxes and sigmoided scores; in train mode, the
-    per-layer decoder boxes/scores plus encoder outputs (for a DETR loss).
-    Denoising groups (get_cdn_group) are not yet wired in.
+    per-layer decoder boxes/scores plus encoder outputs (for a DETR loss),
+    and — when `dn_gt`/`dn_rng` are supplied — the contrastive denoising
+    group outputs (reference models/utils/ops.py:153 get_cdn_group),
+    rebuilt with STATIC shapes: the padded GT width M fixes the group size,
+    so 2*num_group*M denoising queries join the decoder under a block
+    self-attention mask and padded slots mask out of the loss.
     """
 
     nc: int = 80
@@ -220,16 +224,64 @@ class RTDETRDecoder(nn.Module):
     nh: int = 8
     ndl: int = 6
     d_ffn: int = 1024
+    num_dn: int = 100
+    cls_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
     dtype: Dtype = jnp.float32
 
+    dn_aware = True  # GraphModel threads dn_gt/dn_rng to this head
+
+    def _cdn(self, dn_gt, dn_rng, class_embed):
+        """Static-shape get_cdn_group: noised positive + shifted negative
+        copies of every (padded) GT slot, num_group copies each."""
+        gt_bboxes = dn_gt["bboxes"].astype(jnp.float32)  # (B, M, 4) cxcywh
+        gt_cls = dn_gt["cls"].astype(jnp.int32)  # (B, M)
+        mask_gt = dn_gt["mask"].astype(jnp.bool_)
+        B, M = gt_cls.shape
+        num_group = max(1, self.num_dn // max(M, 1))
+        D = 2 * num_group * M
+        k1, k2, k3, k4 = jax.random.split(dn_rng, 4)
+        cls_r = jnp.tile(gt_cls, (1, 2 * num_group))  # (B, D)
+        box_r = jnp.tile(gt_bboxes, (1, 2 * num_group, 1))  # (B, D, 4)
+        # class noise on half of cls_noise_ratio slots
+        flip = jax.random.uniform(k1, (B, D)) < (self.cls_noise_ratio * 0.5)
+        rand_lbl = jax.random.randint(k2, (B, D), 0, self.nc)
+        cls_r = jnp.where(flip, rand_lbl, cls_r)
+        # box noise: positives jitter within the box, negatives are pushed
+        # one box-width outside (the contrastive part)
+        xy, wh = box_r[..., :2], box_r[..., 2:]
+        xyxy = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        diff = jnp.tile(wh * 0.5, (1, 1, 2)) * self.box_noise_scale
+        sign = jax.random.randint(k3, (B, D, 4), 0, 2).astype(jnp.float32) * 2.0 - 1.0
+        part = jax.random.uniform(k4, (B, D, 4))
+        is_neg = (jnp.arange(D) // (num_group * M)) == 1  # second half
+        part = part + is_neg[None, :, None].astype(part.dtype)
+        xyxy = jnp.clip(xyxy + part * sign * diff, 0.0, 1.0)
+        nxy = (xyxy[..., :2] + xyxy[..., 2:]) / 2
+        nwh = xyxy[..., 2:] - xyxy[..., :2]
+        box_n = jnp.concatenate([nxy, nwh], -1)
+        box_logit = jnp.log(jnp.clip(box_n, 1e-6, 1) / jnp.clip(1 - box_n, 1e-6, 1))
+        dn_embed = class_embed[cls_r]  # (B, D, hd)
+        # block mask (True = may attend): matching queries never see dn;
+        # dn groups see only their own group (2M-wide pos+neg pair blocks
+        # in the reference use per-group isolation of the positive+negative
+        # pair block; reference masks groups of size 2*M... its layout is
+        # [g0..g{n-1} positives][g0..g{n-1} negatives]; each group index is
+        # isolated per i in both halves)
+        T = D + self.nq
+        grp = jnp.arange(D) % (num_group * M) // M  # group id within half
+        same = grp[:, None] == grp[None, :]
+        allow = jnp.ones((T, T), bool)
+        allow = allow.at[:D, :D].set(same)
+        allow = allow.at[D:, :D].set(False)
+        return dn_embed, box_logit, allow, {"num_group": num_group, "M": M, "D": D}
+
     @nn.compact
-    def __call__(self, xs, train: bool = False):
+    def __call__(self, xs, train: bool = False, dn_gt=None, dn_rng=None):
         b = xs[0].shape[0]
         nl = len(xs)
-        # class embedding for denoising groups (training-time contrastive
-        # denoising, reference get_cdn_group — declared now so checkpoints
-        # stay stable when denoising lands)
-        self.param("denoising_class_embed", nn.initializers.normal(1.0), (self.nc, self.hd), jnp.float32)
+        class_embed = self.param("denoising_class_embed", nn.initializers.normal(1.0),
+                                 (self.nc, self.hd), jnp.float32)
         # input projection + flatten (NHWC tokens are h-major like torch)
         feats_l, shapes = [], []
         for i, x in enumerate(xs):
@@ -271,9 +323,19 @@ class RTDETRDecoder(nn.Module):
         enc_bboxes = jax.nn.sigmoid(refer_bbox)
         enc_top_scores = jnp.take_along_axis(enc_scores, topk_idx[..., None], axis=1)
 
-        # decoder with iterative box refinement
+        # decoder with iterative box refinement (+ optional denoising)
         embed = jax.lax.stop_gradient(top_feats) if train else top_feats
-        refer = jax.nn.sigmoid(jax.lax.stop_gradient(refer_bbox) if train else refer_bbox)
+        refer_l = jax.lax.stop_gradient(refer_bbox) if train else refer_bbox
+        attn_mask = None
+        dn_meta = None
+        if train and dn_gt is not None and dn_rng is not None:
+            dn_embed, dn_logit, allow, dn_meta = self._cdn(dn_gt, dn_rng, class_embed)
+            D = dn_meta["D"]
+            embed = jnp.concatenate([dn_embed.astype(embed.dtype), embed], 1)
+            refer_l = jnp.concatenate([dn_logit.astype(refer_l.dtype), refer_l], 1)
+            T = D + nq
+            attn_mask = allow[:T, :T][None, None]  # (1, 1, T, T)
+        refer = jax.nn.sigmoid(refer_l)
         dec_bboxes, dec_scores = [], []
         out = embed
         qpos_head = MLP(2 * self.hd, self.hd, 2, dtype=self.dtype, name="query_pos_head")
@@ -281,7 +343,7 @@ class RTDETRDecoder(nn.Module):
             qpos = qpos_head(refer)
             out = DeformableDecoderLayer(
                 self.hd, self.nh, self.d_ffn, nl, self.ndp, dtype=self.dtype, name=f"layer{i}"
-            )(out, refer, feats, shapes, qpos)
+            )(out, refer, feats, shapes, qpos, attn_mask)
             delta = MLP(self.hd, 4, 3, dtype=self.dtype, name=f"dec_bbox_head{i}")(out)
             refined = jax.nn.sigmoid(delta + inverse_sigmoid(refer))
             score = nn.Dense(self.nc, bias_init=nn.initializers.constant(bias_cls),
@@ -290,10 +352,20 @@ class RTDETRDecoder(nn.Module):
             dec_scores.append(score)
             refer = jax.lax.stop_gradient(refined) if train else refined
         if train:
-            return {
-                "dec_bboxes": jnp.stack(dec_bboxes),
-                "dec_scores": jnp.stack(dec_scores),
+            dbox = jnp.stack(dec_bboxes)
+            dscore = jnp.stack(dec_scores)
+            outd = {
+                "dec_bboxes": dbox,
+                "dec_scores": dscore,
                 "enc_bboxes": enc_bboxes,
                 "enc_scores": enc_top_scores,
             }
+            if dn_meta is not None:
+                D = dn_meta["D"]
+                outd["dn_bboxes"] = dbox[:, :, :D]
+                outd["dn_scores"] = dscore[:, :, :D]
+                outd["dec_bboxes"] = dbox[:, :, D:]
+                outd["dec_scores"] = dscore[:, :, D:]
+                outd["dn_num_group"] = dn_meta["num_group"]
+            return outd
         return jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_scores[-1])], -1)  # (B, nq, 4+nc)

@@ -192,4 +192,20 @@ def rtdetr_loss(outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray], 
         total = total + lc + lb + lg
         if li == n_layers - 1:  # report the final decoder layer's components
             comps = {"cls": lc, "bbox": lb, "giou": lg}
+    if "dn_bboxes" in outputs:
+        # denoising loss (reference RTDETRDetectionLoss): matching is KNOWN —
+        # positive query g*M+j reconstructs gt j; negatives stay background.
+        # Tile the gts num_group times so _layer_loss's scatter covers every
+        # positive group; the scatter targets land in the positive half.
+        ng = int(outputs["dn_num_group"])
+        b, m = gt_cls.shape
+        rep = lambda t: jnp.tile(t, (1, ng) + (1,) * (t.ndim - 2))
+        gt_b_r, gt_c_r, mask_r = rep(gt_bboxes), rep(gt_cls), rep(mask_gt)
+        matched_dn = jnp.broadcast_to(jnp.arange(ng * m)[None], (b, ng * m))
+        for i in range(outputs["dn_bboxes"].shape[0]):
+            lc, lb, lg = _layer_loss(outputs["dn_bboxes"][i], outputs["dn_scores"][i],
+                                     gt_b_r, gt_c_r, mask_r, matched_dn, nc)
+            total = total + lc + lb + lg
+            if i == outputs["dn_bboxes"].shape[0] - 1:
+                comps = {**comps, "dn_cls": lc, "dn_bbox": lb, "dn_giou": lg}
     return total, comps

@@ -62,3 +62,31 @@ def test_rtdetr_forward_predict():
     assert bool(jnp.isfinite(boxes).all())
     # boxes scaled to pixels, cxcywh in [0, 128]
     assert float(boxes.max()) <= 128.0 + 1e-3
+
+
+def test_rtdetr_denoising_groups():
+    """Contrastive denoising (reference models/utils/ops.py:153): static
+    2*num_group*M dn queries join the decoder behind a group-block attention
+    mask; the dn loss uses the known matching and flows gradients."""
+    import numpy as np
+
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+    from experiment_yolo_tpu.utils.detr_loss import rtdetr_loss
+
+    m = DetectionModel("rtdetr.yaml", nc=4)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3))
+    gt = {"bboxes": jnp.full((2, 6, 4), 0.4), "cls": jnp.zeros((2, 6), jnp.int32),
+          "mask": jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 0, 0, 0, 0]], bool)}
+    out, _ = m.apply(v, x, True, mutable=["batch_stats"], dn_gt=gt, dn_rng=jax.random.PRNGKey(7))
+    ng = out["dn_num_group"]
+    assert out["dn_bboxes"].shape[2] == 2 * ng * 6
+    assert out["dec_bboxes"].shape[2] == 300  # matching queries unchanged
+
+    out32 = jax.tree.map(lambda t: t.astype(jnp.float32) if hasattr(t, "astype") else t, out)
+    total, comps = rtdetr_loss(out32, gt, 4)
+    assert np.isfinite(float(total))
+    assert {"dn_cls", "dn_bbox", "dn_giou"} <= set(comps)
+    # without dn inputs the plain train path still works
+    out2, _ = m.apply(v, x, True, mutable=["batch_stats"])
+    assert "dn_bboxes" not in out2
