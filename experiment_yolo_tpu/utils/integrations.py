@@ -137,6 +137,79 @@ def add_comet_callbacks(callbacks, project: Optional[str] = None) -> bool:
     return True  # pragma: no cover
 
 
+def add_clearml_callbacks(callbacks, project: Optional[str] = None) -> bool:
+    """ClearML hooks (reference utils/callbacks/clearml.py); gated import."""
+    try:  # pragma: no cover - optional dependency
+        from clearml import Task
+    except Exception:
+        return False
+
+    task = Task.init(project_name=project or "experiment-yolo-tpu", task_name="train")
+
+    def on_fit_epoch_end(trainer):  # pragma: no cover
+        for k, v in {**getattr(trainer, "loss_items", {}), **getattr(trainer, "metrics", {})}.items():
+            if isinstance(v, (int, float)):
+                task.get_logger().report_scalar("train", k, float(v), getattr(trainer, "epoch", 0))
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    return True
+
+
+def add_neptune_callbacks(callbacks, project: Optional[str] = None) -> bool:
+    """Neptune hooks (reference utils/callbacks/neptune.py); gated import."""
+    try:  # pragma: no cover - optional dependency
+        import neptune
+    except Exception:
+        return False
+
+    run = neptune.init_run(project=project)
+
+    def on_fit_epoch_end(trainer):  # pragma: no cover
+        for k, v in {**getattr(trainer, "loss_items", {}), **getattr(trainer, "metrics", {})}.items():
+            if isinstance(v, (int, float)):
+                run[f"train/{k}"].append(float(v))
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    return True
+
+
+def add_dvc_callbacks(callbacks) -> bool:
+    """DVCLive hooks (reference utils/callbacks/dvc.py); gated import."""
+    try:  # pragma: no cover - optional dependency
+        from dvclive import Live
+    except Exception:
+        return False
+
+    live = Live(save_dvc_exp=True)
+
+    def on_fit_epoch_end(trainer):  # pragma: no cover
+        for k, v in {**getattr(trainer, "loss_items", {}), **getattr(trainer, "metrics", {})}.items():
+            if isinstance(v, (int, float)):
+                live.log_metric(k, float(v))
+        live.next_step()
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    return True
+
+
+def add_raytune_callbacks(callbacks) -> bool:
+    """Ray Tune session reporting (reference utils/callbacks/raytune.py)."""
+    try:  # pragma: no cover - optional dependency
+        from ray import train as ray_train
+        from ray.tune import is_session_enabled
+        if not is_session_enabled():
+            return False
+    except Exception:
+        return False
+
+    def on_fit_epoch_end(trainer):  # pragma: no cover
+        ray_train.report({**getattr(trainer, "metrics", {}),
+                          "epoch": getattr(trainer, "epoch", 0)})
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    return True
+
+
 def add_integration_callbacks(trainer) -> list:
     """Attach every available integration (reference
     utils/callbacks/base.py:add_integration_callbacks): tries TB, W&B,
@@ -150,6 +223,14 @@ def add_integration_callbacks(trainer) -> list:
         attached.append("mlflow")
     if add_comet_callbacks(trainer.callbacks):
         attached.append("comet")
+    if add_clearml_callbacks(trainer.callbacks):
+        attached.append("clearml")
+    if add_neptune_callbacks(trainer.callbacks):
+        attached.append("neptune")
+    if add_dvc_callbacks(trainer.callbacks):
+        attached.append("dvc")
+    if add_raytune_callbacks(trainer.callbacks):
+        attached.append("raytune")
     return attached
 
 
