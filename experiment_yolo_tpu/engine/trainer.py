@@ -227,6 +227,17 @@ class DetectionTrainer:
             for i, batch in enumerate(self.train_loader):
                 if args.multi_scale:
                     batch = self._rescale_batch(batch, ms_rng)
+                if args.plots and epoch == start_epoch and i < 3:
+                    # train-batch mosaics (reference trainer plot_training_samples)
+                    from experiment_yolo_tpu.utils.plotting import plot_images
+
+                    try:
+                        plot_images(np.asarray(batch["img"]), np.asarray(batch["bboxes"]),
+                                    np.asarray(batch["cls"]), np.asarray(batch["mask"]),
+                                    fname=self.save_dir / f"train_batch{i}.jpg",
+                                    names=getattr(self.model, "names", None))
+                    except Exception as e:  # plotting must never kill training
+                        LOGGER.warning(f"train-batch plot failed: {e}")
                 batch = meshlib.shard_batch(batch, self.mesh)
                 if getattr(self.model, "kw_manager", None) is not None:
                     # temperature anneal (reference trainer.py:795-797)

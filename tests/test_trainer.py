@@ -59,7 +59,7 @@ def test_train_loss_decreases_and_checkpoints(dataset_yaml, tmp_path):
             "project": str(tmp_path / "runs"),
             "close_mosaic": 0,
             "ema": True,
-            "plots": False,
+            "plots": True,
         },
     )
     # capture first/last epoch loss via loss_items
@@ -76,6 +76,8 @@ def test_train_loss_decreases_and_checkpoints(dataset_yaml, tmp_path):
     # checkpoint round-trip
     ckpt = trainer.save_dir / "weights" / "last"
     assert (ckpt / "meta.yaml").exists()
+    # plots=True saved first-epoch train-batch mosaics (utils/plotting.py)
+    assert (trainer.save_dir / "train_batch0.jpg").exists()
     m2, v2 = load_checkpoint(ckpt)
     assert m2.nc == 3
     n1 = model.num_params(trainer.ema_variables)
