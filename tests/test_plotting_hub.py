@@ -75,3 +75,56 @@ def test_hub_callbacks(tmp_path):
     cbs.run("on_train_end", trainer=T())
     assert (tmp_path / "m2" / "metrics.jsonl").exists()
     assert not s.alive
+
+
+def test_settings_profile_retry(tmp_path):
+    from experiment_yolo_tpu.utils import Profile, SettingsManager, TryExcept, get_latest_run, retry
+
+    sm = SettingsManager(tmp_path / "s.json")
+    sm.update(wandb=False)
+    sm2 = SettingsManager(tmp_path / "s.json")
+    assert sm2["wandb"] is False
+    sm2.reset()
+    assert SettingsManager(tmp_path / "s.json")["wandb"] is True
+
+    calls = []
+
+    @retry(times=3, delay=0.0)
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError("nope")
+        return "ok"
+
+    assert flaky() == "ok" and len(calls) == 2
+
+    with Profile() as p:
+        pass
+    assert p.dt >= 0
+
+    (tmp_path / "exp" / "weights" / "last").mkdir(parents=True)
+    assert get_latest_run(tmp_path).endswith("last")
+
+
+def test_strip_optimizer(tmp_path):
+    import numpy as np
+
+    from experiment_yolo_tpu.engine.checkpoint import save_checkpoint
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+    from experiment_yolo_tpu.utils import strip_optimizer
+
+    import jax
+
+    m = DetectionModel("yolov8.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0))
+    ck = tmp_path / "weights" / "last"
+    save_checkpoint(ck, m, v, ema_variables=v, opt_state={"momentum": v["params"]},
+                    meta={"epoch": 1})
+    out = strip_optimizer(ck)
+    # stripped state restores and is fp16
+    from experiment_yolo_tpu.engine.checkpoint import _restore_as_numpy
+
+    st = _restore_as_numpy(out / "state")
+    leaf = jax.tree.leaves(st["variables"]["params"])[0]
+    assert np.asarray(leaf).dtype == np.float16
+    assert "ema_variables" not in st and "opt_state" not in st
