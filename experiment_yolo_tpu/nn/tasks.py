@@ -998,6 +998,57 @@ class DetectionModel:
         vs = jax.eval_shape(lambda r, xx: self.module.init(r, xx, False), rng, x)
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vs["params"]))
 
+    def profile(self, variables=None, imgsz: int = 640, verbose: bool = True):
+        """Per-layer FLOPs/param table (reference BaseModel._profile_one_layer,
+        nn/tasks.py:136 + Model.profile model.py:764): every graph layer is
+        lowered standalone through eval_shape + XLA cost_analysis — no device
+        run needed, so it also works without a chip attached."""
+        import numpy as np
+
+        rows = []
+        x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        # trace the graph once abstractly to learn each layer's input shapes
+        shapes: Dict[int, Any] = {}
+        saved: Dict[int, Any] = {}
+        vs = jax.eval_shape(lambda: self.module.init(rng, x, False))
+        out = jax.ShapeDtypeStruct(x.shape, x.dtype)
+        for i, spec in enumerate(self.specs):
+            f = spec.f
+            if spec.is_list_input:
+                inp = [out if j == -1 else saved[j] for j in f]
+            else:
+                inp = out if f[0] == -1 else saved[f[0]]
+            shapes[i] = inp
+            sub = {"params": vs["params"].get(f"layers_{i}", {})}
+            bs = vs.get("batch_stats", {}).get(f"layers_{i}")
+            if bs:
+                sub["batch_stats"] = bs
+            mod = spec.module
+
+            def run(vv, ii, mod=mod):
+                return mod.apply(vv, ii, False)
+
+            try:
+                lowered = jax.jit(run).lower(sub, inp)
+                cost = lowered.cost_analysis() or {}
+                flops = float((cost[0] if isinstance(cost, (list, tuple)) else cost).get("flops", 0.0))
+            except Exception:
+                flops = float("nan")
+            out = jax.eval_shape(run, sub, inp)
+            saved[i] = out
+            n_par = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(sub["params"]))
+            rows.append({"i": i, "type": spec.type, "params": n_par, "gflops": flops / 1e9})
+        if verbose:
+            from experiment_yolo_tpu.utils import LOGGER
+
+            LOGGER.info(f"{'idx':>4} {'GFLOPs':>10} {'params':>10}  type")
+            for r in rows:
+                LOGGER.info(f"{r['i']:>4} {r['gflops']:>10.3f} {r['params']:>10}  {r['type']}")
+            LOGGER.info(f"total: {sum(r['gflops'] for r in rows if r['gflops'] == r['gflops']):.2f} GFLOPs, "
+                        f"{sum(r['params'] for r in rows):,} params @ {imgsz}px")
+        return rows
+
     def info(self, variables=None) -> str:
         n = self.num_params(variables) if variables else -1
         return f"DetectionModel(nc={self.nc}, strides={self.strides}, params={n:,})"

@@ -128,3 +128,17 @@ def test_strip_optimizer(tmp_path):
     leaf = jax.tree.leaves(st["variables"]["params"])[0]
     assert np.asarray(leaf).dtype == np.float16
     assert "ema_variables" not in st and "opt_state" not in st
+
+
+def test_model_profile_table():
+    """Per-layer FLOPs table (reference BaseModel._profile_one_layer)."""
+    import jax
+
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel("yolov8.yaml", nc=3)
+    rows = m.profile(imgsz=128, verbose=False)
+    assert len(rows) == len(m.specs)
+    tot = sum(r["gflops"] for r in rows if r["gflops"] == r["gflops"])
+    assert tot > 0
+    assert sum(r["params"] for r in rows) == m.num_params_static()
