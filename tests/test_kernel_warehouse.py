@@ -108,3 +108,31 @@ def test_kw_param_parity(name, n):
     o = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
     o += sum(int(np.prod(s[:3])) for s in mgr.cell_shapes)
     assert o == t, f"{name} n={n}: ours {o:,} vs reference {t:,}"
+
+
+def test_kw_training_smoke(tmp_path, tmp_path_factory):
+    """End-to-end: a KW model trains one epoch through DetectionTrainer —
+    the temperature-annealed step path (reference trainer.py:795-797)."""
+    from experiment_yolo_tpu.data import make_synthetic_dataset
+    from experiment_yolo_tpu.engine.trainer import DetectionTrainer
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    data = make_synthetic_dataset(tmp_path_factory.mktemp("kwsynth"), n_train=8, n_val=4, imgsz=128)
+    yaml = tmp_path / "kw-tiny.yaml"
+    yaml.write_text(KW_YAML)
+    model = DetectionModel(str(yaml), nc=3)
+    variables = model.init(jax.random.PRNGKey(0))
+    trainer = DetectionTrainer(
+        model=model,
+        variables=variables,
+        overrides={
+            "data": str(data), "epochs": 1, "batch": 8, "imgsz": 128, "workers": 0,
+            "optimizer": "SGD", "lr0": 0.01, "warmup_epochs": 0.0, "val": False,
+            "save": False, "amp": False, "max_labels": 16, "plots": False, "n_devices": 1,
+            "project": str(tmp_path), "name": "kwtrain",
+        },
+    )
+    results = trainer.train()
+    assert results["epochs_run"] == 1
+    vals = [v for v in trainer.loss_items.values()]
+    assert all(np.isfinite(v) for v in vals)
