@@ -791,6 +791,11 @@ VANILLANET_CFGS = {  # dims, strides (VanillaNet.py:224-297)
     "12": ((512, 512, 1024, 2048, 2048, 2048, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 1, 1, 1, 2, 1)),
     "13": ((512, 512, 1024, 2048, 2048, 2048, 2048, 2048, 2048, 2048, 4096, 4096), (1, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1)),
     "13_x1_5": ((768, 768, 1536, 3072, 3072, 3072, 3072, 3072, 3072, 3072, 6144, 6144), (1, 2, 2, 1, 1, 1, 1, 1, 1, 2, 1)),
+    # vanillanet_13_x1_5_ada_pool (VanillaNet.py:309) is omitted: its
+    # AdaptiveMaxPool2d(40) step jumps /4 -> /16, so the /8 pyramid level
+    # never exists and the reference's own channel probe (VanillaNet.py
+    # forward scale collection) crashes on it — broken upstream, like the
+    # MobileNetV4Hybrid specs.
 }
 
 
