@@ -88,13 +88,25 @@ def decode_detections(feats, strides, nc: int, reg_max: int = 16):
         boxes (B, A, 4) xywh in input pixels; scores (B, A, nc) sigmoided.
     """
     b = feats[0].shape[0]
-    no = 4 * reg_max + nc
-    flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)  # (B, A, no)
-    box, cls = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
     feat_shapes = [f.shape[1:3] for f in feats]
     anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
-    dist = dfl_decode(box, reg_max)  # (B, A, 4)
-    dbox = dist2bbox(dist, anchor_points[None], xywh=True) * stride_tensor[None]
+    # decode PER LEVEL before concatenating: the raw (4*reg_max+nc) maps
+    # never materialize as one (B, A, no) tensor, cutting HBM traffic on
+    # the 8400-anchor path roughly in half (traffic-bound on TPU)
+    boxes_l, cls_l = [], []
+    start = 0
+    for f in feats:
+        h, w = f.shape[1:3]
+        a = h * w
+        box = f[..., : 4 * reg_max].reshape(b, a, 4 * reg_max)
+        cls_l.append(f[..., 4 * reg_max:].reshape(b, a, nc))
+        dist = dfl_decode(box, reg_max)
+        ap = anchor_points[start:start + a]
+        st = stride_tensor[start:start + a]
+        boxes_l.append(dist2bbox(dist, ap[None], xywh=True) * st[None])
+        start += a
+    dbox = jnp.concatenate(boxes_l, 1)
+    cls = jnp.concatenate(cls_l, 1)
     return dbox, jax.nn.sigmoid(cls)
 
 
