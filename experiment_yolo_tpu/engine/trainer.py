@@ -223,6 +223,8 @@ class DetectionTrainer:
             t0 = time.time()
             mean_loss = None
             loss_keys = None
+            pending_comps = None
+            n_acc = 0
             ms_rng = np.random.default_rng(args.seed + 10_000 + epoch)
             for i, batch in enumerate(self.train_loader):
                 if args.multi_scale:
@@ -251,8 +253,18 @@ class DetectionTrainer:
                 if loss_keys is None:
                     loss_keys = sorted(comps)
                     mean_loss = np.zeros(len(loss_keys))
-                vals = np.asarray([float(comps[k]) for k in loss_keys])
-                mean_loss = (mean_loss * i + vals) / (i + 1)
+                # defer the host sync by one step: converting comps to float
+                # immediately would block on the step just dispatched and
+                # serialize host data prep against device compute
+                if pending_comps is not None:
+                    vals = np.asarray([float(pending_comps[k]) for k in loss_keys])
+                    mean_loss = (mean_loss * n_acc + vals) / (n_acc + 1)
+                    n_acc += 1
+                pending_comps = comps
+            if pending_comps is not None:
+                vals = np.asarray([float(pending_comps[k]) for k in loss_keys])
+                mean_loss = (mean_loss * n_acc + vals) / (n_acc + 1)
+                n_acc += 1
             dt = time.time() - t0
             imgs_s = len(self.train_loader) * args.batch / dt
             loss_str = "  ".join(f"{k} {v:.4f}" for k, v in zip(loss_keys, mean_loss))

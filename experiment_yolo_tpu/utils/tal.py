@@ -64,18 +64,31 @@ def select_candidates_in_rotated_gts(xy_centers: jnp.ndarray, gt_rboxes: jnp.nda
     return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
 
 
-def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray) -> jnp.ndarray:
+def _select_topk_mask(metrics: jnp.ndarray, topk: int, valid_gt: jnp.ndarray,
+                      exact: bool = False) -> jnp.ndarray:
     """Top-k per gt as a (B, M, A) 0/1 mask, reproducing the reference's
-    scatter-count semantics (indices appearing more than once are dropped)."""
-    a = metrics.shape[-1]
-    _, topk_idx = jax.lax.top_k(metrics, topk)  # (B, M, topk)
-    # invalid gts: force index 0 (reference masked_fill_(~topk_mask, 0))
-    idx = jnp.where(valid_gt[..., None], topk_idx, 0)
-    count = jax.nn.one_hot(idx, a, dtype=jnp.int32).sum(-2)  # (B, M, A)
-    return jnp.where(count > 1, 0, count).astype(metrics.dtype)
+    scatter-count semantics. top_k returns distinct indices per row, so the
+    reference's duplicate-drop only ever fires on INVALID gt rows (whose
+    indices are all forced to 0) — a row-zero instead. Scatter builds the
+    mask directly; the old one_hot(idx, A).sum formed a (B, M, k, A) int
+    intermediate (~8 GB at DEAL-P2 shapes, 60+ ms of the train step)."""
+    b, m, a = metrics.shape
+    if exact:
+        _, topk_idx = jax.lax.top_k(metrics, topk)  # (B, M, topk)
+    else:
+        # TPU-optimized partial-reduction top-k: ~15x faster than the full
+        # sort at A=34k (64 ms -> 4.4 ms measured); recall 0.99 can swap a
+        # borderline ~10th-ranked candidate for the ~11th, which is noise
+        # at TAL's heuristic margin. exact=True restores the sort for
+        # reference-parity runs.
+        _, topk_idx = jax.lax.approx_max_k(metrics, topk, recall_target=0.99)
+    bi = jnp.arange(b)[:, None, None]
+    mi = jnp.arange(m)[None, :, None]
+    mask = jnp.zeros((b, m, a), metrics.dtype).at[bi, mi, topk_idx].set(1.0)
+    return mask * valid_gt[..., None].astype(metrics.dtype)
 
 
-@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "rotated"))
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "rotated", "exact_topk"))
 def assign(
     pd_scores: jnp.ndarray,  # (B, A, nc) sigmoided
     pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy px (rotated: (B, A, 5) xywhr px)
@@ -89,6 +102,7 @@ def assign(
     beta: float = 6.0,
     eps: float = 1e-9,
     rotated: bool = False,
+    exact_topk: bool = False,
 ) -> AssignResult:
     """Task-aligned assignment (s^alpha * u^beta), static shapes throughout.
 
@@ -121,7 +135,7 @@ def assign(
     cls_scores = jnp.where(pre_mask, cls_scores, 0.0)
     align_metric = cls_scores**alpha * overlaps**beta
 
-    mask_topk = _select_topk_mask(align_metric, topk, mask_gt)
+    mask_topk = _select_topk_mask(align_metric, topk, mask_gt, exact=exact_topk)
     mask_pos = mask_topk * pre_mask.astype(align_metric.dtype)  # (B, M, A)
 
     # --- resolve anchors claimed by several gts (highest CIoU wins) ------

@@ -230,6 +230,7 @@ def obb_loss(
         num_classes=nc,
         alpha=cfg.tal_alpha,
         beta=cfg.tal_beta,
+        exact_topk=cfg.exact_topk,
         rotated=True,
     )
     target_scores = jax.lax.stop_gradient(res.target_scores)
