@@ -88,17 +88,18 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
     """(Wise-)IoU (+ NWD blend) box loss and DFL loss, weighted by target
     score (reference BboxLoss.forward, loss.py:187-242). Shared by the main
     and the DetectAux auxiliary branch."""
+    hw2 = mpdiou_hw[None] if mpdiou_hw.ndim == 1 else mpdiou_hw  # (B|1, A)
     if cfg.use_wiseiou:
         wiou, new_iou_mean = _masked_wise_iou(
             pred_bboxes, target_bboxes, fg_mask, iou_mean, cfg.wiou_ltype,
             inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
-            d=cfg.focaler_d, u=cfg.focaler_u, mpdiou_hw=mpdiou_hw[None],
+            d=cfg.focaler_d, u=cfg.focaler_u, mpdiou_hw=hw2,
         )
         loss_iou = (wiou * weight).sum() / target_scores_sum
     else:
         variant = {} if cfg.iou_type == "IoU" else {cfg.iou_type: True}
         if cfg.iou_type == "MPDIoU":
-            variant = {"MPDIoU": True, "mpdiou_hw": mpdiou_hw[None, :, None]}
+            variant = {"MPDIoU": True, "mpdiou_hw": hw2[..., None]}
         iou = bbox_iou(
             pred_bboxes, target_bboxes, xywh=False,
             inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
@@ -111,7 +112,8 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
         nwd_loss = (jnp.where(fg_mask, 1.0 - nwd, 0.0) * weight).sum() / target_scores_sum
         loss_iou = cfg.iou_ratio * loss_iou + (1.0 - cfg.iou_ratio) * nwd_loss
 
-    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max)
+    ap = anchor_points if anchor_points.ndim == 3 else anchor_points[None]
+    target_ltrb = bbox2dist(ap, target_bboxes, reg_max)
     dfl = _df_loss(pred_distri.reshape(b, -1, 4, reg_max), target_ltrb)  # (B, A)
     loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
     return loss_iou, loss_dfl, new_iou_mean
@@ -215,6 +217,11 @@ def detection_loss(
     # per-anchor image-diagonal^2 in grid units (reference loss.py:444 passes
     # (H^2+W^2)/stride^2 into the MPDIoU branches)
     mpdiou_hw = (imgsz_h**2 + imgsz_w**2) / stride_tensor[:, 0] ** 2  # (A,)
+    # NOTE: a foreground-compacted variant (gather box/DFL to the <=topk*M
+    # positive anchors) was measured SLOWER on-chip (220.6 -> 201.6 img/s):
+    # the backward of the gather scatters into the dense (B, A, 64) grad
+    # anyway, so the dense traffic remains and the top_k+gather is pure
+    # overhead. Keep the dense masked formulation — XLA fuses it well.
     loss_iou, loss_dfl, new_iou_mean = _box_dfl_losses(
         cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
         fg_mask, weight, target_scores_sum, iou_mean, mpdiou_hw, reg_max, b,
