@@ -48,10 +48,27 @@ def _nms_single(
     a = boxes.shape[0]
     k = min(pre_nms_topk, a * scores.shape[-1] if multi_label else a)
 
+    quirk = nms_type == "soft" and soft_first_quirk
+    first_idx = n_valid = None
     if multi_label:
         a_, nc_ = scores.shape
         flat = scores.reshape(-1)
         cand_scores, top_idx = jax.lax.top_k(flat, k)
+        if quirk:
+            # reference soft_nms keeps its first box in x-array order — the
+            # lowest (anchor, class) flat index among conf-passing candidates
+            # (ops.py:262: order=arange is never score-sorted for
+            # n <= max_nms). At val conf 0.001 that candidate may fall
+            # outside our top-k pool: force-include it in the last slot.
+            vfirst = flat > conf_thres
+            n_valid = jnp.sum(vfirst, dtype=jnp.int32)
+            first_flat = jnp.argmax(vfirst)
+            present = jnp.any(top_idx == first_flat)
+            last = k - 1
+            top_idx = top_idx.at[last].set(jnp.where(present, top_idx[last], first_flat))
+            cand_scores = cand_scores.at[last].set(
+                jnp.where(present, cand_scores[last], flat[first_flat]))
+            first_idx = jnp.argmax(top_idx == first_flat)
         cand_anchor = top_idx // nc_
         cand_cls = (top_idx % nc_).astype(jnp.float32)
         cand_boxes = boxes[cand_anchor]
@@ -59,6 +76,17 @@ def _nms_single(
         best_scores = scores.max(-1)
         best_cls = scores.argmax(-1).astype(jnp.float32)
         cand_scores, cand_anchor = jax.lax.top_k(best_scores, k)
+        if quirk:
+            vfirst = best_scores > conf_thres
+            n_valid = jnp.sum(vfirst, dtype=jnp.int32)
+            first_anchor = jnp.argmax(vfirst)
+            present = jnp.any(cand_anchor == first_anchor)
+            last = k - 1
+            cand_anchor = cand_anchor.at[last].set(
+                jnp.where(present, cand_anchor[last], first_anchor))
+            cand_scores = cand_scores.at[last].set(
+                jnp.where(present, cand_scores[last], best_scores[first_anchor]))
+            first_idx = jnp.argmax(cand_anchor == first_anchor)
         cand_boxes, cand_cls = boxes[cand_anchor], best_cls[cand_anchor]
 
     valid = cand_scores > conf_thres
@@ -67,20 +95,8 @@ def _nms_single(
     shifted = cand_boxes + offset
 
     if nms_type == "soft":
-        first_idx = None
-        if soft_first_quirk:
-            # reference soft_nms keeps its first box in x-array order (the
-            # lowest (anchor, class) flat index among conf-passing
-            # candidates) because order=arange is never score-sorted for
-            # n <= max_nms (ops.py:262) — opt-in replication for exact
-            # protocol parity runs
-            if multi_label:
-                origin = cand_anchor * scores.shape[-1] + cand_cls.astype(jnp.int32)
-            else:
-                origin = cand_anchor
-            first_idx = jnp.argmin(jnp.where(valid, origin, jnp.iinfo(jnp.int32).max))
         keep_scores = _soft_nms_keep(shifted, cand_scores, valid, iou_thres, sigma, score_threshold,
-                                     max_det, first_idx=first_idx)
+                                     max_det, first_idx=first_idx, n_valid=n_valid)
         return _pack(cand_boxes, cand_cls, cand_anchor, keep_scores, conf_thres, max_det, k)
     if use_pallas:
         # fused VMEM suppression kernel: no (K, K) HBM intermediate
@@ -108,7 +124,7 @@ def _nms_single(
 
 
 def _soft_nms_keep(shifted, cand_scores, valid, iou_thres, sigma, score_threshold, max_det,
-                   first_idx=None):
+                   first_idx=None, n_valid=None):
     """Gaussian soft-NMS (reference ops.py:260 ``soft_nms`` — the DEAL fork
     REPLACES torchvision hard NMS with this in its whole predict/val
     protocol, ops.py:115-116): pick the best remaining box, Gaussian-decay
@@ -120,10 +136,16 @@ def _soft_nms_keep(shifted, cand_scores, valid, iou_thres, sigma, score_threshol
     Returns per-candidate output scores (decayed, matching the reference's
     in-place ``x[:, 4]`` mutation) with non-kept candidates at -1.
 
-    NOTE the reference keeps its FIRST box in array (anchor) order rather
-    than score order — an initialization bug (order=arange, never sorted
-    for n <= max_nms; reordering only kicks in from the second iteration).
-    We keep strictly by score; everything else matches.
+    Quirk mode (``first_idx``/``n_valid`` set) replicates two more
+    reference behaviors exactly (verified empirically against ops.py:260):
+    - the FIRST kept box is in array (anchor) order, kept unconditionally
+      (ops.py:270 appends order[0] before any threshold check — even below
+      the 0.25 floor, which matters at val conf 0.001);
+    - ``while order.numel() > 1`` means a keep only happens when at least
+      TWO candidates remain, so the last lone survivor is always DROPPED
+      (the inner ``numel()==1`` branch is dead code).
+    Default mode (no quirk) keeps strictly by score with no lone-survivor
+    drop — the cleaned-up protocol.
     """
     k = shifted.shape[0]
     live = jnp.where(valid, cand_scores, -1.0)
@@ -132,14 +154,16 @@ def _soft_nms_keep(shifted, cand_scores, valid, iou_thres, sigma, score_threshol
         live, out = state
         i = jnp.argmax(live)
         si = live[i]
-        cond = si > score_threshold
         if first_idx is not None:
-            # replicate the reference's arbitrary first pick: kept
-            # UNCONDITIONALLY (ops.py:270 appends order[0] before any
-            # threshold check), even below the 0.25 floor
+            # survivors of the previous round (> 0.25); at t=0 the reference
+            # has not filtered yet, so the count is all conf-passing boxes
+            surv = jnp.sum(live > score_threshold, dtype=jnp.int32)
+            m = jnp.where(_t == 0, n_valid, surv)
             i = jnp.where(_t == 0, first_idx, i)
             si = live[i]
-            cond = jnp.where(_t == 0, si > 0.0, cond)
+            cond = m >= 2
+        else:
+            cond = si > score_threshold
         iou = box_iou(shifted[i][None], shifted)[0]
         decay = jnp.where(iou > iou_thres, jnp.exp(-(iou**2) / sigma), 1.0)
         new_live = jnp.where(cond, live * decay, live).at[i].set(-1.0)

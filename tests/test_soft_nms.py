@@ -76,3 +76,79 @@ def test_soft_nms_matches_reference():
         return m
     assert match_count(td, od) >= len(td) - 1, f"{match_count(td, od)}/{len(td)}"
     assert match_count(od, td) >= len(od) - 1, f"{match_count(od, td)}/{len(od)}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+def test_soft_nms_quirk_exact_vs_reference():
+    """soft_first_quirk replicates the fork EXACTLY (set equality), incl.
+    (a) first box kept in array order (ops.py:262 order=arange never sorted),
+    (b) the last lone survivor always dropped (while order.numel() > 1),
+    (c) the arbitrary first box kept even below the 0.25 floor at val conf."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import torch
+
+    from ultralytics.utils import ops as tops
+
+    rng = np.random.RandomState(3)
+    a, nc = 300, 3
+    centers = rng.uniform(60, 260, (6, 2))
+    which = rng.randint(0, 6, a)
+    xy = centers[which] + rng.randn(a, 2) * 4
+    wh = np.abs(rng.randn(a, 2) * 6) + 30
+    boxes = np.concatenate([xy, wh], -1).astype(np.float32)
+    scores = (rng.rand(a, nc) ** 3).astype(np.float32)
+
+    for conf in (0.25, 0.001):  # predictor and validator protocols
+        pred = torch.from_numpy(np.concatenate([boxes, scores], -1).T[None].copy())
+        td = tops.non_max_suppression(pred, conf, 0.7, multi_label=True, max_det=300)[0].numpy()
+        det, n = non_max_suppression(
+            jnp.asarray(boxes[None]), jnp.asarray(scores[None]),
+            conf_thres=conf, iou_thres=0.7, multi_label=True, max_det=300,
+            nms_type="soft", soft_first_quirk=True, pre_nms_topk=512,
+        )
+        od = np.asarray(det[0][: int(n[0])])
+        assert len(od) == len(td), f"conf={conf}: {len(od)} vs {len(td)}"
+        # set equality (ref output is keep-ordered, ours score-sorted)
+        td_s = td[np.lexsort(td.T[:5])]
+        od_s = od[np.lexsort(od.T[:5])]
+        np.testing.assert_allclose(od_s[:, :4], td_s[:, :4], atol=0.1)
+        np.testing.assert_allclose(od_s[:, 4], td_s[:, 4], atol=1e-3)
+        np.testing.assert_array_equal(od_s[:, 5], td_s[:, 5])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="torch reference not mounted")
+def test_soft_nms_quirk_first_candidate_outside_topk():
+    """At val conf 0.001 the fork's first kept box (lowest flat index over
+    conf-passing candidates) can fall outside our pre-NMS top-k pool — it
+    must be force-included."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools" / "refstub"))
+    sys.path.insert(0, str(REF))
+    import torch
+
+    from ultralytics.utils import ops as tops
+
+    rng = np.random.RandomState(1)
+    a, nc = 200, 2
+    xy = rng.uniform(40, 280, (a, 2))
+    wh = np.abs(rng.randn(a, 2) * 5) + 25
+    boxes = np.concatenate([xy, wh], -1).astype(np.float32)
+    # anchor 0 has a tiny-but-passing score; the top-16 pool is filled by
+    # the 150 high-score anchors, so anchor 0 is NOT in the pool
+    scores = np.zeros((a, nc), np.float32)
+    scores[50:, 0] = rng.uniform(0.5, 0.9, a - 50)
+    scores[0, 1] = 0.002
+
+    pred = torch.from_numpy(np.concatenate([boxes, scores], -1).T[None].copy())
+    td = tops.non_max_suppression(pred, 0.001, 0.7, multi_label=True, max_det=300)[0].numpy()
+    det, n = non_max_suppression(
+        jnp.asarray(boxes[None]), jnp.asarray(scores[None]),
+        conf_thres=0.001, iou_thres=0.7, multi_label=True, max_det=300,
+        nms_type="soft", soft_first_quirk=True, pre_nms_topk=16,
+    )
+    od = np.asarray(det[0][: int(n[0])])
+    # the fork's first kept det is anchor 0's 0.002 box — ours must have it
+    assert np.any((np.abs(od[:, 4] - 0.002) < 1e-6)), "forced first candidate missing"
+    assert np.any((np.abs(td[:, 4] - 0.002) < 1e-6))
