@@ -51,6 +51,48 @@ def img2label_path(img_path: str) -> str:
     return sb.join(str(img_path).rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
 
 
+def check_cls_dataset(dataset: str | Path, split: str = "") -> dict:
+    """Resolve a classification dataset dir (ImageNet-style class folders).
+
+    Reference ``data/utils.py:check_cls_dataset``: accepts a directory (or a
+    URL — downloaded via safe_download), discovers train/val|validation/test
+    splits, counts classes from train subdirectories, and returns
+    {train, val, test, nc, names}. Raises if the train split has no images.
+    """
+    if str(dataset).startswith(("http://", "https://", "file://")):
+        from experiment_yolo_tpu.utils.downloads import safe_download
+
+        dataset = safe_download(str(dataset), dir=Path("datasets"), unzip=True)
+    data_dir = Path(dataset).resolve()
+    if not data_dir.is_dir():
+        raise FileNotFoundError(f"classification dataset not found: {data_dir}")
+    train_set = data_dir / "train"
+    val_set = (
+        data_dir / "val" if (data_dir / "val").exists()
+        else data_dir / "validation" if (data_dir / "validation").exists()
+        else None
+    )
+    test_set = data_dir / "test" if (data_dir / "test").exists() else None
+    if split == "val" and not val_set:
+        LOGGER.warning("split=val not found, using split=test instead")
+    elif split == "test" and not test_set:
+        LOGGER.warning("split=test not found, using split=val instead")
+
+    names = sorted(x.name for x in train_set.iterdir() if x.is_dir()) if train_set.exists() else []
+    nc = len(names)
+    for k, v in {"train": train_set, "val": val_set, "test": test_set}.items():
+        if v is None:
+            continue
+        files = [p for p in v.rglob("*.*") if p.suffix.lstrip(".").lower() in IMG_FORMATS]
+        nd = len({f.parent for f in files})
+        if not files and k == "train":
+            raise FileNotFoundError(f"{dataset} '{k}:' no training images found")
+        if files and nd != nc:
+            LOGGER.warning(f"{k}: found {len(files)} images in {nd} classes (expected {nc})")
+    return {"train": train_set, "val": val_set, "test": test_set,
+            "nc": nc, "names": dict(enumerate(names))}
+
+
 class YOLODataset:
     """Detection dataset: file scan + label parse + v8 transforms."""
 

@@ -380,6 +380,13 @@ class SAM(nn.Module):
         pe = self.prompt_encoder.dense_pe()
         return self.mask_decoder(embed, pe, sparse, dense, multimask_output)
 
+    def decode_box_from_embedding(self, embed, boxes, multimask_output: bool = True):
+        """Box-prompted decode (corner embeddings 2/3, predict.py box flow).
+        boxes: (B, 4) xyxy px in model-input coords."""
+        sparse, dense = self.prompt_encoder(None, None, boxes=boxes)
+        pe = self.prompt_encoder.dense_pe()
+        return self.mask_decoder(embed, pe, sparse, dense, multimask_output)
+
 
 def build_sam(variant: str = "vit_b", img_size: int = 1024, dtype=jnp.float32) -> SAM:
     """build_sam_vit_{b,l,h} (reference build.py:21-52)."""
@@ -425,6 +432,34 @@ class SAMPredictor:
         lbl = jnp.asarray(np.asarray(labels, np.float32))[None]
         masks, iou = self._decode(self.variables, self._embed, pts, lbl)
         return np.asarray(masks[0]) > 0.0, np.asarray(iou[0])
+
+    def segment_box(self, img: np.ndarray, box_xyxy: np.ndarray) -> np.ndarray:
+        """Box-prompted segmentation -> largest-contour polygon, normalized.
+
+        img: HxWx3 (BGR or RGB) uint8 in ORIGINAL coords; box_xyxy (4,) px.
+        Returns (n, 2) polygon in [0,1] (falls back to the box corners when
+        the mask is empty). Backs the SAM auto-annotator / bbox2segment
+        tools (reference annotator.py:38-50)."""
+        import cv2
+
+        self.set_image(img)
+        h, w = self._orig_hw
+        bx = jnp.asarray(np.asarray(box_xyxy, np.float32) * self._scale)[None]
+        masks, iou = jax.jit(
+            lambda v, e, b: self.model.apply(v, e, b, method=SAM.decode_box_from_embedding)
+        )(self.variables, self._embed, bx)
+        masks, iou = np.asarray(masks[0]), np.asarray(iou[0])
+        mask = (masks[int(iou.argmax())] > 0).astype(np.uint8)
+        # mask is at model resolution over the PADDED square; crop valid area
+        mh = mask.shape[0]
+        sy = mh / self.imgsz * self._scale  # mask px per original px
+        valid = mask[: max(1, int(round(h * sy))), : max(1, int(round(w * sy)))]
+        contours, _ = cv2.findContours(valid, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+        if not contours:
+            x1, y1, x2, y2 = np.asarray(box_xyxy, np.float32) / np.array([w, h, w, h], np.float32)
+            return np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32)
+        poly = max(contours, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+        return poly / np.array([valid.shape[1], valid.shape[0]], np.float32)
 
     def everything(self, points_per_side: int = 8, iou_thresh: float = 0.7):
         """Grid-prompt everything mode (amg.py): one point per grid cell,
