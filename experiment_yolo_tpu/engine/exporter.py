@@ -25,7 +25,7 @@ import numpy as np
 
 from experiment_yolo_tpu.utils import LOGGER
 
-FORMATS = ("stablehlo", "saved_model", "tflite")
+FORMATS = ("stablehlo", "saved_model", "tflite", "onnx")
 
 
 class Exporter:
@@ -57,7 +57,29 @@ class Exporter:
             return self.export_saved_model(path)
         if fmt == "tflite":
             return self.export_tflite(path)
+        if fmt == "onnx":
+            return self.export_onnx(path)
         raise ValueError(f"unknown export format {fmt!r}; expected one of {FORMATS}")
+
+    def export_onnx(self, path: Path) -> Path:
+        """ONNX (opset 17) via our jaxpr->ONNX compiler.
+
+        The reference's primary interchange format (its exporter.py:341);
+        here the jitted predict jaxpr is compiled to ONNX ops with trained
+        weights as initializers — no onnx/tf2onnx dependency (the protobuf
+        is written by export/onnx_proto.py).
+        """
+        from experiment_yolo_tpu.export.onnx_export import export_jaxpr_to_onnx
+
+        closed = jax.make_jaxpr(self._predict_fn())(self._example_input())
+        path = path.with_suffix(".onnx")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        blob = export_jaxpr_to_onnx(
+            closed, ["images"], ["boxes", "scores"], path=path,
+            graph_name=type(self.model).__name__,
+        )
+        LOGGER.info(f"export: onnx -> {path} ({len(blob) / 1e6:.1f} MB)")
+        return path
 
     def export_stablehlo(self, path: Path) -> Path:
         """Serialize the jitted predict path as portable StableHLO."""

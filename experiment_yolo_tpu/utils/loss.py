@@ -71,6 +71,11 @@ def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
     pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
     [0, reg_max-1). Returns (...,) mean over the 4 sides.
+
+    The bin selection is a one-hot contraction, NOT take_along_axis: XLA
+    lowers the tiny per-element gather over (B, A, 4, reg_max) to a
+    scalar-indexed loop on TPU (measured 184 ms vs 33 ms at DEAL-P2 train
+    shapes), while the compare-iota mask fuses into the log_softmax chain.
     """
     tl = jnp.floor(target).astype(jnp.int32)
     tr = tl + 1
@@ -78,8 +83,11 @@ def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
     reg_max = pred_dist.shape[-1]
-    loss_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
-    loss_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    bins = jnp.arange(reg_max, dtype=jnp.int32)
+    oh_l = (bins == jnp.clip(tl, 0, reg_max - 1)[..., None]).astype(logp.dtype)
+    oh_r = (bins == jnp.clip(tr, 0, reg_max - 1)[..., None]).astype(logp.dtype)
+    loss_l = -(logp * oh_l).sum(-1)
+    loss_r = -(logp * oh_r).sum(-1)
     return (loss_l * wl + loss_r * wr).mean(-1)
 
 
