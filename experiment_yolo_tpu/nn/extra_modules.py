@@ -1125,11 +1125,13 @@ class DynamicScalSeq(nn.Module):
         g = 4 if self.c2 % 4 == 0 else 1
         p4 = DySample(scale=2, groups=g, dtype=self.dtype, name="dysample1")(p4, train)
         p5 = DySample(scale=4, groups=g, dtype=self.dtype, name="dysample2")(p5, train)
-        stack = jnp.stack([p3, p4, p5], axis=1)
+        # scale axis adjacent to channels — see ScalSeq (modules.py) for the
+        # layout rationale; identical math
+        stack = jnp.stack([p3, p4, p5], axis=3)
         stack = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32, name="conv3d")(stack)
         stack = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                              dtype=self.dtype, param_dtype=jnp.float32, name="bn")(stack)
-        return jax.nn.leaky_relu(stack, 0.1).max(axis=1)
+        return jax.nn.leaky_relu(stack, 0.1).max(axis=3)
 
 
 class ResNetBlock(nn.Module):

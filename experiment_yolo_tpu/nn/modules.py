@@ -559,14 +559,20 @@ class ScalSeq(nn.Module):
         h, w = p3.shape[1:3]
         p4 = _upsample_to(p4, h, w)
         p5 = _upsample_to(p5, h, w)
-        stack = jnp.stack([p3, p4, p5], axis=1)  # (B, 3, H, W, C)
+        # stack scales NEXT TO the channel axis, not at axis 1: a 5D
+        # (B, 3, H, W, C) tensor forces XLA layout copies on every producer/
+        # consumer (measured ~5 GB/step of pure copy traffic at DEAL-P2
+        # shapes); (B, H, W, 3, C) keeps the minor dims contiguous. The
+        # Dense/BN/max math is identical — BN still normalizes per channel
+        # over (batch, scale, H, W).
+        stack = jnp.stack([p3, p4, p5], axis=3)  # (B, H, W, 3, C)
         stack = nn.Dense(self.c2, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv3d")(stack)
         stack = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=self.dtype, param_dtype=jnp.float32, name="bn",
         )(stack)
         stack = jax.nn.leaky_relu(stack, 0.1)
-        return stack.max(axis=1)  # MaxPool3d((3,1,1)) over the scale axis
+        return stack.max(axis=3)  # MaxPool3d((3,1,1)) over the scale axis
 
 
 class AsfChannelAtt(nn.Module):
