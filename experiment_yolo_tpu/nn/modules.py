@@ -390,19 +390,17 @@ def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
     x_flat = x.reshape(b, hx * wx, c)
 
-    def gather(rr, cc):
-        idx = (rr * wx + cc).astype(jnp.int32)  # (B, h, w, N)
-        flat = idx.reshape(b, -1)
-        out = jnp.take_along_axis(x_flat, flat[..., None], axis=1)
-        return out.reshape(*idx.shape, c)
-
-    out = (
-        (wr0 * wc0)[..., None] * gather(r0, c0)
-        + (wr1 * wc1)[..., None] * gather(r1, c1)
-        + (wr1 * wc0)[..., None] * gather(r1, c0)
-        + (wr0 * wc1)[..., None] * gather(r0, c1)
-    )
-    return out
+    # ONE gather for all four corners (not four separate ones): a quarter of
+    # the gather/scatter HLO ops — the backward becomes a single scatter-add
+    # — and measurably faster compiles on large LDConv stacks.
+    idx = jnp.stack(
+        [r0 * wx + c0, r1 * wx + c1, r1 * wx + c0, r0 * wx + c1], axis=-1
+    ).astype(jnp.int32)  # (B, h, w, N, 4)
+    flat = idx.reshape(b, -1)
+    g = jnp.take_along_axis(x_flat, flat[..., None], axis=1)
+    g = g.reshape(*idx.shape, c)  # (B, h, w, N, 4, C)
+    w4 = jnp.stack([wr0 * wc0, wr1 * wc1, wr1 * wc0, wr0 * wc1], axis=-1)
+    return (w4[..., None] * g).sum(-2)
 
 
 class LDConv(nn.Module):

@@ -72,15 +72,15 @@ def train_ours(data_yaml: Path, run_root: Path, epochs: int, imgsz: int, batch: 
     return trainer.save_dir / "weights" / "best"
 
 
-def val_ours(ckpt_dir: Path, data_yaml: Path, imgsz: int):
+def val_ours(ckpt_dir: Path, data_yaml: Path, imgsz: int, quirk: bool = True):
     from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
     from experiment_yolo_tpu.engine.validator import DetectionValidator
 
     model, variables = load_checkpoint(ckpt_dir)
-    # soft_nms_quirk replicates the reference's arbitrary-first-box init bug
-    # (ops.py:262) so both pipelines run the EXACT same protocol
+    # soft_nms_quirk replicates the reference's soft-NMS protocol exactly
+    # (arbitrary first keep in array order + lone-survivor drop, ops.py:260)
     v = DetectionValidator(args={"data": str(data_yaml), "imgsz": imgsz, "batch": 8, "plots": False,
-                                 "soft_nms_quirk": True})
+                                 "soft_nms_quirk": quirk})
     return v(model, variables), (model, variables)
 
 
@@ -196,6 +196,8 @@ def main(argv):
 
     ours_metrics, (model, variables) = val_ours(ckpt, data_yaml, imgsz)
     print(f"[ours/val] {ours_metrics}")
+    default_metrics, _ = val_ours(ckpt, data_yaml, imgsz, quirk=False)
+    print(f"[ours/val default-protocol] {default_metrics}")
 
     ref_metrics, tmodel = val_reference(ckpt, data_yaml, imgsz)
     ref_map50 = float(ref_metrics["metrics/mAP50(B)"])
@@ -219,16 +221,16 @@ dataloader, letterbox, forward, decode, NMS, 10-threshold matching, 101-pt AP
 
 Both pipelines run the fork's Gaussian soft-NMS (the fork REPLACES
 torchvision hard NMS with `soft_nms`, ops.py:115-116 — discovered via
-box-level diffing); ours additionally replicates its arbitrary-first-box
-init bug (ops.py:262) for this run via `soft_nms_quirk: true`. With the
-framework DEFAULT (`soft_nms_quirk: false`, the bug fixed) our val scores
-mAP50 0.8870 / mAP50-95 0.7876 — BETTER than the reference protocol.
+box-level diffing); ours additionally replicates its exact quirks
+(arbitrary first keep in array order, ops.py:262, and the lone-survivor
+drop from `while order.numel() > 1`) via `soft_nms_quirk: true`.
 
 | pipeline | mAP50 | mAP50-95 |
 |---|---|---|
 | ours (jax/TPU, exact reference protocol) | {ours_metrics['mAP50']:.4f} | {ours_metrics['mAP50-95']:.4f} |
 | reference (torch) | {ref_map50:.4f} | {ref_map:.4f} |
 | abs diff | {d50:.4f} | {d5095:.4f} |
+| ours, framework DEFAULT (quirks off) | {default_metrics['mAP50']:.4f} | {default_metrics['mAP50-95']:.4f} |
 
 Target: ±0.003 (±0.3 mAP points, BASELINE.md): **{"PASS" if d50 <= 0.003 else "within " + format(d50, ".4f")}**
 
