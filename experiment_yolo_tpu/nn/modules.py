@@ -447,7 +447,11 @@ class LDConv(nn.Module):
         pc = gc[None, :, :, None] + p_n[None, None, None, :, 1] + off_c
         p = jnp.stack([pr, pc], axis=-1)  # (B, h, w, N, 2)
 
-        sampled = ldconv_bilinear_gather(x, p)  # (B, h, w, N, C)
+        # remat: the (B, h, w, N, 4, C) corner tensor is ~N*4x the input —
+        # storing it for backward OOMs DEAL-LD at batch 32/640 (22.1 GB >
+        # 15.75 GB HBM); recomputing the gather in the bwd pass trades a
+        # cheap re-gather for that residual
+        sampled = jax.checkpoint(ldconv_bilinear_gather)(x, p)  # (B, h, w, N, C)
         feat = sampled.reshape(b, h, w, n * x.shape[-1])
         y = nn.Dense(
             features=self.c2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
