@@ -108,3 +108,70 @@ def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (data x fsdp) parallelism — the scaling-book recipe: batch over 'data',
+# parameters/optimizer state sharded over 'fsdp' (ZeRO-3 style); GSPMD
+# inserts the all-gathers on use and reduce-scatters on the grads over ICI.
+# ---------------------------------------------------------------------------
+
+
+def make_mesh2d(
+    n_data: int, n_fsdp: int, devices=None,
+    data_axis: str = "data", fsdp_axis: str = "fsdp",
+) -> Mesh:
+    """(n_data, n_fsdp) mesh; data-parallel outer, parameter-shard inner.
+
+    The fsdp axis is the FASTER-varying one so each parameter all-gather
+    rides neighbouring ICI links."""
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_fsdp
+    if len(devs) < need:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= need:
+            devs = cpu
+    if len(devs) < need:
+        raise RuntimeError(f"need {need} devices, have {len(devs)}")
+    arr = np.asarray(devs[:need]).reshape(n_data, n_fsdp)
+    return Mesh(arr, (data_axis, fsdp_axis))
+
+
+def fsdp_spec(shape, n_shards: int, axis: str = "fsdp", min_size: int = 2**14) -> P:
+    """PartitionSpec sharding the largest divisible dim over ``axis``.
+
+    Small tensors (fewer than ``min_size`` elements) stay replicated — the
+    all-gather latency would beat the memory win (scaling-book §sharding)."""
+    size = int(np.prod(shape)) if shape else 0
+    if size < min_size:
+        return P()
+    # prefer the last (output-feature) dim, then the largest divisible one
+    order = sorted(range(len(shape)), key=lambda i: (i != len(shape) - 1, -shape[i]))
+    for i in order:
+        if shape[i] % n_shards == 0 and shape[i] >= n_shards:
+            spec = [None] * len(shape)
+            spec[i] = axis
+            return P(*spec)
+    return P()
+
+
+def fsdp_shard(tree, mesh: Mesh, axis: str = "fsdp", min_size: int = 2**14):
+    """Place a parameter/optimizer pytree FSDP-sharded over ``axis``."""
+    n = mesh.shape[axis]
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, fsdp_spec(np.shape(x), n, axis, min_size))
+        ),
+        tree,
+    )
+
+
+def fsdp_shardings(tree, mesh: Mesh, axis: str = "fsdp", min_size: int = 2**14):
+    """The NamedSharding pytree matching ``fsdp_shard`` (for jit out_shardings)."""
+    n = mesh.shape[axis]
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, fsdp_spec(np.shape(x), n, axis, min_size)), tree
+    )
