@@ -21,6 +21,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from experiment_yolo_tpu.nn.norm import BatchNorm as MemBatchNorm
 
 Dtype = Any
 
@@ -46,7 +47,7 @@ class Index(nn.Module):
 
 
 def _bn(x, train, dtype, name):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+    return MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                         dtype=dtype, param_dtype=jnp.float32, name=name)(x)
 
 
@@ -163,7 +164,7 @@ def _conv_bn(x, out, k, s, pad, train, dtype, name, groups=1, bn_init=1.0):
     residual tails via bn_init)."""
     y = nn.Conv(out, (k, k), strides=(s, s), padding=[(pad, pad)] * 2, use_bias=False,
                 feature_group_count=groups, dtype=dtype, param_dtype=jnp.float32, name=f"{name}_c")(x)
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
+    return MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
                         param_dtype=jnp.float32, scale_init=nn.initializers.constant(bn_init),
                         name=f"{name}_bn")(y)
 
@@ -355,7 +356,7 @@ class _RepViTBlock(nn.Module):
         y = _conv_bn(x, self.inp, 3, 1, 1, train, self.dtype, "rvg_dw", groups=self.inp)
         y1 = nn.Conv(self.inp, (1, 1), feature_group_count=self.inp, use_bias=True,
                      dtype=self.dtype, param_dtype=jnp.float32, name="rvg_pw")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="rvg_bn")(y + y1 + x)
         if self.use_se:
             y = _squeeze_excite(y, self.inp, train, self.dtype, "tm_se")
@@ -443,13 +444,13 @@ class _LSKStageBlock(nn.Module):
         d = self.dim
         ls1 = self.param("layer_scale_1", nn.initializers.constant(1e-2), (d,), jnp.float32)
         ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-2), (d,), jnp.float32)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm1")(x)
         y = jax.nn.gelu(nn.Conv(d, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_1")(y))
         y = _LSKBlockCore(d, dtype=self.dtype, name="lsk")(y)
         y = nn.Conv(d, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_2")(y)
         x = x + ls1 * y
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="norm2")(x)
         h = d * self.mlp_ratio
         y = nn.Conv(h, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
@@ -478,7 +479,7 @@ class LSKNet(nn.Module):
             k, s = (7, 4) if si == 0 else (3, 2)
             x = nn.Conv(dim, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
                         dtype=self.dtype, param_dtype=jnp.float32, name=f"pe{si}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            x = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name=f"pe{si}_bn")(x)
             for bi in range(depth):
                 x = _LSKStageBlock(dim, mr, dtype=self.dtype, name=f"s{si}_b{bi}")(x, train)
@@ -825,13 +826,13 @@ class VanillaNet(nn.Module):
         y = nn.Conv(c, (k, k), padding=[(self.act_num,) * 2] * 2, feature_group_count=c,
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     name=f"{name}_aw")(jax.nn.relu(x))
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6, dtype=self.dtype,
+        return MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6, dtype=self.dtype,
                             param_dtype=jnp.float32, name=f"{name}_abn")(y)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dims, strides = VANILLANET_CFGS[self.variant]
-        bn = lambda t, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
+        bn = lambda t, nm: MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-6,
                                         dtype=self.dtype, param_dtype=jnp.float32, name=nm)(t)
         x = bn(nn.Conv(dims[0], (4, 4), strides=(4, 4), use_bias=True, dtype=self.dtype,
                        param_dtype=jnp.float32, name="stem1")(x), "stem1_bn")
@@ -990,7 +991,7 @@ class RMT(nn.Module):
         def conv_bias_bn(z, out, st, name):  # rmt convs keep their bias under BN
             z = nn.Conv(out, (3, 3), strides=(st, st), padding=[(1, 1)] * 2, use_bias=True,
                         dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_c")(z)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            return MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                                 dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_bn")(z)
 
         # patch embed (rmt.py:417): 4 conv-BN (GELU between)
@@ -1221,7 +1222,7 @@ def _pki_conv(x, out, k, s, train, dtype, name, g=1, norm=True, act=True, d=1):
                 kernel_dilation=(d, d), use_bias=not norm, dtype=dtype,
                 param_dtype=jnp.float32, name=f"{name}_c")(x)
     if norm:
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=dtype, param_dtype=jnp.float32, name=f"{name}_bn")(y)
     return jax.nn.silu(y) if act else y
 
@@ -1317,11 +1318,11 @@ class _PKIBlock(nn.Module):
         add_identity = x.shape[-1] == self.out
         g1 = self.param("gamma1", nn.initializers.ones, (hid,), jnp.float32)
         g2 = self.param("gamma2", nn.initializers.ones, (self.out,), jnp.float32)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         y = g1.astype(x.dtype) * _PKIInception(hid, self.caa_k, dtype=self.dtype, name="block")(y, train)
         x = x + y if add_identity else y
-        z = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        z = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         z = g2.astype(x.dtype) * _PKIConvFFN(self.out, 4.0, 3, add_identity=False,
                                              dtype=self.dtype, name="ffn")(z, train)
@@ -1390,7 +1391,7 @@ def _efv2_cbn(x, out, k, st, pad, train, dtype, name, groups=1):
     y = nn.Conv(out, (k, k), strides=(st, st), padding=[(pad, pad)] * 2, use_bias=True,
                 feature_group_count=groups, dtype=dtype, param_dtype=jnp.float32,
                 name=f"{name}_c")(x)
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
+    return MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
                         param_dtype=jnp.float32, name=f"{name}_bn")(y)
 
 

@@ -16,6 +16,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from experiment_yolo_tpu.nn.norm import BatchNorm as MemBatchNorm
 
 from experiment_yolo_tpu.nn.modules import (
     Bottleneck,
@@ -110,7 +111,7 @@ class CoordAtt(nn.Module):
         x_w = x.mean(axis=1)[:, None]  # (B, 1, W, C)
         y = jnp.concatenate([x_h, x_w], axis=2)
         y = nn.Conv(mip, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(y)
         y = _h_swish(y)
         y_h, y_w = y[:, :, :h], y[:, :, h:]
@@ -199,7 +200,7 @@ class TripletAttention(nn.Module):
     def _gate(self, x, train, name):
         z = jnp.concatenate([x.max(-1, keepdims=True), x.mean(-1, keepdims=True)], axis=-1)
         z = _conv2d(z, 1, 7, use_bias=False, dtype=self.dtype, name=f"{name}_conv")
-        z = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-5,
+        z = MemBatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_bn")(z)
         return x * jax.nn.sigmoid(z)
 
@@ -261,19 +262,19 @@ class BAMBlock(nn.Module):
         for i in range(self.num_layers):
             y = nn.Dense(r if i < self.num_layers else c, dtype=self.dtype, param_dtype=jnp.float32,
                          name=f"ca_fc{i}")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name=f"ca_bn{i}")(y)
             y = jax.nn.relu(y)
         ca = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="ca_last")(y)[:, None, None, :]
         # spatial branch (attention.py:712)
         s = nn.Conv(r, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="sa_reduce")(x)
-        s = jax.nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        s = jax.nn.relu(MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                                      dtype=self.dtype, param_dtype=jnp.float32, name="sa_bn_r")(s))
         d = self.dia_val
         for i in range(self.num_layers):
             s = nn.Conv(r, (3, 3), padding=[(d, d)] * 2, kernel_dilation=(d, d), dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"sa_conv{i}")(s)
-            s = jax.nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            s = jax.nn.relu(MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, param_dtype=jnp.float32, name=f"sa_bn{i}")(s))
         sa = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="sa_last")(s)
         return (1.0 + jax.nn.sigmoid(ca + sa)) * x
@@ -325,7 +326,7 @@ class MPCA(nn.Module):
             c = t.shape[-1]
             y = nn.Conv(c, (kh, kw), padding=[((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)],
                         use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=f"{name}_c")(t)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+            y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
                              param_dtype=jnp.float32, name=f"{name}_bn")(y)
             return jax.nn.silu(y)
 
@@ -532,7 +533,7 @@ class Conv2Mod(nn.Module):
     def __call__(self, x, train: bool = False):
         y = _conv2d(x, self.c2, self.k, self.s, g=self.g, use_bias=False, dtype=self.dtype, name="conv")
         y2 = _conv2d(x, self.c2, 1, self.s, g=self.g, use_bias=False, dtype=self.dtype, name="cv2")
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y + y2)
         return _act(self.act, y)
 
@@ -586,7 +587,7 @@ class RepConv(nn.Module):
         y2 = ConvBN(self.c2, 1, self.s, g=self.g, act=False, dtype=self.dtype, name="conv2")(x, train)
         out = y1 + y2
         if self.use_bn_branch and x.shape[-1] == self.c2 and self.s == 1:
-            out = out + nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            out = out + MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                                      dtype=self.dtype, param_dtype=jnp.float32, name="bn_id")(x)
         return _act(self.act, out)
 
@@ -604,7 +605,7 @@ class ConvTranspose(nn.Module):
     def __call__(self, x, train: bool = False):
         y = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s), padding="VALID",
                              use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv_transpose")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
         return _act(self.act, y)
 
@@ -637,7 +638,7 @@ class RFAConv(nn.Module):
         feat = nn.Conv(c * kk, (self.k, self.k), strides=(self.s, self.s), padding=[(pad, pad), (pad, pad)],
                        feature_group_count=c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                        name="generate_feature")(x)
-        feat = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        feat = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                             dtype=self.dtype, param_dtype=jnp.float32, name="bn")(feat)
         feat = jax.nn.relu(feat).reshape(b, ho, wo, c, kk)
         weighted = feat * wgt  # (B, h, w, C, k^2)
@@ -848,7 +849,7 @@ def _cross_conv(x, c2, kk, dtype, name, train, parent):
     kh, kw = kk
     y = nn.Conv(c2, (kh, kw), padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)], use_bias=False,
                 dtype=dtype, param_dtype=jnp.float32, name=f"{name}_conv")(x)
-    y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+    y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                      dtype=dtype, param_dtype=jnp.float32, name=f"{name}_bn")(y)
     return jax.nn.silu(y)
 
@@ -872,7 +873,7 @@ class BottleneckCSP(nn.Module):
         y1 = _conv2d(y1, c_, 1, use_bias=False, dtype=self.dtype, name="cv3")
         y2 = _conv2d(x, c_, 1, use_bias=False, dtype=self.dtype, name="cv2")
         y = jnp.concatenate([y1, y2], -1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
         y = jax.nn.silu(y)
         return ConvBN(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
@@ -1052,10 +1053,10 @@ class SC2f(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = int(self.c2 * self.e)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        x = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn_input")(x)
         y = SConvBank(2 * c, 3, self.num_templates, dtype=self.dtype, name="cv1")(x, train)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn1")(y)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
@@ -1068,7 +1069,7 @@ class SC2f(nn.Module):
         a = nn.Conv(cc, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="ca2")(jax.nn.silu(a))
         cat = cat * jax.nn.sigmoid(a)
         out = SConvBank(self.c2, 3, self.num_templates, dtype=self.dtype, name="cv2")(cat, train)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        return MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                             dtype=self.dtype, param_dtype=jnp.float32, name="bn2")(out)
 
 
@@ -1129,7 +1130,7 @@ class DynamicScalSeq(nn.Module):
         # layout rationale; identical math
         stack = jnp.stack([p3, p4, p5], axis=3)
         stack = nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32, name="conv3d")(stack)
-        stack = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        stack = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                              dtype=self.dtype, param_dtype=jnp.float32, name="bn")(stack)
         return jax.nn.leaky_relu(stack, 0.1).max(axis=3)
 

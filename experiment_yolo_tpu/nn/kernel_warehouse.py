@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from experiment_yolo_tpu.nn.norm import BatchNorm as MemBatchNorm
 
 Dtype = Any
 
@@ -151,7 +152,7 @@ class KWAttention(nn.Module):
         hidden = max(int(self.in_planes * self.reduction), 16)
         s = x.mean(axis=(1, 2))  # (B, C) — GAP
         s = nn.Dense(hidden, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(s)
-        s = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        s = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(s)
         s = nn.Dense(kpm * self.num_local_mixture, use_bias=True, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc2")(jax.nn.relu(s))
@@ -210,7 +211,7 @@ class KWConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, warehouse, temp, train: bool = False):
         y = KWConv2dLayer(self.plan, stride=self.stride, dtype=self.dtype, name="conv")(x, warehouse, temp, train)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
         return jax.nn.silu(y) if self.act else y
 

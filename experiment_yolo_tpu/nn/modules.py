@@ -26,6 +26,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from experiment_yolo_tpu.nn.norm import BatchNorm as MemBatchNorm
 
 Dtype = Any
 
@@ -123,15 +124,17 @@ class ConvBN(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        # activation fused into the BN custom-vjp: neither BN nor the act
+        # saves an extra activation-sized residual (norm.py)
+        return MemBatchNorm(
             use_running_average=not train,
             momentum=0.97,
             epsilon=1e-3,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            act=self.act,
             name="bn",
         )(x)
-        return _act(self.act, x)
 
 
 class DWConv(ConvBN):
@@ -152,11 +155,10 @@ class DWConv(ConvBN):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        return MemBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=self.dtype, param_dtype=jnp.float32, name="bn",
+            dtype=self.dtype, param_dtype=jnp.float32, act=self.act, name="bn",
         )(x)
-        return _act(self.act, x)
 
 
 class Focus(nn.Module):
@@ -380,27 +382,40 @@ def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     pc = jnp.clip(p[..., 1], 0.0, wx - 1)
     r0 = jnp.clip(jnp.floor(pr), 0, hx - 1)
     c0 = jnp.clip(jnp.floor(pc), 0, wx - 1)
-    r1 = jnp.clip(r0 + 1, 0, hx - 1)
-    c1 = jnp.clip(c0 + 1, 0, wx - 1)
     # bilinear weights (reference's g_lt/g_rb/g_lb/g_rt)
     wr1 = pr - r0
     wc1 = pc - c0
     wr0 = 1.0 - wr1
     wc0 = 1.0 - wc1
 
-    x_flat = x.reshape(b, hx * wx, c)
+    # ONE 2x2xC-window gather per sample point instead of four row gathers:
+    # all four bilinear corners arrive in a single wide (2 rows x 2C) access
+    # — TPU DMA moves >=512B lines, so 4 separate C-row gathers at C<=64
+    # waste ~4x the bandwidth — and the backward is a single windowed
+    # scatter-add. Edge-replication padding makes the (r0+1, c0+1) reads the
+    # clamped values, so the math is bit-identical to the clipped 4-corner
+    # form (reference conv.py:389-470).
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    starts = jnp.stack([r0, c0], axis=-1).astype(jnp.int32).reshape(b, -1, 2)
 
-    # ONE gather for all four corners (not four separate ones): a quarter of
-    # the gather/scatter HLO ops — the backward becomes a single scatter-add
-    # — and measurably faster compiles on large LDConv stacks.
-    idx = jnp.stack(
-        [r0 * wx + c0, r1 * wx + c1, r1 * wx + c0, r0 * wx + c1], axis=-1
-    ).astype(jnp.int32)  # (B, h, w, N, 4)
-    flat = idx.reshape(b, -1)
-    g = jnp.take_along_axis(x_flat, flat[..., None], axis=1)
-    g = g.reshape(*idx.shape, c)  # (B, h, w, N, 4, C)
-    w4 = jnp.stack([wr0 * wc0, wr1 * wc1, wr1 * wc0, wr0 * wc1], axis=-1)
-    return (w4[..., None] * g).sum(-2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+
+    def gather_one(img, idx):  # (H+1, W+1, C), (Q, 2) -> (Q, 2, 2, C)
+        return jax.lax.gather(
+            img, idx, dn, slice_sizes=(2, 2, c), mode=jax.lax.GatherScatterMode.CLIP
+        )
+
+    g = jax.vmap(gather_one)(xp, starts)  # (B, Q, 2, 2, C)
+    g = g.reshape(*r0.shape, 2, 2, c)  # (B, h, w, N, 2, 2, C)
+    out = (
+        (wr0 * wc0)[..., None] * g[..., 0, 0, :]
+        + (wr0 * wc1)[..., None] * g[..., 0, 1, :]
+        + (wr1 * wc0)[..., None] * g[..., 1, 0, :]
+        + (wr1 * wc1)[..., None] * g[..., 1, 1, :]
+    )
+    return out
 
 
 class LDConv(nn.Module):
@@ -456,7 +471,7 @@ class LDConv(nn.Module):
         y = nn.Dense(
             features=self.c2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
         )(feat)
-        y = nn.BatchNorm(
+        y = MemBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=self.dtype, param_dtype=jnp.float32, name="bn",
         )(y)
@@ -569,7 +584,7 @@ class ScalSeq(nn.Module):
         # over (batch, scale, H, W).
         stack = jnp.stack([p3, p4, p5], axis=3)  # (B, H, W, 3, C)
         stack = nn.Dense(self.c2, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32, name="conv3d")(stack)
-        stack = nn.BatchNorm(
+        stack = MemBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=self.dtype, param_dtype=jnp.float32, name="bn",
         )(stack)
@@ -608,7 +623,7 @@ class AsfLocalAtt(nn.Module):
         x_w = x.mean(axis=1)[:, None]  # (B, 1, W, C)
         y = jnp.concatenate([x_h, x_w], axis=2)  # (B, 1, H+W, C)
         y = nn.Conv(cr, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv_1x1")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
         y = jax.nn.relu(y)
         y_h, y_w = y[:, :, :h], y[:, :, h:]

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from experiment_yolo_tpu.nn.norm import BatchNorm as MemBatchNorm
 
 from experiment_yolo_tpu.nn.modules import ConvBN
 
@@ -287,7 +288,7 @@ class RTDETRDecoder(nn.Module):
         for i, x in enumerate(xs):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"input_proj_{i}")(x)
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            p = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                              dtype=self.dtype, param_dtype=jnp.float32, name=f"input_proj_bn_{i}")(p)
             h, w = p.shape[1:3]
             feats_l.append(p.reshape(b, h * w, self.hd))

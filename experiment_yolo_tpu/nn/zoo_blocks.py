@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from experiment_yolo_tpu.nn.norm import BatchNorm as MemBatchNorm
 
 from experiment_yolo_tpu.nn.modules import ConvBN
 
@@ -40,7 +41,7 @@ def _bare_conv(x, c2, k, dtype, name, s=1, g=1, d=1, bias=False):
 
 
 def _bn(x, train, dtype, name):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+    return MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                         dtype=dtype, param_dtype=jnp.float32, name=name)(x)
 
 
@@ -584,7 +585,7 @@ class DiverseBranchBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         c1 = x.shape[-1]
         p = self.k // 2
-        bn = lambda xx, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        bn = lambda xx, nm: MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, param_dtype=jnp.float32, name=nm)(xx)
         # origin kxk
         out = bn(_bare_conv(x, self.c2, self.k, self.dtype, "origin_conv", s=self.s), "origin_bn")
@@ -642,10 +643,10 @@ class SEAM(nn.Module):
         y = x
         for i in range(self.n):
             z = _bare_conv(y, c, 3, self.dtype, f"dcov{i}_dw", g=c, bias=True)
-            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            y = y + MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                  param_dtype=jnp.float32, name=f"dcov{i}_bn1")(jax.nn.gelu(z))
             z = _bare_conv(y, c, 1, self.dtype, f"dcov{i}_pw", bias=True)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name=f"dcov{i}_bn2")(jax.nn.gelu(z))
         s = y.mean(axis=(1, 2))
         s = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(s)
@@ -667,14 +668,14 @@ class MultiSEAM(nn.Module):
         c = self.c2
         y = nn.Conv(c, (ps, ps), strides=(ps, ps), use_bias=True, dtype=self.dtype,
                     param_dtype=jnp.float32, name=f"{name}_patch")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name=f"{name}_pbn")(jax.nn.silu(y))
         for i in range(self.depth):
             z = _bare_conv(y, c, 3, self.dtype, f"{name}_d{i}_dw", g=c, bias=True)
-            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            y = y + MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                  param_dtype=jnp.float32, name=f"{name}_d{i}_bn1")(jax.nn.silu(z))
             z = _bare_conv(y, c, 1, self.dtype, f"{name}_d{i}_pw", bias=True)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name=f"{name}_d{i}_bn2")(jax.nn.silu(z))
         return y.mean(axis=(1, 2))
 
@@ -701,7 +702,7 @@ class RepVGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda xx, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        bn = lambda xx, nm: MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, param_dtype=jnp.float32, name=nm)(xx)
         y = bn(_bare_conv(x, self.c2, 3, self.dtype, "dense_conv", s=self.s), "dense_bn")
         y = y + bn(_bare_conv(x, self.c2, 1, self.dtype, "one_conv", s=self.s), "one_bn")
@@ -913,7 +914,7 @@ class _DSnakeBranch(nn.Module):
         b, h, w, c = x.shape
         K = self.k
         off = _bare_conv(x, 2 * K, 3, self.dtype, "offset_conv", bias=True)
-        off = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        off = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                            param_dtype=jnp.float32, name="offset_bn")(off)
         off = jnp.tanh(off)
         y_off, x_off = off[..., :K], off[..., K:]  # (b, h, w, K)
@@ -1082,7 +1083,7 @@ class ODConv2d(nn.Module):
         att_ch = max(int(c1 * self.reduction), 16)
         s = x.mean(axis=(1, 2), keepdims=True)
         s = _bare_conv(s, att_ch, 1, self.dtype, "att_fc")
-        s = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        s = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="att_bn")(s)
         s = jax.nn.relu(s)
         ch_att = jax.nn.sigmoid(_bare_conv(s, c1, 1, self.dtype, "channel_fc", bias=True))
@@ -1148,7 +1149,7 @@ class DynamicConv(nn.Module):
             wg = weight.reshape(self.num_experts, self.k * self.k, gs_in, self.g, gs_out)
             out = jnp.einsum("bhwtgc,etcgo,be->bhwgo", ptg, wg.astype(pt.dtype), r.astype(pt.dtype))
             out = out.reshape(*out.shape[:3], self.c2)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+        out = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32, name="bn")(out)
         return jax.nn.silu(out) if self.act else out
 
@@ -1208,7 +1209,7 @@ class DilatedReparamBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        bn = lambda xx, nm: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        bn = lambda xx, nm: MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                                          dtype=self.dtype, param_dtype=jnp.float32, name=nm)(xx)
         out = bn(_bare_conv(x, c, self.k, self.dtype, "lk_origin", g=c), "origin_bn")
         ks, ds = DRB_CFGS[self.k]
@@ -1239,7 +1240,7 @@ class UniRepLKNetBlock(nn.Module):
         else:
             y = x
         if self.k > 0:
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+            y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name="norm")(y)
         # SEBlock(dim, dim//4): 1x1 reduce (bias) + ReLU + 1x1 (bias) + sigmoid
         s = y.mean(axis=(1, 2), keepdims=True)
@@ -1256,7 +1257,7 @@ class UniRepLKNetBlock(nn.Module):
         nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
         z = grn_g * (z * nx) + grn_b + z
         z = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="pwconv2")(z)
-        z = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        z = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="pw_bn")(z)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (c,), jnp.float32)
         return x + gamma * z
@@ -1308,7 +1309,7 @@ class DCNv2Conv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
         y = dcnv2_core(x.astype(self.dtype), offset.astype(jnp.float32), mask.astype(self.dtype),
                        weight.astype(self.dtype), bias.astype(self.dtype), stride=self.s, pad=p)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(y)
         return jax.nn.silu(y) if self.act else y
 
@@ -1330,7 +1331,7 @@ class DCNV3YOLO(nn.Module):
             x = _conv(x, self.c2, 1, train, self.dtype, "stem_conv")
         cls = DCNv3 if self.version == 3 else DCNv4
         y = cls(self.c2, kernel=self.k, pad=self.k // 2, group=1, dtype=self.dtype, name="dcn")(x, train)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(y)
         return jax.nn.silu(y)
 
@@ -1401,7 +1402,7 @@ class CAHSFPN(nn.Module):
         pw = x.mean(axis=1)[:, :, None]  # (b, w, 1, c)
         y = jnp.concatenate([ph, pw], axis=1)
         y = _bare_conv(y, mip, 1, self.dtype, "conv1", bias=True)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn1")(y)
         y = y * jax.nn.relu6(y + 3.0) / 6.0  # h_swish
         a_h = jax.nn.sigmoid(_bare_conv(y[:, :h], c, 1, self.dtype, "conv_h", bias=True))
@@ -1951,7 +1952,7 @@ class DCNv2DynamicConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
         y = dcnv2_core(x.astype(self.dtype), offset.astype(jnp.float32), mask.astype(self.dtype),
                        weight.astype(self.dtype), bias.astype(self.dtype), stride=self.s, pad=p)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+        y = MemBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn")(y)
         return jax.nn.silu(y)
 

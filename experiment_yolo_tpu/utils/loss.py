@@ -122,7 +122,11 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
 
     ap = anchor_points if anchor_points.ndim == 3 else anchor_points[None]
     target_ltrb = bbox2dist(ap, target_bboxes, reg_max)
-    dfl = _df_loss(pred_distri.reshape(b, -1, 4, reg_max), target_ltrb)  # (B, A)
+    # checkpoint: log_softmax + one-hot masks are 3x (B, A, 4, reg_max) f32
+    # residuals otherwise (~830 MB at DEAL-P2 shapes)
+    dfl = jax.checkpoint(
+        lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
+    )(pred_distri, target_ltrb)  # (B, A)
     loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
     return loss_iou, loss_dfl, new_iou_mean
 
@@ -176,8 +180,11 @@ def detection_loss(
     gt_labels = batch["cls"].astype(jnp.int32)
 
     # decode predictions (grid units)
-    pred_dist_decoded = dfl_decode(pred_distri, reg_max)
-    pred_bboxes = dist2bbox(pred_dist_decoded, anchor_points[None], xywh=False)  # (B,A,4)
+    # checkpoint: the decode's softmax residual is (B, A, 4, reg_max) f32
+    # (~310 MB at DEAL-P2 train shapes); recompute it in the backward
+    pred_bboxes = jax.checkpoint(
+        lambda d: dist2bbox(dfl_decode(d, reg_max), anchor_points[None], xywh=False)
+    )(pred_distri)  # (B,A,4)
 
     if cfg.assigner == "atss":
         from experiment_yolo_tpu.utils import atss

@@ -56,4 +56,4 @@ def test_tflite_export_runs(setup, tmp_path):
 def test_unknown_format_raises(setup, tmp_path):
     model, variables = setup
     with pytest.raises(ValueError):
-        Exporter(model, variables)("onnx", tmp_path / "x")
+        Exporter(model, variables)("coreml", tmp_path / "x")
