@@ -364,40 +364,30 @@ def ldconv_sample_grid(num_param: int) -> jnp.ndarray:
     return jnp.asarray(pts, dtype=jnp.float32)  # (N, 2)
 
 
-def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sampling of x at fractional positions p (clamped at borders).
-
-    TPU-native formulation of the reference's 4-corner gather
-    (conv.py:389-470): one fused gather over flattened spatial indices.
-
-    Args:
-        x: (B, H, W, C) features.
-        p: (B, h, w, N, 2) sampling positions as (row, col) floats.
-
-    Returns:
-        (B, h, w, N, C) sampled features.
-    """
+def _ldconv_corner_setup(x, p):
+    """Shared geometry: clipped positions, corner base (r0, c0), weights."""
     b, hx, wx, c = x.shape
     pr = jnp.clip(p[..., 0], 0.0, hx - 1)
     pc = jnp.clip(p[..., 1], 0.0, wx - 1)
     r0 = jnp.clip(jnp.floor(pr), 0, hx - 1)
     c0 = jnp.clip(jnp.floor(pc), 0, wx - 1)
-    # bilinear weights (reference's g_lt/g_rb/g_lb/g_rt)
     wr1 = pr - r0
     wc1 = pc - c0
-    wr0 = 1.0 - wr1
-    wc0 = 1.0 - wc1
+    return pr, pc, r0, c0, 1.0 - wr1, wr1, 1.0 - wc1, wc1
 
-    # ONE 2x2xC-window gather per sample point instead of four row gathers:
-    # all four bilinear corners arrive in a single wide (2 rows x 2C) access
-    # — TPU DMA moves >=512B lines, so 4 separate C-row gathers at C<=64
-    # waste ~4x the bandwidth — and the backward is a single windowed
-    # scatter-add. Edge-replication padding makes the (r0+1, c0+1) reads the
-    # clamped values, so the math is bit-identical to the clipped 4-corner
-    # form (reference conv.py:389-470).
+
+def _ldconv_window_gather(x, r0, c0):
+    """(B,H,W,C), (B,h,w,N) corner base -> (B,h,w,N,2,2,C) corner windows.
+
+    ONE 2x2xC-window ``lax.gather`` per sample point instead of four row
+    gathers: all four bilinear corners arrive in a single wide (2 rows x 2C)
+    access — TPU DMA moves >=512B lines, so 4 separate C-row gathers at
+    C<=64 waste ~4x the bandwidth. Edge-replication padding makes the
+    (r0+1, c0+1) reads the clamped values, so the math is bit-identical to
+    the clipped 4-corner form (reference conv.py:389-470)."""
+    b, hx, wx, c = x.shape
     xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
     starts = jnp.stack([r0, c0], axis=-1).astype(jnp.int32).reshape(b, -1, 2)
-
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
     )
@@ -407,15 +397,84 @@ def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
             img, idx, dn, slice_sizes=(2, 2, c), mode=jax.lax.GatherScatterMode.CLIP
         )
 
-    g = jax.vmap(gather_one)(xp, starts)  # (B, Q, 2, 2, C)
-    g = g.reshape(*r0.shape, 2, 2, c)  # (B, h, w, N, 2, 2, C)
+    g = jax.vmap(gather_one)(xp, starts)
+    return g.reshape(*r0.shape, 2, 2, c)
+
+
+@jax.custom_vjp
+def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling of x at fractional positions p (clamped at borders).
+
+    TPU-native formulation of the reference's 4-corner gather
+    (conv.py:389-470). Forward: one fused 2x2xC-window gather (see
+    ``_ldconv_window_gather``). Backward is hand-written: XLA's transpose of
+    the windowed gather materializes full-array temporaries per window slice
+    (measured 28 GB HBM at (8,320,320,16)!), so dx is a single flat
+    scatter-add of the 4 weighted corners and dp comes from a cheap
+    re-gather — exact gradients, no pathological temps.
+
+    Args:
+        x: (B, H, W, C) features.
+        p: (B, h, w, N, 2) sampling positions as (row, col) floats.
+
+    Returns:
+        (B, h, w, N, C) sampled features.
+    """
+    out, _ = _ldconv_gather_fwd(x, p)
+    return out
+
+
+def _ldconv_gather_fwd(x, p):
+    pr, pc, r0, c0, wr0, wr1, wc0, wc1 = _ldconv_corner_setup(x, p)
+    g = _ldconv_window_gather(x, r0, c0)
     out = (
         (wr0 * wc0)[..., None] * g[..., 0, 0, :]
         + (wr0 * wc1)[..., None] * g[..., 0, 1, :]
         + (wr1 * wc0)[..., None] * g[..., 1, 0, :]
         + (wr1 * wc1)[..., None] * g[..., 1, 1, :]
     )
-    return out
+    return out, (x, p)
+
+
+def _ldconv_gather_bwd(res, dy):
+    x, p = res
+    b, hx, wx, c = x.shape
+    pr, pc, r0, c0, wr0, wr1, wc0, wc1 = _ldconv_corner_setup(x, p)
+    g = _ldconv_window_gather(x, r0, c0)  # recompute (cheap, fast fwd op)
+    g00, g01 = g[..., 0, 0, :], g[..., 0, 1, :]
+    g10, g11 = g[..., 1, 0, :], g[..., 1, 1, :]
+
+    dyf = dy
+    # offset gradients: d out / d pr = (g10-g00)*wc0 + (g11-g01)*wc1, and the
+    # clip/floor chain passes 1 inside the valid range, 0 at the rails
+    dpr = (dyf * ((g10 - g00) * wc0[..., None] + (g11 - g01) * wc1[..., None])).sum(-1)
+    dpc = (dyf * ((g01 - g00) * wr0[..., None] + (g11 - g10) * wr1[..., None])).sum(-1)
+    # inclusive bounds; NOTE at positions sitting EXACTLY on a rail, autodiff
+    # of clip halves the gradient (max/min tie-splitting) — we pass it whole,
+    # an equally valid subgradient on a measure-zero set
+    in_r = ((p[..., 0] >= 0.0) & (p[..., 0] <= hx - 1)).astype(dpr.dtype)
+    in_c = ((p[..., 1] >= 0.0) & (p[..., 1] <= wx - 1)).astype(dpc.dtype)
+    dp = jnp.stack([dpr * in_r, dpc * in_c], axis=-1)
+
+    # dx: one flat scatter-add of the 4 weighted corner contributions;
+    # clamped duplicate indices accumulate, matching the forward's clamping
+    r1 = jnp.minimum(r0 + 1, hx - 1)
+    c1 = jnp.minimum(c0 + 1, wx - 1)
+    idx = jnp.stack(
+        [r0 * wx + c0, r0 * wx + c1, r1 * wx + c0, r1 * wx + c1], axis=-1
+    ).astype(jnp.int32)  # (B, h, w, N, 4)
+    w4 = jnp.stack([wr0 * wc0, wr0 * wc1, wr1 * wc0, wr1 * wc1], axis=-1)
+    vals = (w4[..., None] * dyf[..., None, :]).reshape(b, -1, c)  # (B, Q*4, C)
+    flat_idx = idx.reshape(b, -1)
+
+    def scat_one(zeros, fi, v):
+        return zeros.at[fi].add(v)
+
+    dx = jax.vmap(scat_one)(jnp.zeros((b, hx * wx, c), dy.dtype), flat_idx, vals)
+    return dx.reshape(b, hx, wx, c).astype(x.dtype), dp.astype(p.dtype)
+
+
+ldconv_bilinear_gather.defvjp(_ldconv_gather_fwd, _ldconv_gather_bwd)
 
 
 class LDConv(nn.Module):

@@ -72,3 +72,58 @@ class TestLDConvGatherKernel:
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(x[2, 3]))
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(x[0, 0]))
         np.testing.assert_allclose(np.asarray(got[2]), np.asarray(x[4, 3]))
+
+
+def test_ldconv_gather_custom_vjp_grads():
+    """The windowed-gather custom VJP's gradients (hand-written scatter dx +
+    analytic dp) must match autodiff of a naive take-along-axis reference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from experiment_yolo_tpu.nn.modules import ldconv_bilinear_gather
+
+    def naive(x, p):
+        b, hx, wx, c = x.shape
+        pr = jnp.clip(p[..., 0], 0.0, hx - 1)
+        pc = jnp.clip(p[..., 1], 0.0, wx - 1)
+        r0 = jnp.clip(jnp.floor(pr), 0, hx - 1)
+        c0 = jnp.clip(jnp.floor(pc), 0, wx - 1)
+        r1 = jnp.clip(r0 + 1, 0, hx - 1)
+        c1 = jnp.clip(c0 + 1, 0, wx - 1)
+        wr1, wc1 = pr - r0, pc - c0
+        wr0, wc0 = 1.0 - wr1, 1.0 - wc1
+        xf = x.reshape(b, hx * wx, c)
+
+        def gat(rr, cc):
+            fi = (rr * wx + cc).astype(jnp.int32).reshape(b, -1)
+            return jnp.take_along_axis(xf, fi[..., None], axis=1).reshape(*rr.shape, c)
+
+        return ((wr0 * wc0)[..., None] * gat(r0, c0) + (wr0 * wc1)[..., None] * gat(r0, c1)
+                + (wr1 * wc0)[..., None] * gat(r1, c0) + (wr1 * wc1)[..., None] * gat(r1, c1))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 11, 5).astype(np.float32))
+    # positions include interior, borders, and out-of-range (clamped) points
+    # borders/out-of-range but NOT exactly on a rail (at exact rails autodiff
+    # of clip tie-splits the gradient 0.5x; ours passes it whole — both are
+    # valid subgradients on a measure-zero set)
+    extra = (np.array([[-1.5, 3.2], [9.7, 11.4], [0.25, 0.25]], np.float32)
+             .reshape(1, 1, 1, 3, 2) * np.ones((2, 1, 4, 3, 2), np.float32))
+    p = jnp.asarray(np.concatenate([rng.rand(2, 3, 4, 3, 2) * 8.0, extra],
+                                   axis=1).astype(np.float32))
+    t = jnp.asarray(rng.randn(*ldconv_bilinear_gather(x, p).shape).astype(np.float32))
+
+    def loss_new(x, p):
+        return (ldconv_bilinear_gather(x, p) * t).sum()
+
+    def loss_ref(x, p):
+        return (naive(x, p) * t).sum()
+
+    np.testing.assert_allclose(loss_new(x, p), loss_ref(x, p), rtol=1e-5)
+    gx_n, gp_n = jax.grad(loss_new, argnums=(0, 1))(x, p)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(gx_n, gx_r, atol=1e-4, rtol=1e-4)
+    # dp: the naive clip-chain and our in-range mask agree except exactly AT
+    # integer rail positions (measure-zero; clamped points give 0 both ways)
+    np.testing.assert_allclose(gp_n, gp_r, atol=1e-3, rtol=1e-3)
