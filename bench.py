@@ -64,7 +64,8 @@ def bench_batch(model, variables, batch: int, imgsz: int = 640) -> float:
     return batch * ITERS / dt
 
 
-def bench_train_step(cfg: str = "yolov8-ASF-P2P2.yaml", batch: int = 32, imgsz: int = 640) -> float:
+def bench_train_step(cfg: str = "yolov8-ASF-P2P2.yaml", batch: int = 32, imgsz: int = 640,
+                     **overrides) -> float:
     """Full train-step throughput (forward + TAL + loss + backward + SGD/EMA
     update) on the DEAL flagship — counterpart of the reference's per-epoch
     it/s under train.py. Iterations are scan-chained via the TrainState carry
@@ -78,7 +79,8 @@ def bench_train_step(cfg: str = "yolov8-ASF-P2P2.yaml", batch: int = 32, imgsz: 
 
     model = DetectionModel(cfg)
     variables = model.init(jax.random.PRNGKey(0))
-    trainer = DetectionTrainer(model=model, variables=variables, overrides={"amp": True, "batch": batch, "imgsz": imgsz})
+    trainer = DetectionTrainer(model=model, variables=variables,
+                               overrides={"amp": True, "batch": batch, "imgsz": imgsz, **overrides})
     trainer.loss_cfg = LossConfig(nc=model.nc)
     trainer.tx = build_optimizer(
         variables["params"], "SGD", 0.01, 0.937, 5e-4, nb=100, epochs=100, lrf=0.01,

@@ -34,6 +34,7 @@ CFG_BOOL_KEYS = {
     # NB: resume may be bool OR a ckpt path; cache may be bool OR 'ram'/'disk'
     "agnostic_nms", "augment", "save_txt", "save_conf", "save_crop", "show_labels",
     "show_conf", "show_boxes", "plots", "use_wiseiou", "nwd", "ema", "soft_nms_quirk",
+    "remat",
 }
 
 

@@ -362,6 +362,7 @@ class DetectionTrainer:
         kpt_shape = getattr(model, "kpt_shape", (17, 3))
 
         has_kw = getattr(model, "kw_manager", None) is not None
+        use_remat = bool(getattr(self.args, "remat", False))
 
         def step_fn(state: TrainState, batch, kw_temp=0.0):
             imgs = batch["img"].astype(dtype) / 255.0
@@ -379,6 +380,7 @@ class DetectionTrainer:
                     imgs,
                     True,
                     mutable=["batch_stats"],
+                    remat=use_remat,
                     **kw_kwargs,
                 )
                 tb = {"bboxes": batch["bboxes"], "cls": batch["cls"], "mask": batch["mask"]}
@@ -416,7 +418,12 @@ class DetectionTrainer:
                     total, comps = obb_loss(feats, amaps, tb, strides, loss_cfg)
                     new_iou = state.iou_mean
                 else:
-                    feats = [f.astype(jnp.float32) for f in out]
+                    # feats stay in compute dtype (bf16 under AMP): the loss
+                    # runs mixed-precision — big (B, A, ...) elementwise in
+                    # bf16, geometry and every reduction in f32 — halving the
+                    # HBM traffic of the loss region (measured 28 ms of the
+                    # 150 ms DEAL-P2 b32 train step in f32)
+                    feats = list(out)
                     total, comps, new_iou = detection_loss(feats, tb, strides, loss_cfg, state.iou_mean)
                 return total, (upd["batch_stats"], comps, new_iou)
 

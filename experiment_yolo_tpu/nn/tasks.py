@@ -816,10 +816,22 @@ class GraphModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture: Tuple[int, ...] = (), kw_temp=0.0,
-                 dn_gt=None, dn_rng=None):
+                 dn_gt=None, dn_rng=None, remat: bool = False):
         kw_cells = self.kw.warehouse_params(self) if self.kw is not None else None
         saved: Dict[int, Any] = {}
         captured: Dict[int, Any] = {}
+        # Per-layer rematerialization (``remat=True``, train only): each
+        # layer's INTERNAL activations are recomputed in the backward pass so
+        # only the inter-layer boundary tensors are saved — the TPU analogue
+        # of torch.utils.checkpoint on every block. This trades ~1 extra
+        # forward (compute is <5% of the bandwidth-bound train step) for the
+        # HBM headroom to run batch 128, where XLA's batch-minor conv-grad
+        # layouts fill all 128 lanes (at batch 32 they are 25% occupied).
+        run_remat = (
+            nn.remat(lambda mdl, inp: mdl(inp, True))
+            if (remat and train)
+            else None
+        )
         out = x
         for i, (m, f, li) in enumerate(zip(self.layers, self.froms, self.list_inputs)):
             if li:
@@ -830,6 +842,8 @@ class GraphModel(nn.Module):
                 out = m(inp, train, warehouse=kw_cells, kw_temp=kw_temp)
             elif getattr(m, "dn_aware", False) and dn_gt is not None:
                 out = m(inp, train, dn_gt=dn_gt, dn_rng=dn_rng)
+            elif run_remat is not None:
+                out = run_remat(m, inp)
             else:
                 out = m(inp, train)
             if i in self.save:
@@ -962,16 +976,18 @@ class DetectionModel:
 
     # -- functional forward ------------------------------------------------
     def apply(self, variables, x, train: bool = False, mutable=False, kw_temp=0.0,
-              dn_gt=None, dn_rng=None):
+              dn_gt=None, dn_rng=None, remat: bool = False):
         """Raw forward: returns list of per-level (B,H,W,no) maps.
 
         With train=True and mutable=['batch_stats'], returns (feats, updates).
         `kw_temp` is the Kernel-Warehouse temperature (0 = learned mixture
         only — the inference setting, reference tasks.py:301). `dn_gt` /
         `dn_rng` feed RT-DETR contrastive denoising groups in training.
+        `remat=True` recomputes per-layer internals in the backward pass
+        (large-batch training).
         """
         return self.module.apply(variables, x, train, mutable=mutable, kw_temp=kw_temp,
-                                 dn_gt=dn_gt, dn_rng=dn_rng)
+                                 dn_gt=dn_gt, dn_rng=dn_rng, remat=remat)
 
     def predict(self, variables, x):
         """Inference decode: (boxes xywh pixels (B,A,4), scores (B,A,nc)).

@@ -43,6 +43,9 @@ def _nms_single(
     soft_first_quirk: bool,
 ):
     """NMS for one image. boxes (A,4), scores (A,nc). Returns ((max_det,6), n)."""
+    # NMS always runs f32: bf16 scores (AMP models) break score ordering
+    # (ties at 3 decimal digits) and the soft-NMS decay loop's carry dtype.
+    boxes, scores = boxes.astype(jnp.float32), scores.astype(jnp.float32)
     if in_xywh:
         boxes = xywh2xyxy(boxes)
     a = boxes.shape[0]

@@ -172,9 +172,11 @@ def detection_loss(
     imgsz_h = feats[0].shape[1] * strides[0]
     imgsz_w = feats[0].shape[2] * strides[0]
 
-    # targets: normalized xywh -> pixel xyxy, padded rows masked
-    scale = jnp.asarray([imgsz_w, imgsz_h, imgsz_w, imgsz_h], dtype)
-    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(dtype) * scale)
+    # targets: normalized xywh -> pixel xyxy, padded rows masked. Geometry is
+    # ALWAYS f32: bf16 spacing at coordinate 160 is 1.0 grid units, which
+    # would corrupt IoU; the (B, A|M, 4) tensors are small so f32 is free.
+    scale = jnp.asarray([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
     mask_gt = batch["mask"].astype(jnp.bool_) & (gt_bboxes.sum(-1) > 0)
     gt_bboxes = jnp.where(mask_gt[..., None], gt_bboxes, 0.0)
     gt_labels = batch["cls"].astype(jnp.int32)
@@ -183,8 +185,10 @@ def detection_loss(
     # checkpoint: the decode's softmax residual is (B, A, 4, reg_max) f32
     # (~310 MB at DEAL-P2 train shapes); recompute it in the backward
     pred_bboxes = jax.checkpoint(
-        lambda d: dist2bbox(dfl_decode(d, reg_max), anchor_points[None], xywh=False)
-    )(pred_distri)  # (B,A,4)
+        lambda d: dist2bbox(
+            dfl_decode(d.astype(jnp.float32), reg_max), anchor_points[None], xywh=False
+        )
+    )(pred_distri)  # (B,A,4) f32 (the cast fuses into the softmax chain)
 
     if cfg.assigner == "atss":
         from experiment_yolo_tpu.utils import atss
@@ -217,7 +221,7 @@ def detection_loss(
     target_scores = jax.lax.stop_gradient(res.target_scores)
     fg_mask = res.fg_mask
     target_bboxes = res.target_bboxes / stride_tensor[None]  # grid units
-    target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+    target_scores_sum = jnp.maximum(target_scores.sum(dtype=jnp.float32), 1.0)
 
     # --- cls loss (zoo; reference loss.py:303-308 + 396-458) ---------------
     loss_cls, new_slide_mean = _cls_loss(
@@ -226,7 +230,9 @@ def detection_loss(
     )
 
     # --- box + dfl (shared with the aux head below) -------------------------
-    weight = jnp.where(fg_mask, target_scores.sum(-1), 0.0)  # (B, A)
+    # sum(-1) has exactly one nonzero per anchor (one-hot * norm), so it is
+    # exact in bf16; cast to f32 for the weighted reductions downstream
+    weight = jnp.where(fg_mask, target_scores.sum(-1), 0.0).astype(jnp.float32)  # (B, A)
     if iou_mean is None:
         iou_mean = jnp.asarray(1.0, dtype)
     # per-anchor image-diagonal^2 in grid units (reference loss.py:444 passes
@@ -257,7 +263,9 @@ def detection_loss(
         # advance the Wise-IoU running mean.
         flat_aux = jnp.concatenate([f.reshape(b, -1, no) for f in aux_feats], axis=1)
         pred_distri_aux, pred_scores_aux = flat_aux[..., : reg_max * 4], flat_aux[..., reg_max * 4 :]
-        pred_bboxes_aux = dist2bbox(dfl_decode(pred_distri_aux, reg_max), anchor_points[None], xywh=False)
+        pred_bboxes_aux = dist2bbox(
+            dfl_decode(pred_distri_aux.astype(jnp.float32), reg_max), anchor_points[None], xywh=False
+        )
         res_aux = tal.assign(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
             jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
@@ -274,10 +282,10 @@ def detection_loss(
         ts_aux = jax.lax.stop_gradient(res_aux.target_scores)
         fg_aux = res_aux.fg_mask
         tb_aux = res_aux.target_bboxes / stride_tensor[None]
-        tss_aux = jnp.maximum(ts_aux.sum(), 1.0)
-        w_aux = jnp.where(fg_aux, ts_aux.sum(-1), 0.0)
+        tss_aux = jnp.maximum(ts_aux.sum(dtype=jnp.float32), 1.0)
+        w_aux = jnp.where(fg_aux, ts_aux.sum(-1), 0.0).astype(jnp.float32)
         ratio = cfg.aux_loss_ratio
-        cls_aux = _sigmoid_bce(pred_scores_aux, ts_aux.astype(dtype)).sum() / tss_aux
+        cls_aux = _sigmoid_bce(pred_scores_aux, ts_aux.astype(dtype)).sum(dtype=jnp.float32) / tss_aux
         iou_aux, dfl_aux, _ = _box_dfl_losses(
             cfg, pred_distri_aux, pred_bboxes_aux, anchor_points, tb_aux,
             fg_aux, w_aux, tss_aux, iou_mean, mpdiou_hw, reg_max, b,
@@ -318,7 +326,8 @@ def _cls_loss(cfg, pred_scores, target_scores, target_labels, pred_bboxes, targe
     dtype = pred_scores.dtype
     new_slide_mean = slide_mean
     if cfg.cls_loss == "bce":
-        loss = _sigmoid_bce(pred_scores, target_scores).sum() / target_scores_sum
+        # elementwise BCE in the input dtype (bf16 under AMP); f32 accumulator
+        loss = _sigmoid_bce(pred_scores, target_scores).sum(dtype=jnp.float32) / target_scores_sum
     elif cfg.cls_loss == "focal":
         # FocalLoss_YOLO (reference loss.py:166-186)
         bce = _sigmoid_bce(pred_scores, target_scores)
@@ -326,12 +335,12 @@ def _cls_loss(cfg, pred_scores, target_scores, target_labels, pred_bboxes, targe
         p_t = target_scores * p + (1 - target_scores) * (1 - p)
         mod = (1.0 - p_t) ** cfg.focal_gamma
         alpha_f = target_scores * cfg.focal_alpha + (1 - target_scores) * (1 - cfg.focal_alpha)
-        loss = (bce * mod * alpha_f).sum() / target_scores_sum
+        loss = (bce * mod * alpha_f).sum(dtype=jnp.float32) / target_scores_sum
     elif cfg.cls_loss == "varifocal":
         # VarifocalLoss_YOLO (loss.py:128-143), normalized by fg count
         q = target_scores
         weight = cfg.vfl_alpha * jnp.abs(jax.nn.sigmoid(pred_scores) - q) ** cfg.vfl_gamma * (q <= 0) + q * (q > 0)
-        loss = (_sigmoid_bce(pred_scores, q) * jax.lax.stop_gradient(weight)).sum() / jnp.maximum(fg_mask.sum(), 1)
+        loss = (_sigmoid_bce(pred_scores, q) * jax.lax.stop_gradient(weight)).sum(dtype=jnp.float32) / jnp.maximum(fg_mask.sum(), 1)
     elif cfg.cls_loss == "qualityfocal":
         # QualityfocalLoss_YOLO (loss.py:145-158): q = IoU * onehot on fg
         iou = jnp.clip(bbox_iou(pred_bboxes, target_bboxes, xywh=False)[..., 0], 1e-6, None)
@@ -341,7 +350,7 @@ def _cls_loss(cfg, pred_scores, target_scores, target_labels, pred_bboxes, targe
         q = jnp.where(pos > 0, iou[..., None] * onehot, 0.0)
         p = jax.nn.sigmoid(pred_scores)
         scale = jnp.where(pos > 0, jnp.abs(q - p), p) ** cfg.qfl_beta
-        loss = (_sigmoid_bce(pred_scores, q) * scale).sum() / jnp.maximum(fg_mask.sum(), 1)
+        loss = (_sigmoid_bce(pred_scores, q) * scale).sum(dtype=jnp.float32) / jnp.maximum(fg_mask.sum(), 1)
     elif cfg.cls_loss in ("slide", "emaslide"):
         # Slide / EMASlide (loss.py:15-74): modulate BCE by where the target
         # score sits relative to auto_iou (mean fg CIoU)
@@ -361,7 +370,7 @@ def _cls_loss(cfg, pred_scores, target_scores, target_labels, pred_bboxes, targe
             + jnp.exp(1.0 - auto_iou) * ((t > auto_iou - 0.1) & (t < auto_iou))
             + jnp.exp(-(t - 1.0)) * (t >= auto_iou)
         )
-        loss = (_sigmoid_bce(pred_scores, t) * w).sum() / target_scores_sum
+        loss = (_sigmoid_bce(pred_scores, t) * w).sum(dtype=jnp.float32) / target_scores_sum
     else:
         raise ValueError(f"unknown cls_loss {cfg.cls_loss!r}")
     return loss, new_slide_mean

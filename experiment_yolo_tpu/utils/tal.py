@@ -121,10 +121,13 @@ def assign(
         mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B,M,A)
     pre_mask = mask_in_gts & mask_gt[..., None]
 
-    # scores of each anchor for each gt's class: (B, M, A)
-    cls_scores = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1), jnp.clip(gt_labels, 0, nc - 1)[..., None], axis=1
-    )
+    # scores of each anchor for each gt's class: (B, M, A). One-hot einsum
+    # (an MXU matmul reading pd_scores once) instead of transpose +
+    # take_along_axis: the physical (B, A, nc) -> (B, nc, A) transpose alone
+    # moves 2x the score tensor through HBM (688 MB f32 at DEAL-P2 shapes).
+    # Exact: one nonzero per row, no accumulation.
+    label_oh = jax.nn.one_hot(jnp.clip(gt_labels, 0, nc - 1), nc, dtype=pd_scores.dtype)
+    cls_scores = jnp.einsum("bmc,bac->bma", label_oh, pd_scores)
     if rotated:
         from experiment_yolo_tpu.ops.boxes import probiou
 
@@ -160,6 +163,8 @@ def assign(
     pos_align = align_metric.max(-1, keepdims=True)  # (B, M, 1)
     pos_overlap = (overlaps * mask_pos).max(-1, keepdims=True)
     norm = (align_metric * pos_overlap / (pos_align + eps)).max(-2)[..., None]  # (B, A, 1)
-    target_scores = target_scores * norm
+    # keep target_scores in the score dtype (bf16 under AMP): norm is in
+    # [0, 1] and the product would otherwise promote the (B, A, nc) tensor
+    target_scores = target_scores * norm.astype(target_scores.dtype)
 
     return AssignResult(target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx)
