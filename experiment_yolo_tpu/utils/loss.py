@@ -72,23 +72,31 @@ def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
     [0, reg_max-1). Returns (...,) mean over the 4 sides.
 
-    The bin selection is a one-hot contraction, NOT take_along_axis: XLA
-    lowers the tiny per-element gather over (B, A, 4, reg_max) to a
-    scalar-indexed loop on TPU (measured 184 ms vs 33 ms at DEAL-P2 train
-    shapes), while the compare-iota mask fuses into the log_softmax chain.
+    The bin selection is neither take_along_axis (XLA lowers the tiny
+    per-element gather over (B, A, 4, reg_max) to a scalar-indexed loop on
+    TPU — measured 184 ms vs 33 ms at DEAL-P2 train shapes) nor a
+    materialized one-hot pair: with ``t = min(target, reg_max-1)`` the
+    two-bin CE is EXACTLY
+
+        wl*(-logp[tl]) + wr*(-logp[tr]) = logsumexp(d) - sum_r d_r * hat_r,
+        hat_r = max(0, 1 - |r - t|)                (triangular hat weights)
+
+    (for the reference's clipped edge case target > reg_max-1, both bins
+    collapse onto reg_max-1 with total weight 1 — which is hat at the
+    clamped t). The hat mask is a fused compare-iota — nothing of shape
+    (B, A, 4, reg_max) is ever materialized in HBM, where the one-hot
+    form spent ~45 ms/step in broadcasts at DEAL-P2 b128 shapes.
     """
-    tl = jnp.floor(target).astype(jnp.int32)
-    tr = tl + 1
-    wl = tr.astype(target.dtype) - target
-    wr = 1.0 - wl
-    logp = jax.nn.log_softmax(pred_dist, axis=-1)
     reg_max = pred_dist.shape[-1]
-    bins = jnp.arange(reg_max, dtype=jnp.int32)
-    oh_l = (bins == jnp.clip(tl, 0, reg_max - 1)[..., None]).astype(logp.dtype)
-    oh_r = (bins == jnp.clip(tr, 0, reg_max - 1)[..., None]).astype(logp.dtype)
-    loss_l = -(logp * oh_l).sum(-1)
-    loss_r = -(logp * oh_r).sum(-1)
-    return (loss_l * wl + loss_r * wr).mean(-1)
+    t = jnp.minimum(target, reg_max - 1)[..., None]  # (..., 4, 1)
+    bins = jnp.arange(reg_max, dtype=t.dtype)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(bins - t)).astype(pred_dist.dtype)
+    m = jax.lax.stop_gradient(pred_dist.max(-1, keepdims=True))
+    lse = m[..., 0] + jnp.log(
+        jnp.sum(jnp.exp((pred_dist - m).astype(jnp.float32)), axis=-1)
+    )
+    proj = (pred_dist * hat).sum(-1, dtype=jnp.float32)
+    return (lse - proj).mean(-1)
 
 
 def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
