@@ -34,7 +34,6 @@ CFG_BOOL_KEYS = {
     # NB: resume may be bool OR a ckpt path; cache may be bool OR 'ram'/'disk'
     "agnostic_nms", "augment", "save_txt", "save_conf", "save_crop", "show_labels",
     "show_conf", "show_boxes", "plots", "use_wiseiou", "nwd", "ema", "soft_nms_quirk",
-    "remat",
 }
 
 
@@ -62,6 +61,19 @@ def check_dict_alignment(base: dict, custom: dict) -> None:
 def _coerce(k: str, v: Any) -> Any:
     if v is None or v == "None":
         return None
+    if k == "remat":
+        # bool (remat all layers) OR int (remat only layers whose input
+        # spatial area H*W >= the value) — like resume, a dual-typed key
+        if isinstance(v, (bool, int)):
+            return v
+        if isinstance(v, str):
+            if v.lower() in ("true", "false"):
+                return v.lower() == "true"
+            try:
+                return int(v)
+            except ValueError:
+                pass
+        raise TypeError(f"'remat={v}' must be a bool or int (min input H*W)")
     if k in CFG_BOOL_KEYS and not isinstance(v, bool):
         if isinstance(v, str) and v.lower() in ("true", "false"):
             return v.lower() == "true"

@@ -362,7 +362,7 @@ class DetectionTrainer:
         kpt_shape = getattr(model, "kpt_shape", (17, 3))
 
         has_kw = getattr(model, "kw_manager", None) is not None
-        use_remat = bool(getattr(self.args, "remat", False))
+        use_remat = getattr(self.args, "remat", False)  # bool or int (min H*W)
 
         def step_fn(state: TrainState, batch, kw_temp=0.0):
             imgs = batch["img"].astype(dtype) / 255.0

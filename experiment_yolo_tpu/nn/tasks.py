@@ -816,22 +816,34 @@ class GraphModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture: Tuple[int, ...] = (), kw_temp=0.0,
-                 dn_gt=None, dn_rng=None, remat: bool = False):
+                 dn_gt=None, dn_rng=None, remat: Any = False):
         kw_cells = self.kw.warehouse_params(self) if self.kw is not None else None
         saved: Dict[int, Any] = {}
         captured: Dict[int, Any] = {}
-        # Per-layer rematerialization (``remat=True``, train only): each
+        # Per-layer rematerialization (``remat``, train only): a rematted
         # layer's INTERNAL activations are recomputed in the backward pass so
         # only the inter-layer boundary tensors are saved — the TPU analogue
         # of torch.utils.checkpoint on every block. This trades ~1 extra
         # forward (compute is <5% of the bandwidth-bound train step) for the
         # HBM headroom to run batch 128, where XLA's batch-minor conv-grad
         # layouts fill all 128 lanes (at batch 32 they are 25% occupied).
+        # ``remat`` is bool (all layers) or int: only layers whose input
+        # spatial area H*W >= remat are rematted (the high-resolution layers
+        # hold nearly all the residual bytes; skipping the small-HW tail
+        # skips its recompute cost for free).
         run_remat = (
             nn.remat(lambda mdl, inp: mdl(inp, True))
             if (remat and train)
             else None
         )
+        hw_min = remat if isinstance(remat, int) and not isinstance(remat, bool) else 0
+
+        def _input_hw(t) -> int:
+            if isinstance(t, (list, tuple)):
+                t = t[0]
+            shape = getattr(t, "shape", ())
+            return int(shape[1] * shape[2]) if len(shape) == 4 else 0
+
         out = x
         for i, (m, f, li) in enumerate(zip(self.layers, self.froms, self.list_inputs)):
             if li:
@@ -842,7 +854,7 @@ class GraphModel(nn.Module):
                 out = m(inp, train, warehouse=kw_cells, kw_temp=kw_temp)
             elif getattr(m, "dn_aware", False) and dn_gt is not None:
                 out = m(inp, train, dn_gt=dn_gt, dn_rng=dn_rng)
-            elif run_remat is not None:
+            elif run_remat is not None and _input_hw(inp) >= hw_min:
                 out = run_remat(m, inp)
             else:
                 out = m(inp, train)

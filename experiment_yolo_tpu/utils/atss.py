@@ -83,16 +83,20 @@ def assign(
     is_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)
     mask_pos = is_pos * is_in_gts.astype(is_pos.dtype) * mask_gt[..., None].astype(is_pos.dtype)
 
-    # resolve multi-gt anchors by highest IoU (same as TAL)
+    # resolve multi-gt anchors by highest IoU (same as TAL); compare-iota +
+    # tiny-M contraction instead of one_hot().transpose / take_along_axis —
+    # the per-element gather lowers to a scalar loop on TPU (see tal.py)
     fg_counts = mask_pos.sum(-2)
     mask_multi = fg_counts[:, None, :] > 1
-    is_max = jax.nn.one_hot(overlaps.argmax(1), m, dtype=mask_pos.dtype).transpose(0, 2, 1)
+    mi = jnp.arange(m)[None, :, None]
+    is_max = (mi == overlaps.argmax(1)[:, None, :]).astype(mask_pos.dtype)
     mask_pos = jnp.where(mask_multi, is_max, mask_pos)
     fg_mask = mask_pos.sum(-2) > 0
     target_gt_idx = mask_pos.argmax(-2).astype(jnp.int32)
 
-    target_labels = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
+    oh_gt = mi == target_gt_idx[:, None, :]  # (B, M, A)
+    target_labels = jnp.where(oh_gt, gt_labels[:, :, None], 0).sum(1)
+    target_bboxes = jnp.einsum("bma,bmk->bak", oh_gt.astype(gt_bboxes.dtype), gt_bboxes)
     onehot = jax.nn.one_hot(jnp.clip(target_labels, 0, None), num_classes, dtype=pd_bboxes.dtype)
     target_scores = jnp.where(fg_mask[..., None], onehot, 0.0)
 

@@ -293,7 +293,7 @@ def detection_loss(
         tss_aux = jnp.maximum(ts_aux.sum(dtype=jnp.float32), 1.0)
         w_aux = jnp.where(fg_aux, ts_aux.sum(-1), 0.0).astype(jnp.float32)
         ratio = cfg.aux_loss_ratio
-        cls_aux = _sigmoid_bce(pred_scores_aux, ts_aux.astype(dtype)).sum(dtype=jnp.float32) / tss_aux
+        cls_aux = _bce_sum(pred_scores_aux, ts_aux.astype(dtype)) / tss_aux
         iou_aux, dfl_aux, _ = _box_dfl_losses(
             cfg, pred_distri_aux, pred_bboxes_aux, anchor_points, tb_aux,
             fg_aux, w_aux, tss_aux, iou_mean, mpdiou_hw, reg_max, b,
@@ -328,14 +328,40 @@ def _sigmoid_bce(logits, targets):
     return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+@jax.custom_vjp
+def _bce_sum(logits, targets):
+    """``_sigmoid_bce(logits, targets).sum(dtype=f32)`` with an analytic,
+    residual-free backward: d/dlogits = sigmoid(logits) - targets,
+    d/dtargets = -logits. Autodiff of the stable log1p(exp(-|x|)) form saves
+    two activation-sized intermediates (the exp and the |x| sign) for the
+    backward; at DEAL-P2 b128 the (128, 33600, 80) cls tensors make that
+    ~1.1 GB of HBM writes+reads per step. Here the backward is one fused
+    elementwise pass over (logits, targets) only."""
+    return _sigmoid_bce(logits, targets).sum(dtype=jnp.float32)
+
+
+def _bce_sum_fwd(logits, targets):
+    return _bce_sum(logits, targets), (logits, targets)
+
+
+def _bce_sum_bwd(res, g):
+    logits, targets = res
+    d = jax.nn.sigmoid(logits.astype(jnp.float32)) - targets.astype(jnp.float32)
+    return (d * g).astype(logits.dtype), (-logits.astype(jnp.float32) * g).astype(targets.dtype)
+
+
+_bce_sum.defvjp(_bce_sum_fwd, _bce_sum_bwd)
+
+
 def _cls_loss(cfg, pred_scores, target_scores, target_labels, pred_bboxes, target_bboxes,
               fg_mask, target_scores_sum, slide_mean, step):
     """Classification loss zoo. Returns (loss, new_slide_mean)."""
     dtype = pred_scores.dtype
     new_slide_mean = slide_mean
     if cfg.cls_loss == "bce":
-        # elementwise BCE in the input dtype (bf16 under AMP); f32 accumulator
-        loss = _sigmoid_bce(pred_scores, target_scores).sum(dtype=jnp.float32) / target_scores_sum
+        # elementwise BCE in the input dtype (bf16 under AMP); f32 accumulator,
+        # analytic one-pass backward (_bce_sum)
+        loss = _bce_sum(pred_scores, target_scores) / target_scores_sum
     elif cfg.cls_loss == "focal":
         # FocalLoss_YOLO (reference loss.py:166-186)
         bce = _sigmoid_bce(pred_scores, target_scores)

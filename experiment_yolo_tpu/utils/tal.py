@@ -145,15 +145,25 @@ def assign(
     fg_counts = mask_pos.sum(-2)  # (B, A)
     mask_multi = (fg_counts[:, None, :] > 1)
     max_overlap_gt = overlaps.argmax(1)  # (B, A)
-    is_max = jax.nn.one_hot(max_overlap_gt, m, dtype=mask_pos.dtype).transpose(0, 2, 1)
+    mi = jnp.arange(m)[None, :, None]
+    # compare-iota instead of one_hot(...).transpose: the physical (B, A, M)
+    # -> (B, M, A) transpose was a layout copy; the comparison fuses.
+    is_max = (mi == max_overlap_gt[:, None, :]).astype(mask_pos.dtype)
     mask_pos = jnp.where(mask_multi, is_max, mask_pos)
     fg_mask_f = mask_pos.sum(-2)  # (B, A)
     fg_mask = fg_mask_f > 0
     target_gt_idx = mask_pos.argmax(-2).astype(jnp.int32)  # (B, A)
 
     # --- gather targets ---------------------------------------------------
-    target_labels = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B, A)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B, A, 4)
+    # One-hot-over-M contraction, NOT take_along_axis: XLA lowers the
+    # per-element (B, A)-from-(B, M) gather to a scalar-indexed loop on TPU
+    # — measured 63 ms of the DEAL-P2 b128 train step for these two lines,
+    # vs ~1 ms for the fused compare-iota select / tiny-M einsum.
+    oh_gt = mi == target_gt_idx[:, None, :]  # (B, M, A), exactly one hit per anchor
+    target_labels = jnp.where(oh_gt, gt_labels[:, :, None], 0).sum(1)  # (B, A)
+    target_bboxes = jnp.einsum(
+        "bma,bmk->bak", oh_gt.astype(gt_bboxes.dtype), gt_bboxes
+    )  # (B, A, 4|5)
     target_labels = jnp.clip(target_labels, 0, None)
     onehot = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
     target_scores = jnp.where(fg_mask[..., None], onehot, 0.0)

@@ -156,3 +156,20 @@ class TestDetectionLoss:
         assert float(comps["box"]) == 0.0
         assert float(comps["dfl"]) == 0.0
         assert float(comps["cls"]) > 0.0  # background must be pushed down
+
+
+def test_bce_sum_matches_autodiff():
+    """_bce_sum's analytic custom VJP == autodiff of the stable BCE form."""
+    import numpy as np
+
+    from experiment_yolo_tpu.utils.loss import _bce_sum, _sigmoid_bce
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 100, 8).astype(np.float32)) * 3
+    t = jnp.asarray(rng.uniform(0, 1, (4, 100, 8)).astype(np.float32))
+    ref = lambda a, b: _sigmoid_bce(a, b).sum(dtype=jnp.float32)
+    np.testing.assert_allclose(_bce_sum(x, t), ref(x, t), rtol=1e-6)
+    g0 = jax.grad(ref, argnums=(0, 1))(x, t)
+    g1 = jax.grad(_bce_sum, argnums=(0, 1))(x, t)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=5e-6)
