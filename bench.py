@@ -155,9 +155,13 @@ def main() -> None:
     except Exception as e:
         print(f"deal infer bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
     try:
-        tv = bench_train_step("yolov8-ASF-P2P2.yaml", batch=32)
+        # batch 128 is the measured train sweet spot (XLA's batch-minor
+        # conv-grad layouts fill all 128 lanes; fits HBM since the hat-DFL
+        # rewrite freed the one-hot broadcasts) — docs/KERNELS.md round-3
+        tv = bench_train_step("yolov8-ASF-P2P2.yaml", batch=128)
         extras["deal_asf_p2p2_train_img_s"] = round(tv, 1)
-        print(f"deal-yolo ASF-P2P2 train batch 32: {tv:.1f} img/s", file=sys.stderr)
+        extras["deal_asf_p2p2_train_batch"] = 128
+        print(f"deal-yolo ASF-P2P2 train batch 128: {tv:.1f} img/s", file=sys.stderr)
     except Exception as e:
         print(f"deal train bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 

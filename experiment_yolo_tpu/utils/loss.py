@@ -116,11 +116,16 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
         variant = {} if cfg.iou_type == "IoU" else {cfg.iou_type: True}
         if cfg.iou_type == "MPDIoU":
             variant = {"MPDIoU": True, "mpdiou_hw": hw2[..., None]}
-        iou = bbox_iou(
-            pred_bboxes, target_bboxes, xywh=False,
-            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
-            d=cfg.focaler_d, u=cfg.focaler_u, **variant,
-        )[..., 0]
+        # checkpoint: the (C)IoU chain is ~30 elementwise steps whose saved
+        # (B, A) f32 intermediates cost more HBM than recomputing them in
+        # the backward
+        iou = jax.checkpoint(
+            lambda p, t: bbox_iou(
+                p, t, xywh=False,
+                inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
+                d=cfg.focaler_d, u=cfg.focaler_u, **variant,
+            )[..., 0]
+        )(pred_bboxes, target_bboxes)
         loss_iou = (jnp.where(fg_mask, 1.0 - iou, 0.0) * weight).sum() / target_scores_sum
         new_iou_mean = iou_mean
     if cfg.nwd:
@@ -193,10 +198,8 @@ def detection_loss(
     # checkpoint: the decode's softmax residual is (B, A, 4, reg_max) f32
     # (~310 MB at DEAL-P2 train shapes); recompute it in the backward
     pred_bboxes = jax.checkpoint(
-        lambda d: dist2bbox(
-            dfl_decode(d.astype(jnp.float32), reg_max), anchor_points[None], xywh=False
-        )
-    )(pred_distri)  # (B,A,4) f32 (the cast fuses into the softmax chain)
+        lambda d: dist2bbox(dfl_decode(d, reg_max), anchor_points[None], xywh=False)
+    )(pred_distri)  # (B,A,4) f32 (decode: exp in input dtype, f32 accumulators)
 
     if cfg.assigner == "atss":
         from experiment_yolo_tpu.utils import atss
@@ -272,7 +275,7 @@ def detection_loss(
         flat_aux = jnp.concatenate([f.reshape(b, -1, no) for f in aux_feats], axis=1)
         pred_distri_aux, pred_scores_aux = flat_aux[..., : reg_max * 4], flat_aux[..., reg_max * 4 :]
         pred_bboxes_aux = dist2bbox(
-            dfl_decode(pred_distri_aux.astype(jnp.float32), reg_max), anchor_points[None], xywh=False
+            dfl_decode(pred_distri_aux, reg_max), anchor_points[None], xywh=False
         )
         res_aux = tal.assign(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),

@@ -36,13 +36,16 @@ class AssignResult(NamedTuple):
 
 
 def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
-    """Anchor centers strictly inside gt boxes: (A,2) x (B,M,4) -> (B,M,A)."""
-    lt = gt_bboxes[..., None, :2]  # (B, M, 1, 2)
-    rb = gt_bboxes[..., None, 2:4]
-    deltas = jnp.concatenate(
-        [xy_centers[None, None] - lt, rb - xy_centers[None, None]], axis=-1
-    )  # (B, M, A, 4)
-    return deltas.min(-1) > eps
+    """Anchor centers strictly inside gt boxes: (A,2) x (B,M,4) -> (B,M,A).
+
+    Four fused comparisons instead of the reference's concat+amin over a
+    (B, M, A, 4) delta tensor (tal.py:17 ``bbox_deltas.amin(3)``) — the
+    concat materialized 1.1 GB f32 at DEAL-P2 b128 shapes."""
+    x = xy_centers[None, None, :, 0]
+    y = xy_centers[None, None, :, 1]
+    x1, y1 = gt_bboxes[..., None, 0], gt_bboxes[..., None, 1]
+    x2, y2 = gt_bboxes[..., None, 2], gt_bboxes[..., None, 3]
+    return (x - x1 > eps) & (y - y1 > eps) & (x2 - x > eps) & (y2 - y > eps)
 
 
 def select_candidates_in_rotated_gts(xy_centers: jnp.ndarray, gt_rboxes: jnp.ndarray) -> jnp.ndarray:
