@@ -180,6 +180,10 @@ class DetectionTrainer:
             iou_type=getattr(args, "iou_type", "CIoU") or "CIoU",
             inner_iou=bool(getattr(args, "inner_iou", False)),
             focaler_iou=bool(getattr(args, "focaler_iou", False)),
+            # loss rematerialization follows model rematerialization: if the
+            # model needs remat to fit HBM, so does the loss; when it
+            # doesn't, skipping the loss recompute is ~2% step time
+            checkpoint_loss=bool(getattr(args, "remat", False)),
         )
 
         # EMA starts as a COPY of params: sharing buffers would alias two

@@ -64,6 +64,10 @@ class LossConfig:
     qfl_beta: float = 2.0
     assigner: str = "tal"  # tal | atss
     aux_loss_ratio: float = 0.25  # DetectAux one-to-many head weight (loss.py:321)
+    # rematerialize the decode/DFL/IoU chains in the backward pass (saves
+    # ~2-3 GB of residuals at DEAL-P2 b128; turn off when HBM allows —
+    # skipping the recompute is worth ~5% train step)
+    checkpoint_loss: bool = True
 
 
 def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -119,13 +123,14 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
         # checkpoint: the (C)IoU chain is ~30 elementwise steps whose saved
         # (B, A) f32 intermediates cost more HBM than recomputing them in
         # the backward
-        iou = jax.checkpoint(
-            lambda p, t: bbox_iou(
-                p, t, xywh=False,
-                inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
-                d=cfg.focaler_d, u=cfg.focaler_u, **variant,
-            )[..., 0]
-        )(pred_bboxes, target_bboxes)
+        _iou_fn = lambda p, t: bbox_iou(
+            p, t, xywh=False,
+            inner=cfg.inner_iou, focaler=cfg.focaler_iou, ratio=cfg.inner_ratio,
+            d=cfg.focaler_d, u=cfg.focaler_u, **variant,
+        )[..., 0]
+        if cfg.checkpoint_loss:
+            _iou_fn = jax.checkpoint(_iou_fn)
+        iou = _iou_fn(pred_bboxes, target_bboxes)
         loss_iou = (jnp.where(fg_mask, 1.0 - iou, 0.0) * weight).sum() / target_scores_sum
         new_iou_mean = iou_mean
     if cfg.nwd:
@@ -137,9 +142,10 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
     target_ltrb = bbox2dist(ap, target_bboxes, reg_max)
     # checkpoint: log_softmax + one-hot masks are 3x (B, A, 4, reg_max) f32
     # residuals otherwise (~830 MB at DEAL-P2 shapes)
-    dfl = jax.checkpoint(
-        lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
-    )(pred_distri, target_ltrb)  # (B, A)
+    _dfl_fn = lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
+    if cfg.checkpoint_loss:
+        _dfl_fn = jax.checkpoint(_dfl_fn)
+    dfl = _dfl_fn(pred_distri, target_ltrb)  # (B, A)
     loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
     return loss_iou, loss_dfl, new_iou_mean
 
@@ -197,9 +203,10 @@ def detection_loss(
     # decode predictions (grid units)
     # checkpoint: the decode's softmax residual is (B, A, 4, reg_max) f32
     # (~310 MB at DEAL-P2 train shapes); recompute it in the backward
-    pred_bboxes = jax.checkpoint(
-        lambda d: dist2bbox(dfl_decode(d, reg_max), anchor_points[None], xywh=False)
-    )(pred_distri)  # (B,A,4) f32 (decode: exp in input dtype, f32 accumulators)
+    _dec_fn = lambda d: dist2bbox(dfl_decode(d, reg_max), anchor_points[None], xywh=False)
+    if cfg.checkpoint_loss:
+        _dec_fn = jax.checkpoint(_dec_fn)
+    pred_bboxes = _dec_fn(pred_distri)  # (B,A,4) f32 (bf16 exp, f32 accumulators)
 
     if cfg.assigner == "atss":
         from experiment_yolo_tpu.utils import atss
