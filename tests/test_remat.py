@@ -68,3 +68,13 @@ def test_remat_shrinks_residuals(tiny):
                 tot += n * (4 if mm.group(1) == "f32" else 2)
         sizes[remat] = tot
     assert sizes[True] < sizes[False], sizes
+
+
+def test_selective_remat_int_threshold(tiny):
+    """remat=<int> only remats layers with input H*W >= threshold; gradients
+    must match the non-remat path regardless of the partition."""
+    m, v, x = tiny
+    (l0, _), g0 = jax.value_and_grad(_loss_fn(m, v, x, False), has_aux=True)(v["params"])
+    (l1, _), g1 = jax.value_and_grad(_loss_fn(m, v, x, 16 * 16), has_aux=True)(v["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5), g0, g1)
