@@ -75,13 +75,13 @@ def bench_train_step(cfg: str = "yolov8-ASF-P2P2.yaml", batch: int = 32, imgsz: 
     from experiment_yolo_tpu.engine.trainer import DetectionTrainer, TrainState
     from experiment_yolo_tpu.nn.tasks import DetectionModel
     from experiment_yolo_tpu.optim.builders import build_optimizer
-    from experiment_yolo_tpu.utils.loss import LossConfig
 
     model = DetectionModel(cfg)
     variables = model.init(jax.random.PRNGKey(0))
     trainer = DetectionTrainer(model=model, variables=variables,
                                overrides={"amp": True, "batch": batch, "imgsz": imgsz, **overrides})
-    trainer.loss_cfg = LossConfig(nc=model.nc, checkpoint_loss=bool(overrides.get("remat", False)))
+    # trainer.__init__ already built loss_cfg from the overrides (incl. the
+    # remat -> checkpoint_loss coupling); no need to rebuild it here
     trainer.tx = build_optimizer(
         variables["params"], "SGD", 0.01, 0.937, 5e-4, nb=100, epochs=100, lrf=0.01,
         cos_lr=False, warmup_epochs=3.0, warmup_bias_lr=0.1, warmup_momentum=0.8,

@@ -100,6 +100,31 @@ class DetectionTrainer:
                 max_labels=int(getattr(self.args, "max_labels", 128) or 128),
                 dtype=self.dtype,
             )
+        # loss config depends only on args + model.nc, so build it here: callers
+        # that drive _make_train_step directly (bench.py, tests) get the same
+        # args-coupled config as the full train() loop
+        args = self.args
+        self.loss_cfg = LossConfig(
+            nc=self.model.nc,
+            box=args.box,
+            cls=args.cls,
+            dfl=args.dfl,
+            use_wiseiou=args.use_wiseiou,
+            wiou_ltype=args.wiou_ltype,
+            nwd=args.nwd,
+            iou_ratio=args.iou_ratio,
+            iou_type=getattr(args, "iou_type", "CIoU") or "CIoU",
+            inner_iou=bool(getattr(args, "inner_iou", False)),
+            focaler_iou=bool(getattr(args, "focaler_iou", False)),
+            # loss rematerialization follows model rematerialization: if the
+            # model needs remat to fit HBM, so does the loss; when it
+            # doesn't, skipping the loss recompute is ~2% step time.
+            # (remat=0 is a valid "remat all layers" threshold, so test
+            # identity against False/None, not truthiness or == — int 0
+            # compares equal to False)
+            checkpoint_loss=(getattr(args, "remat", False) is not False
+                             and getattr(args, "remat", None) is not None),
+        )
 
     def _get_save_dir(self) -> Path:
         project = self.args.project or "runs/detect"
@@ -168,24 +193,6 @@ class DetectionTrainer:
             nc=self.model.nc,
             accumulate=accumulate,
         )
-        self.loss_cfg = LossConfig(
-            nc=self.model.nc,
-            box=args.box,
-            cls=args.cls,
-            dfl=args.dfl,
-            use_wiseiou=args.use_wiseiou,
-            wiou_ltype=args.wiou_ltype,
-            nwd=args.nwd,
-            iou_ratio=args.iou_ratio,
-            iou_type=getattr(args, "iou_type", "CIoU") or "CIoU",
-            inner_iou=bool(getattr(args, "inner_iou", False)),
-            focaler_iou=bool(getattr(args, "focaler_iou", False)),
-            # loss rematerialization follows model rematerialization: if the
-            # model needs remat to fit HBM, so does the loss; when it
-            # doesn't, skipping the loss recompute is ~2% step time
-            checkpoint_loss=bool(getattr(args, "remat", False)),
-        )
-
         # EMA starts as a COPY of params: sharing buffers would alias two
         # donated arguments in the jitted step ("donate the same buffer twice")
         state = TrainState(

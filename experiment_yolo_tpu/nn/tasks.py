@@ -831,11 +831,11 @@ class GraphModel(nn.Module):
         # spatial area H*W >= remat are rematted (the high-resolution layers
         # hold nearly all the residual bytes; skipping the small-HW tail
         # skips its recompute cost for free).
-        run_remat = (
-            nn.remat(lambda mdl, inp: mdl(inp, True))
-            if (remat and train)
-            else None
-        )
+        # enabled for True or ANY int (including 0 = "remat every layer",
+        # consistent with the documented min-H*W semantics); only False/None
+        # disable
+        remat_on = train and remat is not False and remat is not None
+        run_remat = nn.remat(lambda mdl, inp: mdl(inp, True)) if remat_on else None
         hw_min = remat if isinstance(remat, int) and not isinstance(remat, bool) else 0
 
         def _input_hw(t) -> int:

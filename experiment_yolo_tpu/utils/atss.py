@@ -96,7 +96,9 @@ def assign(
 
     oh_gt = mi == target_gt_idx[:, None, :]  # (B, M, A)
     target_labels = jnp.where(oh_gt, gt_labels[:, :, None], 0).sum(1)
-    target_bboxes = jnp.einsum("bma,bmk->bak", oh_gt.astype(gt_bboxes.dtype), gt_bboxes)
+    # masked select+sum, not einsum: default-precision dots truncate the f32
+    # gt pixel coordinates to bf16 on TPU (see tal.py)
+    target_bboxes = jnp.where(oh_gt[..., None], gt_bboxes[:, :, None, :], 0.0).sum(1)
     onehot = jax.nn.one_hot(jnp.clip(target_labels, 0, None), num_classes, dtype=pd_bboxes.dtype)
     target_scores = jnp.where(fg_mask[..., None], onehot, 0.0)
 

@@ -236,7 +236,10 @@ def detection_loss(
             alpha=cfg.tal_alpha,
             beta=cfg.tal_beta,
         )
-    target_scores = jax.lax.stop_gradient(res.target_scores)
+    # keep targets in the score dtype (bf16 under AMP): ATSS returns f32
+    # targets (it never sees the scores), which would otherwise promote the
+    # (B, A, nc) BCE elementwise to f32
+    target_scores = jax.lax.stop_gradient(res.target_scores).astype(dtype)
     fg_mask = res.fg_mask
     target_bboxes = res.target_bboxes / stride_tensor[None]  # grid units
     target_scores_sum = jnp.maximum(target_scores.sum(dtype=jnp.float32), 1.0)

@@ -129,8 +129,13 @@ def assign(
     # take_along_axis: the physical (B, A, nc) -> (B, nc, A) transpose alone
     # moves 2x the score tensor through HBM (688 MB f32 at DEAL-P2 shapes).
     # Exact: one nonzero per row, no accumulation.
+    # precision=highest: at default precision TPU dots run bf16 passes,
+    # which would truncate f32 scores (parity / amp-off runs) before the
+    # one-hot selection; bf16 AMP inputs are unaffected either way.
     label_oh = jax.nn.one_hot(jnp.clip(gt_labels, 0, nc - 1), nc, dtype=pd_scores.dtype)
-    cls_scores = jnp.einsum("bmc,bac->bma", label_oh, pd_scores)
+    cls_scores = jnp.einsum(
+        "bmc,bac->bma", label_oh, pd_scores, precision=jax.lax.Precision.HIGHEST
+    )
     if rotated:
         from experiment_yolo_tpu.ops.boxes import probiou
 
@@ -164,9 +169,13 @@ def assign(
     # vs ~1 ms for the fused compare-iota select / tiny-M einsum.
     oh_gt = mi == target_gt_idx[:, None, :]  # (B, M, A), exactly one hit per anchor
     target_labels = jnp.where(oh_gt, gt_labels[:, :, None], 0).sum(1)  # (B, A)
-    target_bboxes = jnp.einsum(
-        "bma,bmk->bak", oh_gt.astype(gt_bboxes.dtype), gt_bboxes
-    )  # (B, A, 4|5)
+    # masked select + sum, NOT an einsum: a dot_general at default matmul
+    # precision runs bf16 passes on TPU, which would quantize the f32 gt
+    # pixel coordinates (ulp 2-4 px at 320-640); adding 15 exact zeros is
+    # exact, and the fused broadcast+reduce reads only oh_gt + gt_bboxes
+    target_bboxes = jnp.where(
+        oh_gt[..., None], gt_bboxes[:, :, None, :], 0.0
+    ).sum(1)  # (B, A, 4|5)
     target_labels = jnp.clip(target_labels, 0, None)
     onehot = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
     target_scores = jnp.where(fg_mask[..., None], onehot, 0.0)
