@@ -48,7 +48,8 @@ class Exporter:
     def _example_input(self):
         return jnp.zeros((self.batch, self.imgsz, self.imgsz, 3), jnp.uint8)
 
-    def __call__(self, fmt: str, path: str | Path) -> Path:
+    def __call__(self, fmt: str, path: str | Path, int8: bool = False,
+                 half: bool = False, data=None) -> Path:
         fmt = fmt.lower()
         path = Path(path)
         if fmt == "stablehlo":
@@ -56,7 +57,7 @@ class Exporter:
         if fmt == "saved_model":
             return self.export_saved_model(path)
         if fmt == "tflite":
-            return self.export_tflite(path)
+            return self.export_tflite(path, int8=int8, half=half, data=data)
         if fmt == "onnx":
             return self.export_onnx(path)
         raise ValueError(f"unknown export format {fmt!r}; expected one of {FORMATS}")
@@ -115,7 +116,17 @@ class Exporter:
         LOGGER.info(f"export: saved_model -> {path}")
         return path
 
-    def export_tflite(self, path: Path) -> Path:
+    def export_tflite(self, path: Path, int8: bool = False, half: bool = False,
+                      data=None) -> Path:
+        """TFLite flatbuffer; optional post-training quantization.
+
+        ``int8`` runs full post-training quantization with a representative
+        dataset (reference exporter.py ``int8=True`` / its edgetpu
+        prerequisite; the reference calibrates on ~100 dataset images —
+        pass ``data`` as an iterable of uint8 NHWC arrays to mirror that,
+        otherwise random calibration batches are used with a warning).
+        ``half`` targets fp16 weights (reference ``half=True``).
+        """
         import tensorflow as tf
 
         module = self._tf_module()
@@ -126,6 +137,35 @@ class Exporter:
             tf.lite.OpsSet.TFLITE_BUILTINS,
             tf.lite.OpsSet.SELECT_TF_OPS,
         ]
+        if int8:
+            shape = (self.batch, self.imgsz, self.imgsz, 3)
+
+            def _rep():
+                n = 0
+                if data is not None:
+                    for arr in data:
+                        a = np.asarray(arr, np.uint8).reshape(shape)
+                        yield [a]
+                        n += 1
+                        if n >= 100:
+                            return
+                if n == 0:
+                    LOGGER.warning(
+                        "export: int8 calibration with RANDOM data — pass "
+                        "`data=` (iterable of uint8 NHWC batches) for real ranges"
+                    )
+                    rng = np.random.RandomState(0)
+                    for _ in range(32):
+                        yield [rng.randint(0, 255, shape, np.uint8)]
+
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.representative_dataset = _rep
+            # keep uint8 input / float output like the reference's int8
+            # tflite artifacts (inference_input_type uint8, outputs float)
+            converter.inference_input_type = tf.uint8
+        elif half:
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.target_spec.supported_types = [tf.float16]
         blob = converter.convert()
         path = path.with_suffix(".tflite")
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -149,11 +149,18 @@ class YOLO:
         tuner = Tuner(base_args=train_kwargs)
         return tuner(factory, iterations=iterations)
 
-    def export(self, format: str = "stablehlo", path: str | Path = "model_export", imgsz: int = 640, batch: int = 1):
-        """Export the fused predict path (reference Model.export, model.py:513)."""
+    def export(self, format: str = "stablehlo", path: str | Path = "model_export", imgsz: int = 640, batch: int = 1,
+               int8: bool = False, half: bool = False, data=None):
+        """Export the fused predict path (reference Model.export, model.py:513).
+
+        ``int8``/``half`` apply post-training quantization on the tflite
+        format (reference exporter int8/half args); ``data`` supplies int8
+        calibration batches (uint8 NHWC arrays).
+        """
         from experiment_yolo_tpu.engine.exporter import Exporter
 
-        return Exporter(self.model, self.variables, imgsz=imgsz, batch=batch)(format, path)
+        return Exporter(self.model, self.variables, imgsz=imgsz, batch=batch)(
+            format, path, int8=int8, half=half, data=data)
 
     def double_predict(self, source, **kwargs):
         """Two-stage crop-and-refine inference (reference double_inference.py)."""

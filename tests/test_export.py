@@ -53,6 +53,44 @@ def test_tflite_export_runs(setup, tmp_path):
     assert shapes == sorted([(1, 80, 4), (1, 80, 3)])  # 8x8 + 4x4 anchors, nc=3
 
 
+def test_tflite_int8_quantized(setup, tmp_path):
+    """int8 PTQ (reference exporter int8=True): calibrated flatbuffer runs,
+    is smaller than fp32, and outputs correlate with the live model."""
+    tf = pytest.importorskip("tensorflow")
+    model, variables = setup
+    ex = Exporter(model, variables, imgsz=64, batch=1)
+    rng = np.random.RandomState(1)
+    calib = [rng.randint(0, 255, (1, 64, 64, 3), np.uint8) for _ in range(8)]
+    p32 = ex("tflite", tmp_path / "tiny_f32")
+    p8 = ex("tflite", tmp_path / "tiny_i8", int8=True, data=calib)
+    assert p8.exists() and p8.stat().st_size < p32.stat().st_size
+
+    interp = tf.lite.Interpreter(model_path=str(p8))
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    assert inp["dtype"] == np.uint8  # reference int8 artifacts keep uint8 input
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    interp.set_tensor(inp["index"], img)
+    interp.invoke()
+    outs = {tuple(o["shape"]): interp.get_tensor(o["index"])
+            for o in interp.get_output_details()}
+    boxes_q = outs[(1, 80, 4)].astype(np.float32)
+    ref_boxes, _ = model.predict(variables, jnp.asarray(img).astype(jnp.float32) / 255.0)
+    ref_boxes = np.asarray(ref_boxes, np.float32)
+    # quantized: expect agreement in the large (boxes live in [0, 64] px)
+    corr = np.corrcoef(boxes_q.ravel(), ref_boxes.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_tflite_half(setup, tmp_path):
+    pytest.importorskip("tensorflow")
+    model, variables = setup
+    ex = Exporter(model, variables, imgsz=64, batch=1)
+    p32 = ex("tflite", tmp_path / "tiny_f32b")
+    p16 = ex("tflite", tmp_path / "tiny_f16", half=True)
+    assert p16.exists() and p16.stat().st_size < p32.stat().st_size
+
+
 def test_unknown_format_raises(setup, tmp_path):
     model, variables = setup
     with pytest.raises(ValueError):
