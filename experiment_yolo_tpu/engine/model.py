@@ -91,6 +91,18 @@ class YOLO:
             self.predictor = DetectionPredictor(self.model, self.variables, overrides={**self.overrides, **kwargs})
         return self.predictor(source, stream=stream)
 
+    def sliced_predict(self, source, stream: bool = False, slice: int = 512,
+                       overlap: float = 0.2, include_full: bool = True, **kwargs):
+        """SAHI-style sliced inference for small objects (reference
+        examples/YOLOv8-SAHI-Inference-Video): overlapping slice grid,
+        one batched forward per frame, global merged NMS."""
+        from experiment_yolo_tpu.engine.sliced import SlicedPredictor
+
+        pred = SlicedPredictor(self.model, self.variables,
+                               overrides={**self.overrides, **kwargs},
+                               slice=slice, overlap=overlap, include_full=include_full)
+        return pred(source, stream=stream)
+
     def track(self, source, tracker: str = "bytetrack", persist: bool = False, stream: bool = False, **kwargs):
         """Predict + multi-object tracking over an ordered frame sequence.
 
