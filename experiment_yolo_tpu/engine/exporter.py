@@ -35,13 +35,28 @@ class Exporter:
         self.imgsz = imgsz
         self.batch = batch
 
+    # per-task output names for the ONNX graph (tuple order of each task
+    # model's predict(); reference exporter names its ONNX outputs the
+    # same way, exporter.py output_names)
+    _OUTPUT_NAMES = {
+        "detect": ["boxes", "scores"],
+        "segment": ["boxes", "scores", "coeffs", "protos"],
+        "pose": ["boxes", "scores", "kpts"],
+        "obb": ["rboxes", "scores"],
+        "classify": ["probs"],
+    }
+
+    def _output_names(self):
+        task = getattr(self.model, "task", "detect")
+        return self._OUTPUT_NAMES.get(task, ["out0", "out1"])
+
     def _predict_fn(self):
         model, variables = self.model, self.variables
 
         def fn(img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
-            boxes, scores = model.predict(variables, x)
-            return boxes, scores
+            out = model.predict(variables, x)
+            return out if isinstance(out, tuple) else (out,)
 
         return fn
 
@@ -76,7 +91,7 @@ class Exporter:
         path = path.with_suffix(".onnx")
         path.parent.mkdir(parents=True, exist_ok=True)
         blob = export_jaxpr_to_onnx(
-            closed, ["images"], ["boxes", "scores"], path=path,
+            closed, ["images"], self._output_names(), path=path,
             graph_name=type(self.model).__name__,
         )
         LOGGER.info(f"export: onnx -> {path} ({len(blob) / 1e6:.1f} MB)")

@@ -323,13 +323,62 @@ def _emit_conv(b: _Builder, eq, ins, env) -> str:
     lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
     nsp = len(lhs_spec) - 2
     assert nsp in (1, 2, 3), f"conv rank {nsp}"
-    if p.get("lhs_dilation") and any(d != 1 for d in p["lhs_dilation"]):
-        raise NotImplementedError("transposed conv (lhs_dilation) in ONNX export")
 
     # activations -> NCHW
     # lhs_spec = (batch_dim, feature_dim, *spatial_dims) as POSITIONS
     perm_in = [lhs_spec[0], lhs_spec[1]] + list(lhs_spec[2:])
     x = _transpose(b, ins[0], perm_in) if perm_in != list(range(nsp + 2)) else ins[0]
+
+    pads_lo = [lo for lo, _ in p["padding"]]
+    pads_hi = [hi for _, hi in p["padding"]]
+
+    lhs_dil = list(p.get("lhs_dilation") or [1] * nsp)
+    if any(d != 1 for d in lhs_dil):
+        # transposed conv (lax.conv_transpose / flax ConvTranspose): XLA
+        # dilates the INPUT by lhs_dilation (zeros between elements), then
+        # pads, then runs an ordinary correlation. Lowered explicitly as
+        # Reshape/Concat-zeros/Reshape/Slice per spatial axis + a plain
+        # Conv — exact semantics, no ConvTranspose output_padding
+        # convention gymnastics (zeros are initializers; fine at the
+        # low-res sites transposed convs appear, e.g. seg Proto upsample).
+        in_shape = list(eq.invars[0].aval.shape)
+        cur = [in_shape[i] for i in perm_in]  # NCHW
+        dt = _np_dtype(eq.invars[0].aval)
+        for sp_axis, d in enumerate(lhs_dil):
+            if d == 1:
+                continue
+            k = 2 + sp_axis  # NCHW axis
+            L = cur[k]
+            shape_unsq = cur[:k + 1] + [1] + cur[k + 1:]
+            x = b.add("Reshape", [x, b.i64(shape_unsq, "shape")], hint="tdil")
+            zshape = cur[:k + 1] + [d - 1] + cur[k + 1:]
+            zeros = b.const(np.zeros(zshape, dt), "tdz")
+            x = b.add("Concat", [x, zeros], hint="tdcat", axis=k + 1)
+            cur = cur[:k] + [L * d] + cur[k + 1:]
+            x = b.add("Reshape", [x, b.i64(cur, "shape")], hint="tdm")
+            new_len = (L - 1) * d + 1
+            x = b.add(
+                "Slice",
+                [x, b.i64([0], "st"), b.i64([new_len], "en"), b.i64([k], "ax")],
+                hint="tdtrim",
+            )
+            cur[k] = new_len
+        # negative XLA padding (cropping) can't go on an ONNX Conv -> Slice
+        if any(v < 0 for v in pads_lo + pads_hi):
+            for sp_axis in range(nsp):
+                lo, hi = pads_lo[sp_axis], pads_hi[sp_axis]
+                if lo >= 0 and hi >= 0:
+                    continue
+                k = 2 + sp_axis
+                st, en = max(-lo, 0), cur[k] - max(-hi, 0)
+                x = b.add(
+                    "Slice",
+                    [x, b.i64([st], "st"), b.i64([en], "en"), b.i64([k], "ax")],
+                    hint="tdcrop",
+                )
+                cur[k] = en - st
+                pads_lo[sp_axis] = max(lo, 0)
+                pads_hi[sp_axis] = max(hi, 0)
 
     # weights -> OIHW; if the kernel is an initializer we could pre-transpose,
     # but a Transpose node keeps the general case correct (runtimes constant-
@@ -337,8 +386,6 @@ def _emit_conv(b: _Builder, eq, ins, env) -> str:
     perm_w = [rhs_spec[0], rhs_spec[1]] + list(rhs_spec[2:])
     wgt = _transpose(b, ins[1], perm_w) if perm_w != list(range(nsp + 2)) else ins[1]
 
-    pads_lo = [lo for lo, _ in p["padding"]]
-    pads_hi = [hi for _, hi in p["padding"]]
     conv = b.add(
         "Conv", [x, wgt], hint="conv",
         strides=list(map(int, p["window_strides"])),

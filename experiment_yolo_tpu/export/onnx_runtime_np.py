@@ -59,7 +59,8 @@ def _maxpool2d(x, kernel, strides, pads):
     return out
 
 
-def _slice(x, starts, ends, axes, steps):
+def _slice(x, starts, ends, axes, steps=None):
+    steps = steps or [1] * len(starts)  # ONNX Slice steps input is optional
     sl = [slice(None)] * x.ndim
     for s, e, a, st in zip(starts, ends, axes, steps):
         imin = np.iinfo(np.int64).min + 1

@@ -91,6 +91,53 @@ def test_tflite_half(setup, tmp_path):
     assert p16.exists() and p16.stat().st_size < p32.stat().st_size
 
 
+@pytest.mark.parametrize("yaml_name,n_out", [
+    ("tiny-seg.yaml", 4),   # boxes, scores, coeffs, protos
+    ("tiny-pose.yaml", 3),  # boxes, scores, kpts
+    ("tiny-obb.yaml", 2),   # rboxes, scores
+])
+def test_task_model_export_roundtrip(yaml_name, n_out, tmp_path):
+    """Seg/pose/obb exports (reference exporter covers all task heads;
+    e.g. examples/YOLOv8-Segmentation-ONNXRuntime-Python consumes a seg
+    ONNX): StableHLO artifact must reproduce the live model's outputs."""
+    from experiment_yolo_tpu.nn.tasks import OBBModel, PoseModel, SegmentationModel
+
+    cls = {"tiny-seg.yaml": SegmentationModel, "tiny-pose.yaml": PoseModel,
+           "tiny-obb.yaml": OBBModel}[yaml_name]
+    model = cls(str(Path(__file__).parent / "assets" / yaml_name))
+    variables = model.init(jax.random.PRNGKey(0))
+    ex = Exporter(model, variables, imgsz=64, batch=1)
+    p = ex("stablehlo", tmp_path / yaml_name.replace(".yaml", ""))
+    fn = load_stablehlo(p)
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    got = fn(jnp.asarray(img))
+    want = model.predict(variables, jnp.asarray(img).astype(jnp.float32) / 255.0)
+    assert len(got) == n_out == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+
+
+def test_segment_onnx_export(tmp_path):
+    """Seg ONNX artifact: named outputs + output equality via the
+    independent numpy ONNX interpreter."""
+    from experiment_yolo_tpu.export.onnx_proto import parse_model
+    from experiment_yolo_tpu.export.onnx_runtime_np import run_onnx
+    from experiment_yolo_tpu.nn.tasks import SegmentationModel
+
+    model = SegmentationModel(str(Path(__file__).parent / "assets" / "tiny-seg.yaml"))
+    variables = model.init(jax.random.PRNGKey(0))
+    ex = Exporter(model, variables, imgsz=64, batch=1)
+    p = ex("onnx", tmp_path / "tiny_seg")
+    blob = p.read_bytes()
+    outs = [o["name"] for o in parse_model(blob)["graph"]["outputs"]]
+    assert outs == ["boxes", "scores", "coeffs", "protos"]
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    got = run_onnx(blob, {"images": img})
+    want = model.predict(variables, jnp.asarray(img).astype(jnp.float32) / 255.0)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(w), atol=1e-3, rtol=1e-3)
+
+
 def test_unknown_format_raises(setup, tmp_path):
     model, variables = setup
     with pytest.raises(ValueError):
