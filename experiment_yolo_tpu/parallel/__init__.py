@@ -11,15 +11,23 @@ from experiment_yolo_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from experiment_yolo_tpu.parallel.spatial import (
+    image_sharding,
+    make_mesh_spatial,
+    spatial_predict_fn,
+)
 
 __all__ = [
     "batch_sharded",
     "fsdp_shard",
     "fsdp_shardings",
     "fsdp_spec",
+    "image_sharding",
     "make_mesh",
     "make_mesh2d",
+    "make_mesh_spatial",
     "replicate",
     "replicated",
     "shard_batch",
+    "spatial_predict_fn",
 ]
