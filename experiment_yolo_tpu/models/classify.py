@@ -44,6 +44,8 @@ class Classify(nn.Module):
 class ClassificationModel:
     """Backbone (from any detection yaml's backbone section) + Classify head."""
 
+    task = "classify"
+
     def __init__(self, cfg: str | dict = "yolov8n.yaml", nc: int = 1000, dtype=jnp.float32):
         self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
         self.nc = nc

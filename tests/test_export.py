@@ -138,6 +138,25 @@ def test_segment_onnx_export(tmp_path):
         np.testing.assert_allclose(g, np.asarray(w), atol=1e-3, rtol=1e-3)
 
 
+def test_classify_onnx_export(tmp_path):
+    """Classify ONNX: single 'probs' output, equality via numpy interpreter."""
+    from experiment_yolo_tpu.export.onnx_proto import parse_model
+    from experiment_yolo_tpu.export.onnx_runtime_np import run_onnx
+    from experiment_yolo_tpu.models.classify import ClassificationModel
+
+    model = ClassificationModel(str(Path(__file__).parent / "assets" / "tiny.yaml"), nc=5)
+    variables = model.init(jax.random.PRNGKey(0))
+    ex = Exporter(model, variables, imgsz=64, batch=1)
+    p = ex("onnx", tmp_path / "tiny_cls")
+    blob = p.read_bytes()
+    outs = [o["name"] for o in parse_model(blob)["graph"]["outputs"]]
+    assert outs == ["probs"]
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    got = run_onnx(blob, {"images": img})
+    want = model.predict(variables, jnp.asarray(img).astype(jnp.float32) / 255.0)
+    np.testing.assert_allclose(got[0], np.asarray(want), atol=1e-3, rtol=1e-3)
+
+
 def test_unknown_format_raises(setup, tmp_path):
     model, variables = setup
     with pytest.raises(ValueError):
