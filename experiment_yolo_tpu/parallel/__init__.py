@@ -16,6 +16,13 @@ from experiment_yolo_tpu.parallel.spatial import (
     make_mesh_spatial,
     spatial_predict_fn,
 )
+from experiment_yolo_tpu.parallel.tensor import (
+    SAM_VIT_TP_RULES,
+    make_mesh_tp,
+    tp_shard,
+    tp_shardings,
+    tp_spec,
+)
 
 __all__ = [
     "batch_sharded",
@@ -30,4 +37,9 @@ __all__ = [
     "replicated",
     "shard_batch",
     "spatial_predict_fn",
+    "SAM_VIT_TP_RULES",
+    "make_mesh_tp",
+    "tp_shard",
+    "tp_shardings",
+    "tp_spec",
 ]
