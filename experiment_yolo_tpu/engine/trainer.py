@@ -124,6 +124,7 @@ class DetectionTrainer:
             # compares equal to False)
             checkpoint_loss=(getattr(args, "remat", False) is not False
                              and getattr(args, "remat", None) is not None),
+            packed_decode=getattr(args, "packed_decode", "off") or "off",
         )
 
     def _get_save_dir(self) -> Path:

@@ -14,6 +14,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def make_anchors(feat_shapes: Sequence[tuple], strides: Sequence[int], grid_cell_offset: float = 0.5):
@@ -81,6 +82,41 @@ def dfl_decode(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     num = jnp.einsum("...r,r->...", e, proj, preferred_element_type=jnp.float32)
     den = e.sum(-1, dtype=jnp.float32)
     return num / den
+
+
+def dfl_decode_packed(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """Lane-packed DFL decode: identical math to :func:`dfl_decode`, laid
+    out for the TPU's 128-lane registers.
+
+    The natural ``(..., 4, reg_max)`` view has a minor dim of 16, so every
+    VPU tile is 7/8 padding and the einsum contracts 16-long vectors on the
+    MXU. Packing ``128 // (4*reg_max)`` anchors per 128-lane row instead
+    (two anchors for reg_max=16) and doing both reductions as ONE
+    (rows,128)@(128,2G) segment matmul keeps every lane busy. The softmax
+    max-shift uses the row-global max — constant within each group, so the
+    result is the per-group softmax exactly (up to fp reassociation).
+
+    Falls back to :func:`dfl_decode` when the packing doesn't divide.
+    """
+    shape = pred_dist.shape
+    side = 4 * reg_max
+    total = 1
+    for d in shape[:-1]:
+        total *= d
+    total *= shape[-1]
+    if 128 % side != 0 or total % 128 != 0:
+        return dfl_decode(pred_dist, reg_max)
+    groups = 128 // reg_max  # segment groups per row (8 for reg_max=16)
+    lanes = np.arange(128)
+    seg = np.zeros((128, 2 * groups), np.float32)
+    seg[lanes, lanes // reg_max] = 1.0  # denominator indicator
+    seg[lanes, groups + lanes // reg_max] = lanes % reg_max  # numerator * bin
+    x2 = pred_dist.reshape(-1, 128)
+    m = jax.lax.stop_gradient(x2.max(-1, keepdims=True))
+    e = jnp.exp(x2 - m)  # input dtype (bf16 under AMP), f32 accumulation below
+    nd = jnp.dot(e, jnp.asarray(seg, e.dtype), preferred_element_type=jnp.float32)
+    out = nd[:, groups:] / nd[:, :groups]
+    return out.reshape(*shape[:-1], 4)
 
 
 def decode_detections(feats, strides, nc: int, reg_max: int = 16):

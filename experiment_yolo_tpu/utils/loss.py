@@ -68,6 +68,12 @@ class LossConfig:
     # ~2-3 GB of residuals at DEAL-P2 b128; turn off when HBM allows —
     # skipping the recompute is worth ~5% train step)
     checkpoint_loss: bool = True
+    # DFL decode layout: 'off' = (..., 4, reg_max) view (16-lane tiles);
+    # 'xla' = 128-lane packed segment-matmul form (ops/anchors.py:
+    # dfl_decode_packed); 'pallas' = fused kernel with analytic VJP
+    # (ops/pallas/dfl_decode.py). Same math; measured on-chip before
+    # changing the default.
+    packed_decode: str = "off"
 
 
 def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -203,8 +209,16 @@ def detection_loss(
     # decode predictions (grid units)
     # checkpoint: the decode's softmax residual is (B, A, 4, reg_max) f32
     # (~310 MB at DEAL-P2 train shapes); recompute it in the backward
-    _dec_fn = lambda d: dist2bbox(dfl_decode(d, reg_max), anchor_points[None], xywh=False)
-    if cfg.checkpoint_loss:
+    if cfg.packed_decode == "xla":
+        from experiment_yolo_tpu.ops.anchors import dfl_decode_packed as _dfl
+    elif cfg.packed_decode == "pallas":
+        from experiment_yolo_tpu.ops.pallas.dfl_decode import dfl_decode_pallas as _dfl
+    else:
+        _dfl = dfl_decode
+    _dec_fn = lambda d: dist2bbox(_dfl(d, reg_max), anchor_points[None], xywh=False)
+    if cfg.checkpoint_loss and cfg.packed_decode != "pallas":
+        # the pallas kernel's VJP already recomputes from the input; wrapping
+        # it in jax.checkpoint would just run the forward twice
         _dec_fn = jax.checkpoint(_dec_fn)
     pred_bboxes = _dec_fn(pred_distri)  # (B,A,4) f32 (bf16 exp, f32 accumulators)
 
