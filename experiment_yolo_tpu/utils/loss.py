@@ -109,6 +109,37 @@ def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return (lse - proj).mean(-1)
 
 
+def _df_loss_packed(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Lane-packed :func:`_df_loss`: same logsumexp-minus-hat identity on the
+    128-lane layout of ops/anchors.py:dfl_decode_packed (two anchors per
+    row for reg_max=16; the (..., 4, 16) view leaves VPU tiles 7/8
+    padding). pred_dist (B, A, 4*reg_max) raw; target (B, A, 4).
+    Falls back to the unpacked form when the packing doesn't divide."""
+    import numpy as _np
+
+    b, a = pred_dist.shape[0], pred_dist.shape[1]
+    side = 4 * reg_max
+    if 128 % side != 0 or (b * a * side) % 128 != 0:
+        return _df_loss(pred_dist.reshape(b, a, 4, reg_max), target)
+    groups = 128 // reg_max
+    lanes = _np.arange(128)
+    seg = _np.zeros((128, groups), _np.float32)
+    seg[lanes, lanes // reg_max] = 1.0  # group indicator (sum over bins)
+    ind = seg.T  # (groups, 128) broadcast back to lanes
+    bins_lane = jnp.asarray((lanes % reg_max).astype(_np.float32))[None, :]
+
+    x2 = pred_dist.reshape(-1, 128)
+    t2 = jnp.minimum(target, reg_max - 1).astype(jnp.float32).reshape(-1, groups)
+    t_lane = jnp.dot(t2, jnp.asarray(ind), preferred_element_type=jnp.float32)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(bins_lane - t_lane)).astype(pred_dist.dtype)
+    m = jax.lax.stop_gradient(x2.max(-1, keepdims=True))  # row-global: valid shift
+    e = jnp.exp((x2 - m).astype(jnp.float32))
+    den = jnp.dot(e, jnp.asarray(seg), preferred_element_type=jnp.float32)
+    lse = m.astype(jnp.float32) + jnp.log(den)
+    proj = jnp.dot(x2 * hat, jnp.asarray(seg), preferred_element_type=jnp.float32)
+    return (lse - proj).reshape(b, a, 4).mean(-1)
+
+
 def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
                     fg_mask, weight, target_scores_sum, iou_mean, mpdiou_hw, reg_max, b):
     """(Wise-)IoU (+ NWD blend) box loss and DFL loss, weighted by target
@@ -148,7 +179,10 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
     target_ltrb = bbox2dist(ap, target_bboxes, reg_max)
     # checkpoint: log_softmax + one-hot masks are 3x (B, A, 4, reg_max) f32
     # residuals otherwise (~830 MB at DEAL-P2 shapes)
-    _dfl_fn = lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
+    if cfg.packed_decode != "off":
+        _dfl_fn = lambda pd, t: _df_loss_packed(pd, t, reg_max)
+    else:
+        _dfl_fn = lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
     if cfg.checkpoint_loss:
         _dfl_fn = jax.checkpoint(_dfl_fn)
     dfl = _dfl_fn(pred_distri, target_ltrb)  # (B, A)

@@ -71,6 +71,35 @@ def test_pallas_fallback_gradient():
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_df_loss_packed_matches(dtype):
+    from experiment_yolo_tpu.utils.loss import _df_loss, _df_loss_packed
+
+    x = _rand((2, 16, 64), dtype, seed=5)
+    t = jax.random.uniform(jax.random.PRNGKey(6), (2, 16, 4), jnp.float32, 0.0, 15.5)
+    want = _df_loss(x.reshape(2, 16, 4, 16), t)
+    got = _df_loss_packed(x, t, 16)
+    atol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=atol, rtol=1e-3)
+
+    if dtype == jnp.float32:
+        r = jax.random.normal(jax.random.PRNGKey(7), (2, 16))
+        g_ref = jax.grad(lambda xx: jnp.sum(_df_loss(xx.reshape(2, 16, 4, 16), t) * r))(x)
+        g_pk = jax.grad(lambda xx: jnp.sum(_df_loss_packed(xx, t, 16) * r))(x)
+        np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_df_loss_packed_fallback():
+    from experiment_yolo_tpu.utils.loss import _df_loss, _df_loss_packed
+
+    x = _rand((1, 3, 64), seed=8)  # 3*64 not % 128
+    t = jax.random.uniform(jax.random.PRNGKey(9), (1, 3, 4), jnp.float32, 0.0, 15.5)
+    np.testing.assert_allclose(
+        np.asarray(_df_loss_packed(x, t, 16)),
+        np.asarray(_df_loss(x.reshape(1, 3, 4, 16), t)), atol=1e-6,
+    )
+
+
 @pytest.mark.parametrize("mode", ["xla", "pallas"])
 def test_loss_path_packed_equals_default(mode):
     """detection_loss with packed decode matches the default decode path,
