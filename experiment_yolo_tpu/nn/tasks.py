@@ -903,7 +903,11 @@ class DetectionModel:
 
     task = "detect"
 
-    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None, dtype=jnp.float32, verbose: bool = False):
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None, dtype=jnp.float32, verbose: bool = False,
+                 packed_decode: bool = False):
+        # packed_decode: 128-lane packed DFL decode at inference (same math;
+        # ops/anchors.py:dfl_decode_packed) — A/B'd in bench.py
+        self.packed_decode = packed_decode
         self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
         if nc and nc != self.yaml.get("nc"):
             self.yaml["nc"] = nc
@@ -1014,7 +1018,8 @@ class DetectionModel:
             h, w = x.shape[1:3]
             scale = jnp.asarray([w, h, w, h], out.dtype)
             return out[..., :4] * scale, out[..., 4:]
-        return decode_detections(out, self.strides, self.nc, self.reg_max)
+        return decode_detections(out, self.strides, self.nc, self.reg_max,
+                                 packed=getattr(self, "packed_decode", False))
 
     def num_params(self, variables) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))

@@ -119,7 +119,8 @@ def dfl_decode_packed(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     return out.reshape(*shape[:-1], 4)
 
 
-def decode_detections(feats, strides, nc: int, reg_max: int = 16):
+def decode_detections(feats, strides, nc: int, reg_max: int = 16,
+                      packed: bool = False):
     """Full inference-path decode for a Detect head.
 
     Rebuild of the reference's ``Detect.forward`` inference branch
@@ -129,10 +130,12 @@ def decode_detections(feats, strides, nc: int, reg_max: int = 16):
     Args:
         feats: list of (B, H_i, W_i, 4*reg_max + nc) raw head outputs (NHWC).
         strides: per-level stride.
+        packed: use the 128-lane packed DFL decode (same math, full lanes).
 
     Returns:
         boxes (B, A, 4) xywh in input pixels; scores (B, A, nc) sigmoided.
     """
+    _dfl = dfl_decode_packed if packed else dfl_decode
     b = feats[0].shape[0]
     feat_shapes = [f.shape[1:3] for f in feats]
     anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
@@ -146,7 +149,7 @@ def decode_detections(feats, strides, nc: int, reg_max: int = 16):
         a = h * w
         box = f[..., : 4 * reg_max].reshape(b, a, 4 * reg_max)
         cls_l.append(f[..., 4 * reg_max:].reshape(b, a, nc))
-        dist = dfl_decode(box, reg_max)
+        dist = _dfl(box, reg_max)
         ap = anchor_points[start:start + a]
         st = stride_tensor[start:start + a]
         boxes_l.append(dist2bbox(dist, ap[None], xywh=True) * st[None])

@@ -71,6 +71,21 @@ def test_pallas_fallback_gradient():
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), atol=1e-5, rtol=1e-4)
 
 
+def test_inference_predict_packed_matches():
+    """DetectionModel(packed_decode=True).predict == default predict."""
+    from pathlib import Path
+
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    yml = str(Path(__file__).parent / "assets" / "tiny.yaml")
+    m0 = DetectionModel(yml)
+    m1 = DetectionModel(yml, packed_decode=True)
+    v = m0.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    for a, b in zip(m1.predict(v, x), m0.predict(v, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_df_loss_packed_matches(dtype):
     from experiment_yolo_tpu.utils.loss import _df_loss, _df_loss_packed
