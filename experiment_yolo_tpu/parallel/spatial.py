@@ -12,6 +12,13 @@ Composes with data parallelism on a 2-D ``(data, spatial)`` mesh: batch
 over ``data``, rows over ``spatial``. The spatial axis is the inner
 (faster-varying) one so halo exchanges ride neighbouring ICI links.
 
+Training works the same way — shard the batch's image H and jit the train
+step over the mesh; GSPMD inserts the cross-shard BatchNorm-statistics
+reductions and backward halo exchanges (loss components and updated params
+match the unsharded run: tests/test_parallel_spatial.py::
+test_spatial_train_step_matches). Use case: high-resolution drone frames
+whose activations don't fit one chip at a useful batch size.
+
 No reference counterpart (the reference is single-GPU per image and slices
 at the application level); this is TPU-native added capability per
 SURVEY.md §2.9's "not present" list.

@@ -49,6 +49,64 @@ def test_spatial_indivisible_raises():
         fn(jnp.zeros((2, 160, 160, 3)))
 
 
+def test_spatial_train_step_matches():
+    """Full TRAIN step (forward + BN batch stats + TAL + loss + grads + SGD)
+    with the image H axis sharded: loss components and updated params must
+    match the unsharded run — proves GSPMD handles the cross-shard BN
+    reductions and halo exchanges in the backward pass too (high-res
+    training is the use case: shard H to fit bigger drone frames)."""
+    import numpy as onp
+
+    from experiment_yolo_tpu.engine.trainer import DetectionTrainer, TrainState
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+    from experiment_yolo_tpu.optim.builders import build_optimizer
+    from experiment_yolo_tpu.parallel.mesh import replicate
+
+    model = DetectionModel(TINY)
+    v0 = model.init(jax.random.PRNGKey(0))
+    rng = onp.random.RandomState(0)
+    batch_np = {
+        "img": rng.randint(0, 255, (2, 128, 128, 3), onp.uint8),
+        "bboxes": onp.asarray(rng.uniform(0.3, 0.6, (2, 4, 4)), onp.float32),
+        "cls": onp.zeros((2, 4), onp.int32),
+        "mask": onp.tile(onp.arange(4) < 2, (2, 1)),
+    }
+
+    def run(shard):
+        variables = jax.tree.map(jnp.copy, v0)
+        tr = DetectionTrainer(model=model, variables=variables, overrides={"amp": False})
+        tr.tx = build_optimizer(
+            variables["params"], "SGD", 0.01, 0.937, 5e-4, nb=10, epochs=10, lrf=0.01,
+            cos_lr=False, warmup_epochs=1.0, warmup_bias_lr=0.1, warmup_momentum=0.8,
+        )
+        state = TrainState(
+            params=variables["params"], batch_stats=variables["batch_stats"],
+            opt_state=tr.tx.init(variables["params"]),
+            ema_params=jax.tree.map(jnp.copy, variables["params"]),
+            ema_batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            iou_mean=jnp.asarray(1.0, jnp.float32),
+            step=jnp.zeros([], jnp.int32), ema_updates=jnp.zeros([], jnp.int32),
+        )
+        batch = {k: jnp.asarray(x) for k, x in batch_np.items()}
+        if shard:
+            mesh = make_mesh_spatial(2, 4)
+            state = replicate(state, mesh)
+            batch = {
+                k: jax.device_put(x, image_sharding(mesh) if x.ndim == 4
+                                  else jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+                for k, x in batch.items()
+            }
+        s2, comps = tr._make_train_step()(state, batch)
+        return {k: float(x) for k, x in comps.items()}, jax.tree.map(np.asarray, s2.params)
+
+    want_c, want_p = run(False)
+    got_c, got_p = run(True)
+    for k in want_c:
+        np.testing.assert_allclose(got_c[k], want_c[k], atol=1e-3, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(got_p), jax.tree.leaves(want_p)):
+        np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
+
+
 def test_spatial_asf_flagship():
     """The DEAL flagship (ScalSeq/Zoom_cat multi-level fusion + P2 head)
     through 2-way spatial sharding — exercises halo exchange across the
