@@ -133,6 +133,41 @@ class DetectionTrainer:
         return increment_path(Path(project) / name, exist_ok=self.args.exist_ok)
 
     # ------------------------------------------------------------------
+    def _setup_mesh(self) -> None:
+        """Build the device mesh: 1-D data-parallel, or 2-D data x fsdp when
+        ``fsdp: N`` (> 1) is set — ZeRO-3-style parameter/optimizer/EMA
+        sharding over the inner axis (parallel/mesh.py:make_mesh2d)."""
+        args = self.args
+        self.fsdp = int(getattr(args, "fsdp", 0) or 0)
+        n_req = getattr(args, "n_devices", None)
+        if self.fsdp > 1:
+            n_total = int(n_req) if n_req else len(jax.devices())
+            if n_total % self.fsdp:
+                raise ValueError(
+                    f"fsdp={self.fsdp} must divide the device count {n_total}"
+                )
+            self.mesh = meshlib.make_mesh2d(n_total // self.fsdp, self.fsdp)
+        else:
+            self.mesh = meshlib.make_mesh(n_req)
+
+    def _place_state(self, state):
+        """Place the train state on the mesh: fully replicated (DP), or
+        params/opt/EMA sharded over 'fsdp' with BN stats and scalars
+        replicated (GSPMD inserts the all-gathers/reduce-scatters)."""
+        if getattr(self, "fsdp", 0) > 1:
+            return state.replace(
+                params=meshlib.fsdp_shard(state.params, self.mesh),
+                opt_state=meshlib.fsdp_shard(state.opt_state, self.mesh),
+                ema_params=meshlib.fsdp_shard(state.ema_params, self.mesh),
+                batch_stats=meshlib.replicate(state.batch_stats, self.mesh),
+                ema_batch_stats=meshlib.replicate(state.ema_batch_stats, self.mesh),
+                iou_mean=meshlib.replicate(state.iou_mean, self.mesh),
+                step=meshlib.replicate(state.step, self.mesh),
+                ema_updates=meshlib.replicate(state.ema_updates, self.mesh),
+            )
+        return meshlib.replicate(state, self.mesh)
+
+    # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
         args = self.args
         from experiment_yolo_tpu.cfg import check_imgsz
@@ -170,8 +205,8 @@ class DetectionTrainer:
         # parallel/mesh.maybe_init_distributed — the reference's DDP spawn)
         rank = meshlib.maybe_init_distributed()
         self.is_main = meshlib.is_main_process()
-        self.mesh = meshlib.make_mesh(getattr(args, "n_devices", None))
-        n_dev = self.mesh.devices.size
+        self._setup_mesh()
+        n_dev = self.mesh.shape["data"]
         if args.batch % n_dev:
             raise ValueError(f"batch={args.batch} must be divisible by {n_dev} devices")
 
@@ -213,7 +248,7 @@ class DetectionTrainer:
             LOGGER.info(f"Resuming from epoch {start_epoch + 1} (best_fitness {best_fitness:.4f})")
         if args.amp:
             self._check_amp()
-        state = meshlib.replicate(state, self.mesh)
+        state = self._place_state(state)
         train_step = self._make_train_step()
 
         stopper = EarlyStopping(args.patience)
