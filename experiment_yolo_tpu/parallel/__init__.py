@@ -16,6 +16,12 @@ from experiment_yolo_tpu.parallel.spatial import (
     make_mesh_spatial,
     spatial_predict_fn,
 )
+from experiment_yolo_tpu.parallel.pipeline import (
+    make_mesh_pipe,
+    pipeline_apply,
+    sam_encoder_pipeline,
+    stack_stage_params,
+)
 from experiment_yolo_tpu.parallel.tensor import (
     SAM_VIT_TP_RULES,
     make_mesh_tp,
@@ -38,7 +44,11 @@ __all__ = [
     "shard_batch",
     "spatial_predict_fn",
     "SAM_VIT_TP_RULES",
+    "make_mesh_pipe",
     "make_mesh_tp",
+    "pipeline_apply",
+    "sam_encoder_pipeline",
+    "stack_stage_params",
     "tp_shard",
     "tp_shardings",
     "tp_spec",
