@@ -1113,9 +1113,57 @@ int main(int argc, char** argv) {
         outs[1].shape.size() == 3 && outs[1].shape[1] == outs[0].shape[1]) {
       std::vector<Det> dets = postprocess(outs[0], outs[1], conf, iou, lb);
       std::printf("%zu detections (conf>=%.2f, iou=%.2f)\n", dets.size(), conf, iou);
-      for (auto& d : dets)
-        std::printf("class %d conf %.3f box [%.1f, %.1f, %.1f, %.1f]\n", d.cls, d.conf,
+      // segmentation graphs add coeffs (1,A,nm) + protos (1,Hp,Wp,nm):
+      // mask = sigmoid(coeff . protos), cropped to the box (the reference's
+      // ops.process_mask, consumed by examples/YOLOv8-Segmentation-*)
+      bool seg = outs.size() >= 4 && outs[2].shape.size() == 3 &&
+                 outs[2].shape[1] == outs[0].shape[1] && outs[3].shape.size() == 4 &&
+                 outs[3].shape[3] == outs[2].shape[2];
+      int64_t A = outs[0].shape[1];
+      for (size_t di = 0; di < dets.size(); di++) {
+        const Det& d = dets[di];
+        std::printf("class %d conf %.3f box [%.1f, %.1f, %.1f, %.1f]", d.cls, d.conf,
                     d.x1, d.y1, d.x2, d.y2);
+        if (seg) {
+          // recover this detection's anchor index: match the box by value
+          const Tensor& B = outs[0];
+          int64_t best_a = 0;
+          float best_err = 1e30f;
+          float cx = float((d.x1 + d.x2) / 2 * lb.ratio) + lb.pad_x;
+          float cy = float((d.y1 + d.y2) / 2 * lb.ratio) + lb.pad_y;
+          float w = float((d.x2 - d.x1) * lb.ratio), h = float((d.y2 - d.y1) * lb.ratio);
+          for (int64_t a = 0; a < A; a++) {
+            float e = std::abs(B.f[size_t(a * 4)] - cx) + std::abs(B.f[size_t(a * 4 + 1)] - cy) +
+                      std::abs(B.f[size_t(a * 4 + 2)] - w) + std::abs(B.f[size_t(a * 4 + 3)] - h);
+            if (e < best_err) { best_err = e; best_a = a; }
+          }
+          const Tensor& C = outs[2];
+          const Tensor& Pr = outs[3];
+          int64_t Hp = Pr.shape[1], Wp = Pr.shape[2], nm = Pr.shape[3];
+          // proto grid covers the letterboxed input; crop mask to the box
+          double sx = double(Wp), sy = double(Hp);
+          double inH = double(in0.dims.size() >= 3 ? in0.dims[1] : 640);
+          double inW = double(in0.dims.size() >= 4 ? in0.dims[2] : 640);
+          int64_t bx1 = int64_t(std::floor((cx - w / 2) / inW * sx));
+          int64_t by1 = int64_t(std::floor((cy - h / 2) / inH * sy));
+          int64_t bx2 = int64_t(std::ceil((cx + w / 2) / inW * sx));
+          int64_t by2 = int64_t(std::ceil((cy + h / 2) / inH * sy));
+          bx1 = std::max<int64_t>(0, bx1); by1 = std::max<int64_t>(0, by1);
+          bx2 = std::min(Wp, bx2); by2 = std::min(Hp, by2);
+          int64_t area = 0;
+          for (int64_t y = by1; y < by2; y++)
+            for (int64_t x = bx1; x < bx2; x++) {
+              double logit = 0;
+              for (int64_t n2 = 0; n2 < nm; n2++)
+                logit += double(C.f[size_t(best_a * nm + n2)]) *
+                         double(Pr.f[size_t((y * Wp + x) * nm + n2)]);
+              if (1.0 / (1.0 + std::exp(-logit)) > 0.5) area++;
+            }
+          std::printf(" mask_area %lld/%lldpx", (long long)area,
+                      (long long)((bx2 - bx1) * (by2 - by1)));
+        }
+        std::printf("\n");
+      }
     }
     return 0;
   } catch (const std::exception& e) {

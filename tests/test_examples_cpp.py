@@ -87,3 +87,21 @@ def test_cpp_ppm_pipeline(binary, tmp_path):
     assert r.returncode == 0, r.stderr
     assert "detections" in r.stdout
     assert "output boxes" in r.stdout
+
+
+def test_cpp_seg_mask_postprocess(binary, tmp_path):
+    """Seg graphs get mask assembly in C++ (sigmoid(coeff . protos), box
+    crop) — the reference's ops.process_mask consumed by its seg demos."""
+    p = _export("tiny-seg.yaml", "SegmentationModel", tmp_path)
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (48, 96, 3), np.uint8)
+    ppm = tmp_path / "img.ppm"
+    with open(ppm, "wb") as f:
+        f.write(b"P6\n96 48\n255\n" + img.tobytes())
+    r = subprocess.run(
+        [str(binary), str(p), str(ppm), "--conf", "0.0001"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "output protos" in r.stdout
+    assert "mask_area" in r.stdout
