@@ -7,6 +7,9 @@ runtimes) for the XLA world's formats:
 - **checkpoint dir** — orbax weights (EMA preferred)
 - **.stablehlo** — a serialized ``jax.export`` artifact (deployment)
 - **.tflite** — runs through the TFLite interpreter (edge parity checks)
+- **.onnx** — runs through onnxruntime when installed, else the framework's
+  pure-numpy interpreter (export/onnx_runtime_np.py; correctness checks,
+  not speed)
 
 Every backend exposes ``forward(uint8 NHWC batch) -> (boxes, scores)`` in
 input-pixel units, plus ``names``/``nc`` metadata, so the predictor and
@@ -53,6 +56,14 @@ class AutoBackend:
 
             self._interp = tf.lite.Interpreter(model_path=src)
             self._interp.allocate_tensors()
+        elif self.format == "onnx":
+            self._onnx_blob = Path(src).read_bytes()
+            try:  # pragma: no cover - onnxruntime absent in this env
+                import onnxruntime as ort
+
+                self._ort = ort.InferenceSession(src)
+            except ImportError:
+                self._ort = None
         else:
             raise ValueError(f"unsupported model source {src!r}")
         if not self.names and self.nc:
@@ -67,6 +78,8 @@ class AutoBackend:
             return "stablehlo"
         if src.endswith(".tflite"):
             return "tflite"
+        if src.endswith(".onnx"):
+            return "onnx"
         if p.is_dir() and (p / "meta.yaml").exists():
             return "checkpoint"
         return "unknown"
@@ -79,6 +92,18 @@ class AutoBackend:
             return np.asarray(boxes), np.asarray(scores)
         if self.format == "stablehlo":
             boxes, scores = self._fn(jnp.asarray(imgs))
+            return np.asarray(boxes), np.asarray(scores)
+        if self.format == "onnx":
+            x = np.asarray(imgs, np.uint8)
+            if self._ort is not None:  # pragma: no cover - env has no onnxruntime
+                name = self._ort.get_inputs()[0].name
+                outs = self._ort.run(None, {name: x})
+            else:
+                from experiment_yolo_tpu.export.onnx_runtime_np import run_onnx
+
+                outs = run_onnx(self._onnx_blob, {"images": x})
+            boxes = next(o for o in outs if o.shape[-1] == 4)
+            scores = next(o for o in outs if o.shape[-1] != 4)
             return np.asarray(boxes), np.asarray(scores)
         # tflite: fixed signature (uint8 in, two outputs)
         inp = self._interp.get_input_details()[0]
