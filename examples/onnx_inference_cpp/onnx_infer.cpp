@@ -78,16 +78,19 @@ static void for_fields(const uint8_t* buf, size_t len, F cb) {
         break;
       case 2: {
         uint64_t n = read_varint(c);
+        if (n > uint64_t(c.end - c.p)) throw std::runtime_error("truncated length-delimited field");
         f.data = c.p;
         f.len = size_t(n);
         c.p += n;
         break;
       }
       case 5:
+        if (c.end - c.p < 4) throw std::runtime_error("truncated fixed32 field");
         std::memcpy(&f.f32, c.p, 4);
         c.p += 4;
         break;
       case 1:
+        if (c.end - c.p < 8) throw std::runtime_error("truncated fixed64 field");
         std::memcpy(&f.f64, c.p, 8);
         c.p += 8;
         break;
@@ -217,6 +220,10 @@ static Tensor parse_tensorproto(const uint8_t* buf, size_t len, std::string* nam
     else if (f.num == 9 && f.wire == 2) { raw = f.data; rawlen = f.len; }
   });
   int64_t n = t.numel();
+  static const int esize[] = {0, 4, 1, 1, 0, 0, 4, 8, 0, 1, 2, 8};
+  int64_t need = (onnx_dt >= 1 && onnx_dt <= 11) ? n * esize[onnx_dt] : 0;
+  if (raw == nullptr || int64_t(rawlen) < need)
+    throw std::runtime_error("initializer raw_data shorter than dims imply");
   switch (onnx_dt) {
     case O_FLOAT:
       t.dt = F32; t.f.resize(size_t(n));
@@ -920,9 +927,13 @@ static Image read_ppm(const std::string& path) {
   skip(); f >> im.w;
   skip(); f >> im.h;
   skip(); f >> maxv;
+  if (maxv != 255) throw std::runtime_error("only 8-bit PPM (maxval 255) supported");
+  if (im.w <= 0 || im.h <= 0) throw std::runtime_error("bad PPM dimensions");
   f.get();  // single whitespace before raster
   im.rgb.resize(size_t(im.w) * im.h * 3);
   f.read((char*)im.rgb.data(), std::streamsize(im.rgb.size()));
+  if (size_t(f.gcount()) != im.rgb.size())
+    throw std::runtime_error("truncated PPM raster");
   return im;
 }
 
@@ -965,6 +976,7 @@ static LetterboxInfo letterbox(const Image& im, int size, std::vector<uint8_t>& 
 struct Det {
   float x1, y1, x2, y2, conf;
   int cls;
+  int64_t anchor;  // source anchor row (indexes coeffs for seg masks)
 };
 
 // class-aware greedy NMS on (A,4) xywh boxes + (A,nc) scores
@@ -983,7 +995,7 @@ static std::vector<Det> postprocess(const Tensor& boxes, const Tensor& scores,
     if (bv < conf_thres) continue;
     float cx = boxes.f[size_t(a * 4)], cy = boxes.f[size_t(a * 4 + 1)];
     float w = boxes.f[size_t(a * 4 + 2)], h = boxes.f[size_t(a * 4 + 3)];
-    cand.push_back({cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2, bv, best});
+    cand.push_back({cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2, bv, best, a});
   }
   std::sort(cand.begin(), cand.end(), [](const Det& a, const Det& b) { return a.conf > b.conf; });
   std::vector<Det> keep;
@@ -1119,24 +1131,15 @@ int main(int argc, char** argv) {
       bool seg = outs.size() >= 4 && outs[2].shape.size() == 3 &&
                  outs[2].shape[1] == outs[0].shape[1] && outs[3].shape.size() == 4 &&
                  outs[3].shape[3] == outs[2].shape[2];
-      int64_t A = outs[0].shape[1];
       for (size_t di = 0; di < dets.size(); di++) {
         const Det& d = dets[di];
         std::printf("class %d conf %.3f box [%.1f, %.1f, %.1f, %.1f]", d.cls, d.conf,
                     d.x1, d.y1, d.x2, d.y2);
         if (seg) {
-          // recover this detection's anchor index: match the box by value
-          const Tensor& B = outs[0];
-          int64_t best_a = 0;
-          float best_err = 1e30f;
+          const int64_t best_a = d.anchor;  // carried through NMS
           float cx = float((d.x1 + d.x2) / 2 * lb.ratio) + lb.pad_x;
           float cy = float((d.y1 + d.y2) / 2 * lb.ratio) + lb.pad_y;
           float w = float((d.x2 - d.x1) * lb.ratio), h = float((d.y2 - d.y1) * lb.ratio);
-          for (int64_t a = 0; a < A; a++) {
-            float e = std::abs(B.f[size_t(a * 4)] - cx) + std::abs(B.f[size_t(a * 4 + 1)] - cy) +
-                      std::abs(B.f[size_t(a * 4 + 2)] - w) + std::abs(B.f[size_t(a * 4 + 3)] - h);
-            if (e < best_err) { best_err = e; best_a = a; }
-          }
           const Tensor& C = outs[2];
           const Tensor& Pr = outs[3];
           int64_t Hp = Pr.shape[1], Wp = Pr.shape[2], nm = Pr.shape[3];

@@ -352,7 +352,11 @@ def _emit_conv(b: _Builder, eq, ins, env) -> str:
             shape_unsq = cur[:k + 1] + [1] + cur[k + 1:]
             x = b.add("Reshape", [x, b.i64(shape_unsq, "shape")], hint="tdil")
             zshape = cur[:k + 1] + [d - 1] + cur[k + 1:]
-            zeros = b.const(np.zeros(zshape, dt), "tdz")
+            # Expand a scalar zero instead of baking an activation-sized
+            # zero initializer into the file (several MB per dilated axis
+            # at real image sizes, growing with imgsz^2)
+            z0 = b.const(np.zeros((1,) * len(zshape), dt), "tdz0")
+            zeros = b.add("Expand", [z0, b.i64(zshape, "shape")], hint="tdz")
             x = b.add("Concat", [x, zeros], hint="tdcat", axis=k + 1)
             cur = cur[:k] + [L * d] + cur[k + 1:]
             x = b.add("Reshape", [x, b.i64(cur, "shape")], hint="tdm")

@@ -102,9 +102,9 @@ class AutoBackend:
                 from experiment_yolo_tpu.export.onnx_runtime_np import run_onnx
 
                 outs = run_onnx(self._onnx_blob, {"images": x})
-            boxes = next(o for o in outs if o.shape[-1] == 4)
-            scores = next(o for o in outs if o.shape[-1] != 4)
-            return np.asarray(boxes), np.asarray(scores)
+            # graph outputs are emitted in deterministic order (boxes,
+            # scores, ...): shape heuristics would misfire for nc=4 or OBB
+            return np.asarray(outs[0]), np.asarray(outs[1])
         # tflite: fixed signature (uint8 in, two outputs)
         inp = self._interp.get_input_details()[0]
         self._interp.set_tensor(inp["index"], np.asarray(imgs, np.uint8))

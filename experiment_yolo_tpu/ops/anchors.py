@@ -84,6 +84,26 @@ def dfl_decode(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     return num / den
 
 
+def packed_segment_matrices(reg_max: int):
+    """Shared 128-lane packing constants for the packed DFL decode/loss
+    (here, ops/pallas/dfl_decode.py and utils/loss._df_loss_packed — one
+    definition so the XLA, Pallas and loss paths cannot diverge).
+
+    Returns (seg, ind, bins): seg (128, 2G) with [den indicator | num
+    indicator*bin] columns; ind (G, 128) group->lanes broadcast; bins
+    (1, 128) per-lane bin index. G = 128 // reg_max.
+    """
+    groups = 128 // reg_max
+    lanes = np.arange(128)
+    seg = np.zeros((128, 2 * groups), np.float32)
+    seg[lanes, lanes // reg_max] = 1.0
+    seg[lanes, groups + lanes // reg_max] = lanes % reg_max
+    ind = np.zeros((groups, 128), np.float32)
+    ind[lanes // reg_max, lanes] = 1.0
+    bins = (lanes % reg_max).astype(np.float32)[None, :]
+    return seg, ind, bins
+
+
 def dfl_decode_packed(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """Lane-packed DFL decode: identical math to :func:`dfl_decode`, laid
     out for the TPU's 128-lane registers.
@@ -107,10 +127,7 @@ def dfl_decode_packed(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     if 128 % side != 0 or total % 128 != 0:
         return dfl_decode(pred_dist, reg_max)
     groups = 128 // reg_max  # segment groups per row (8 for reg_max=16)
-    lanes = np.arange(128)
-    seg = np.zeros((128, 2 * groups), np.float32)
-    seg[lanes, lanes // reg_max] = 1.0  # denominator indicator
-    seg[lanes, groups + lanes // reg_max] = lanes % reg_max  # numerator * bin
+    seg, _, _ = packed_segment_matrices(reg_max)
     x2 = pred_dist.reshape(-1, 128)
     m = jax.lax.stop_gradient(x2.max(-1, keepdims=True))
     e = jnp.exp(x2 - m)  # input dtype (bf16 under AMP), f32 accumulation below

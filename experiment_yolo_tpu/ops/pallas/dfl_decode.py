@@ -30,19 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from experiment_yolo_tpu.ops.anchors import dfl_decode
-
-
-def _matrices(reg_max: int):
-    groups = 128 // reg_max
-    lanes = np.arange(128)
-    seg = np.zeros((128, 2 * groups), np.float32)  # [den | num] columns
-    seg[lanes, lanes // reg_max] = 1.0
-    seg[lanes, groups + lanes // reg_max] = lanes % reg_max
-    ind = np.zeros((groups, 128), np.float32)  # group -> lanes broadcast
-    ind[lanes // reg_max, lanes] = 1.0
-    bins = (lanes % reg_max).astype(np.float32)[None, :]  # (1, 128)
-    return seg, ind, bins
+from experiment_yolo_tpu.ops.anchors import dfl_decode, packed_segment_matrices as _matrices
 
 
 def _fwd_kernel(x_ref, seg_ref, out_ref, *, groups: int):

@@ -121,6 +121,12 @@ def sam_encoder_pipeline(enc, variables, mesh: Mesh, axis: str = "pipe"):
     window = windows.pop()
     params = variables["params"]
     per_stage = depth // S
+    # stage stacking depends only on variables/mesh: build once, not per call
+    stage_trees = [
+        stack_stage_params([params[f"block{s * per_stage + j}"] for j in range(per_stage)])
+        for s in range(S)
+    ]
+    stacked = stack_stage_params(stage_trees)  # leaves (S, per_stage, ...)
 
     def fn(x, microbatches: int):
         b = x.shape[0]
@@ -146,11 +152,6 @@ def sam_encoder_pipeline(enc, variables, mesh: Mesh, axis: str = "pipe"):
                 z = block.apply({"params": jax.tree.map(lambda a: a[j], stage_params)}, z)
             return z
 
-        stage_trees = [
-            stack_stage_params([params[f"block{s * per_stage + j}"] for j in range(per_stage)])
-            for s in range(S)
-        ]
-        stacked = stack_stage_params(stage_trees)  # leaves (S, per_stage, ...)
         y_mb = y.reshape(microbatches, b // microbatches, *y.shape[1:])
         y = pipeline_apply(stage_fn, stacked, y_mb, mesh, axis)
         y = y.reshape(b, *y.shape[2:])

@@ -115,18 +115,16 @@ def _df_loss_packed(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -
     row for reg_max=16; the (..., 4, 16) view leaves VPU tiles 7/8
     padding). pred_dist (B, A, 4*reg_max) raw; target (B, A, 4).
     Falls back to the unpacked form when the packing doesn't divide."""
-    import numpy as _np
+    from experiment_yolo_tpu.ops.anchors import packed_segment_matrices
 
     b, a = pred_dist.shape[0], pred_dist.shape[1]
     side = 4 * reg_max
     if 128 % side != 0 or (b * a * side) % 128 != 0:
         return _df_loss(pred_dist.reshape(b, a, 4, reg_max), target)
     groups = 128 // reg_max
-    lanes = _np.arange(128)
-    seg = _np.zeros((128, groups), _np.float32)
-    seg[lanes, lanes // reg_max] = 1.0  # group indicator (sum over bins)
-    ind = seg.T  # (groups, 128) broadcast back to lanes
-    bins_lane = jnp.asarray((lanes % reg_max).astype(_np.float32))[None, :]
+    seg2g, ind, bins = packed_segment_matrices(reg_max)
+    seg = seg2g[:, :groups]  # group indicator (sum over bins)
+    bins_lane = jnp.asarray(bins)
 
     x2 = pred_dist.reshape(-1, 128)
     t2 = jnp.minimum(target, reg_max - 1).astype(jnp.float32).reshape(-1, groups)
