@@ -979,6 +979,30 @@ struct Det {
   int64_t anchor;  // source anchor row (indexes coeffs for seg masks)
 };
 
+// draw detection rectangles on the original image and write a binary PPM
+// (the reference C++ demos' cv::rectangle + imwrite, dependency-free)
+static void write_annotated_ppm(const Image& im, const std::vector<Det>& dets,
+                                const std::string& path) {
+  Image out = im;
+  static const uint8_t palette[6][3] = {{255, 56, 56}, {56, 159, 255}, {72, 249, 10},
+                                        {255, 178, 29}, {207, 56, 255}, {255, 112, 31}};
+  for (auto& d : dets) {
+    const uint8_t* c = palette[d.cls % 6];
+    int x1 = std::max(0, int(std::lround(d.x1))), y1 = std::max(0, int(std::lround(d.y1)));
+    int x2 = std::min(im.w - 1, int(std::lround(d.x2))), y2 = std::min(im.h - 1, int(std::lround(d.y2)));
+    if (x2 <= x1 || y2 <= y1) continue;
+    auto px = [&](int x, int y) {
+      uint8_t* p = &out.rgb[(size_t(y) * im.w + x) * 3];
+      p[0] = c[0]; p[1] = c[1]; p[2] = c[2];
+    };
+    for (int x = x1; x <= x2; x++) { px(x, y1); px(x, y2); }
+    for (int y = y1; y <= y2; y++) { px(x1, y); px(x2, y); }
+  }
+  std::ofstream f(path, std::ios::binary);
+  f << "P6\n" << im.w << " " << im.h << "\n255\n";
+  f.write((const char*)out.rgb.data(), std::streamsize(out.rgb.size()));
+}
+
 // class-aware greedy NMS on (A,4) xywh boxes + (A,nc) scores
 static std::vector<Det> postprocess(const Tensor& boxes, const Tensor& scores,
                                     float conf_thres, float iou_thres,
@@ -1038,7 +1062,7 @@ int main(int argc, char** argv) {
     }
     std::string model_path = argv[1], src = argv[2];
     float conf = 0.25f, iou = 0.7f;
-    std::string dump, raw_path;
+    std::string dump, raw_path, out_img;
     uint64_t seed = 0;
     bool rand_input = false;
     for (int k = 2; k < argc; k++) {
@@ -1046,6 +1070,7 @@ int main(int argc, char** argv) {
       if (a == "--conf" && k + 1 < argc) conf = std::stof(argv[++k]);
       else if (a == "--iou" && k + 1 < argc) iou = std::stof(argv[++k]);
       else if (a == "--dump" && k + 1 < argc) dump = argv[++k];
+      else if (a == "--out" && k + 1 < argc) out_img = argv[++k];
       else if (a == "--rand" && k + 1 < argc) { rand_input = true; seed = std::stoull(argv[++k]); }
       else if (a == "--raw" && k + 1 < argc) raw_path = argv[++k];
     }
@@ -1068,6 +1093,7 @@ int main(int argc, char** argv) {
     input.dt = U8;
     input.shape = in0.dims;
     LetterboxInfo lb{1.0, 0, 0};
+    Image im;  // kept for --out annotation (PPM input path only)
     if (rand_input) {
       input.u.resize(size_t(need));
       uint64_t s = seed * 6364136223846793005ULL + 1442695040888963407ULL;
@@ -1084,7 +1110,7 @@ int main(int argc, char** argv) {
         return 2;
       }
     } else {
-      Image im = read_ppm(src);
+      im = read_ppm(src);
       int size = int(in0.dims.size() >= 3 ? in0.dims[1] : 640);  // NHWC
       std::vector<uint8_t> lbimg;
       lb = letterbox(im, size, lbimg);
@@ -1125,6 +1151,10 @@ int main(int argc, char** argv) {
         outs[1].shape.size() == 3 && outs[1].shape[1] == outs[0].shape[1]) {
       std::vector<Det> dets = postprocess(outs[0], outs[1], conf, iou, lb);
       std::printf("%zu detections (conf>=%.2f, iou=%.2f)\n", dets.size(), conf, iou);
+      if (!out_img.empty() && im.w > 0) {
+        write_annotated_ppm(im, dets, out_img);
+        std::printf("annotated image -> %s\n", out_img.c_str());
+      }
       // segmentation graphs add coeffs (1,A,nm) + protos (1,Hp,Wp,nm):
       // mask = sigmoid(coeff . protos), cropped to the box (the reference's
       // ops.process_mask, consumed by examples/YOLOv8-Segmentation-*)
