@@ -591,6 +591,9 @@ static std::vector<Tensor> run_graph(const Graph& g,
     else if (op == "Reciprocal") out = ew1(*ins[0], [](double v) { return 1.0 / v; });
     else if (op == "Sigmoid") out = ew1(*ins[0], [](double v) { return 1.0 / (1.0 + std::exp(-v)); });
     else if (op == "Tanh") out = ew1(*ins[0], [](double v) { return std::tanh(v); });
+    else if (op == "Sin") out = ew1(*ins[0], [](double v) { return std::sin(v); });
+    else if (op == "Cos") out = ew1(*ins[0], [](double v) { return std::cos(v); });
+    else if (op == "Atan") out = ew1(*ins[0], [](double v) { return std::atan(v); });
     else if (op == "Erf") out = ew1(*ins[0], [](double v) { return std::erf(v); });
     else if (op == "Neg") out = ew1(*ins[0], [](double v) { return -v; });
     else if (op == "Abs") out = ew1(*ins[0], [](double v) { return std::abs(v); });
@@ -890,6 +893,85 @@ static std::vector<Tensor> run_graph(const Graph& g,
           }
           for (int64_t d = 0; d < dim; d++) out.f[size_t((p * dim + d) * post + q)] /= float(s);
         }
+    } else if (op == "GatherElements") {
+      // out[coords] = data[coords with coords[axis] := idx[coords]]
+      int64_t axis = nd.attr_i("axis", 0);
+      size_t ndim = ins[0]->shape.size();
+      if (axis < 0) axis += int64_t(ndim);
+      const Tensor& I = *ins[1];
+      out.dt = ins[0]->dt;
+      out.shape = I.shape;
+      out.alloc();
+      std::vector<int64_t> istr(ndim, 1);
+      for (size_t k = ndim - 1; k-- > 0;) istr[k] = istr[k + 1] * ins[0]->shape[k + 1];
+      std::vector<int64_t> coord(ndim, 0);
+      for (int64_t k = 0; k < out.numel(); k++) {
+        int64_t src = 0;
+        for (size_t d = 0; d < ndim; d++) {
+          int64_t v = (int64_t(d) == axis) ? I.geti(k) : coord[d];
+          if (v < 0) v += ins[0]->shape[d];
+          src += v * istr[d];
+        }
+        out.set(k, ins[0]->get(src));
+        for (size_t d = ndim; d-- > 0;) {
+          coord[d]++;
+          if (coord[d] < I.shape[d]) break;
+          coord[d] = 0;
+        }
+      }
+    } else if (op == "GatherND") {
+      // indices (..., r) over a rank-r operand; output shape = idx.shape[:-1]
+      size_t r = ins[0]->shape.size();
+      const Tensor& I = *ins[1];
+      if (size_t(I.shape.back()) != r) throw std::runtime_error("GatherND depth");
+      out.dt = ins[0]->dt;
+      out.shape.assign(I.shape.begin(), I.shape.end() - 1);
+      if (out.shape.empty()) out.shape.push_back(1);
+      out.alloc();
+      std::vector<int64_t> istr(r, 1);
+      for (size_t k = r - 1; k-- > 0;) istr[k] = istr[k + 1] * ins[0]->shape[k + 1];
+      int64_t n = out.numel();
+      for (int64_t k = 0; k < n; k++) {
+        int64_t src = 0;
+        for (size_t d = 0; d < r; d++) {
+          int64_t v = I.geti(k * int64_t(r) + int64_t(d));
+          if (v < 0) v += ins[0]->shape[d];
+          src += v * istr[d];
+        }
+        out.set(k, ins[0]->get(src));
+      }
+    } else if (op == "TopK") {
+      int64_t kk = ins[1]->geti(0);
+      int64_t axis = nd.attr_i("axis", -1);
+      if (axis < 0) axis += int64_t(ins[0]->shape.size());
+      bool largest = nd.attr_i("largest", 1) != 0;
+      int64_t pre = 1, dim = ins[0]->shape[size_t(axis)], post = 1;
+      for (int64_t k2 = 0; k2 < axis; k2++) pre *= ins[0]->shape[size_t(k2)];
+      for (size_t k2 = size_t(axis) + 1; k2 < ins[0]->shape.size(); k2++) post *= ins[0]->shape[k2];
+      Tensor vals, idxs;
+      vals.dt = ins[0]->dt;
+      idxs.dt = I64;
+      vals.shape = ins[0]->shape; vals.shape[size_t(axis)] = kk;
+      idxs.shape = vals.shape;
+      vals.alloc(); idxs.alloc();
+      std::vector<int64_t> order((size_t(dim)));
+      for (int64_t p2 = 0; p2 < pre; p2++)
+        for (int64_t q = 0; q < post; q++) {
+          std::iota(order.begin(), order.end(), 0);
+          // stable: ties keep the lowest original index (matches jax top_k)
+          std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b2) {
+            double va = ins[0]->get((p2 * dim + a) * post + q);
+            double vb = ins[0]->get((p2 * dim + b2) * post + q);
+            return largest ? va > vb : va < vb;
+          });
+          for (int64_t j = 0; j < kk; j++) {
+            vals.set((p2 * kk + j) * post + q, ins[0]->get((p2 * dim + order[size_t(j)]) * post + q));
+            idxs.i[size_t((p2 * kk + j) * post + q)] = order[size_t(j)];
+          }
+        }
+      env[nd.outputs[0]] = std::move(vals);
+      if (nd.outputs.size() > 1) env[nd.outputs[1]] = std::move(idxs);
+      continue;
     } else {
       throw std::runtime_error("unsupported op " + op);
     }

@@ -174,6 +174,8 @@ def _emit_one(b: _Builder, prim: str, eq, env, get) -> str:
     if prim == "rsqrt":
         s = b.add("Sqrt", ins)
         return b.add("Reciprocal", [s], hint="rsqrt")
+    if prim == "square":
+        return b.add("Mul", [ins[0], ins[0]], hint="square")
     if prim == "integer_pow":
         y = int(p["y"])
         expo = b.const(np.asarray(float(y), _np_dtype(eq.invars[0].aval)), "pow")
@@ -208,6 +210,20 @@ def _emit_one(b: _Builder, prim: str, eq, env, get) -> str:
     if prim in _REDUCE:
         axes = b.i64(list(p["axes"]), "axes")
         return b.add(_REDUCE[prim], [ins[0], axes], hint=prim, keepdims=0)
+    if prim in ("reduce_and", "reduce_or"):
+        # bool all/any: min/max over the int cast, cast back to bool
+        axes = b.i64(list(p["axes"]), "axes")
+        xi = b.add("Cast", ins, hint="cast", to=P.INT64)
+        red = b.add("ReduceMin" if prim == "reduce_and" else "ReduceMax",
+                    [xi, axes], hint=prim, keepdims=0)
+        return b.add("Cast", [red], hint="cast", to=P.BOOL)
+    if prim == "top_k":
+        k = int(p["k"])
+        vals, idx = b.add("TopK", [ins[0], b.i64([k], "k")], n_out=2,
+                          hint="topk", axis=-1, largest=1, sorted=1)
+        idx = b.add("Cast", [idx], hint="cast",
+                    to=P.NP_TO_ONNX[_np_dtype(eq.outvars[1].aval)])
+        return [vals, idx]
     if prim == "argmax" or prim == "argmin":
         op = "ArgMax" if prim == "argmax" else "ArgMin"
         axes = list(p["axes"])
@@ -444,10 +460,39 @@ def _emit_gather(b: _Builder, eq, ins) -> str:
     dn = p["dimension_numbers"]
     operand_shape = list(eq.invars[0].aval.shape)
     idx_shape = list(eq.invars[1].aval.shape)
-    # case: jnp.take(x, idx, axis) with scalar index depth 1
-    if len(dn.start_index_map) == 1 and idx_shape and idx_shape[-1] == 1:
+    batching = tuple(getattr(dn, "operand_batching_dims", ()) or ())
+    # case: jnp.take(x, idx, axis) with scalar index depth 1, no batching
+    if len(dn.start_index_map) == 1 and idx_shape and idx_shape[-1] == 1 and not batching:
         axis = dn.start_index_map[0]
         idx = b.add("Squeeze", [ins[1], b.i64([len(idx_shape) - 1], "ax")], hint="gidx")
         idx = b.add("Cast", [idx], hint="cast", to=P.INT64)
         return b.add("Gather", [ins[0], idx], hint="gather", axis=int(axis))
+    # case: jnp.take_along_axis (per-batch indices along one axis) ==
+    # ONNX GatherElements with the index array broadcast to the output shape
+    if (len(dn.start_index_map) == 1 and idx_shape and idx_shape[-1] == 1
+            and batching and tuple(dn.collapsed_slice_dims) == tuple(dn.start_index_map)):
+        axis = int(dn.start_index_map[0])
+        out_shape = list(eq.outvars[0].aval.shape)
+        idx = b.add("Squeeze", [ins[1], b.i64([len(idx_shape) - 1], "ax")], hint="taidx")
+        off = sorted(int(d) for d in dn.offset_dims)
+        if off:
+            idx = b.add("Unsqueeze", [idx, b.i64(off, "ax")], hint="tauq")
+        idx = b.add("Expand", [idx, b.i64(out_shape, "shape")], hint="taexp")
+        idx = b.add("Cast", [idx], hint="cast", to=P.INT64)
+        return b.add("GatherElements", [ins[0], idx], hint="gatherel", axis=axis)
+    # case: pointwise gather (jnp.take_along_axis lowers to full-rank index
+    # tuples with unit slices) == ONNX GatherND
+    r = len(operand_shape)
+    if (len(dn.start_index_map) == r and not dn.offset_dims
+            and tuple(sorted(dn.collapsed_slice_dims)) == tuple(range(r))
+            and all(s == 1 for s in p["slice_sizes"])):
+        idx = ins[1]
+        sim = list(dn.start_index_map)
+        if sim != list(range(r)):
+            # reorder index components into operand-dimension order
+            inv = [sim.index(i) for i in range(r)]
+            idx = b.add("Gather", [idx, b.i64(inv, "perm")], hint="gperm",
+                        axis=len(idx_shape) - 1)
+        idx = b.add("Cast", [idx], hint="cast", to=P.INT64)
+        return b.add("GatherND", [ins[0], idx], hint="gathernd")
     raise NotImplementedError(f"general gather in ONNX export: {dn}")

@@ -277,6 +277,11 @@ def _parse_node(buf: bytes) -> Dict:
     return n
 
 
+def _signed(v):
+    """Two's-complement varint -> signed int64 (negative attrs like axis=-1)."""
+    return v - (1 << 64) if isinstance(v, int) and v >= 1 << 63 else v
+
+
 def _parse_attr(buf: bytes):
     name, ints, floats, val = "", [], [], None
     for field, wire, v in _fields(buf):
@@ -285,7 +290,7 @@ def _parse_attr(buf: bytes):
         elif field == 2:
             val = v
         elif field == 3:
-            val = v if val is None else val
+            val = _signed(v) if val is None else val
         elif field == 4:
             val = v.decode() if isinstance(v, bytes) else v
         elif field == 5:
@@ -293,7 +298,7 @@ def _parse_attr(buf: bytes):
         elif field == 7:
             floats.append(v)
         elif field == 8:
-            ints.append(v)
+            ints.append(_signed(v))
     if ints:
         val = ints
     elif floats:

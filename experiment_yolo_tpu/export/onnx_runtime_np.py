@@ -113,6 +113,12 @@ def run_onnx(model_bytes: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
             out = 1.0 / (1.0 + np.exp(-ins[0]))
         elif op == "Tanh":
             out = np.tanh(ins[0])
+        elif op == "Sin":
+            out = np.sin(ins[0])
+        elif op == "Cos":
+            out = np.cos(ins[0])
+        elif op == "Atan":
+            out = np.arctan(ins[0])
         elif op == "Erf":
             from math import erf
 
@@ -193,10 +199,27 @@ def run_onnx(model_bytes: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
                              at.get("strides", [1, 1]), at.get("pads", [0, 0, 0, 0]))
         elif op == "Gather":
             out = np.take(ins[0], ins[1].astype(np.int64), axis=int(at.get("axis", 0)))
+        elif op == "GatherElements":
+            out = np.take_along_axis(ins[0], ins[1].astype(np.int64),
+                                     axis=int(at.get("axis", 0)))
+        elif op == "GatherND":
+            idx = ins[1].astype(np.int64)
+            out = ins[0][tuple(np.moveaxis(idx, -1, 0))]
         elif op == "Softmax":
             ax = int(at.get("axis", -1))
             e = np.exp(ins[0] - ins[0].max(axis=ax, keepdims=True))
             out = e / e.sum(axis=ax, keepdims=True)
+        elif op == "TopK":
+            k = int(np.asarray(ins[1]).reshape(-1)[0])
+            ax = int(at.get("axis", -1))
+            sign = -1.0 if int(at.get("largest", 1)) else 1.0
+            # stable sort: ties keep the lowest original index (jax top_k)
+            order = np.argsort(sign * ins[0], axis=ax, kind="stable")
+            idx = np.take(order, np.arange(k), axis=ax)
+            vals = np.take_along_axis(ins[0], idx, axis=ax)
+            env[nd["outputs"][0]] = np.asarray(vals)
+            env[nd["outputs"][1]] = idx.astype(np.int64)
+            continue
         else:
             raise NotImplementedError(f"numpy ONNX interpreter: op {op}")
         env[nd["outputs"][0]] = np.asarray(out)

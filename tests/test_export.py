@@ -161,3 +161,29 @@ def test_unknown_format_raises(setup, tmp_path):
     model, variables = setup
     with pytest.raises(ValueError):
         Exporter(model, variables)("coreml", tmp_path / "x")
+
+
+def test_onnx_rtdetr_primitives_roundtrip():
+    """The primitives RT-DETR's decode path adds (square, reduce_and, top_k,
+    take_along_axis/GatherND, sin/cos) export and run through the numpy
+    interpreter with exact agreement."""
+    from experiment_yolo_tpu.export.onnx_export import export_jaxpr_to_onnx
+    from experiment_yolo_tpu.export.onnx_runtime_np import run_onnx
+
+    def fn(x, idx):
+        a = jnp.square(x)                                   # square
+        anyrow = jnp.all(x > 0.1, axis=-1)                  # reduce_and
+        vals, ti = jax.lax.top_k(a.sum(-1), 3)              # top_k (2 outputs)
+        g = jnp.take_along_axis(x, ti[..., None], axis=1)   # pointwise gather
+        s = jnp.sin(vals) + jnp.cos(vals)                   # sin/cos
+        return a, anyrow, vals, ti, g, s
+
+    x = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (2, 8, 4)), jnp.float32)
+    idx = jnp.zeros((2, 3), jnp.int32)
+    closed = jax.make_jaxpr(fn)(x, idx)
+    blob = export_jaxpr_to_onnx(closed, ["x", "idx"], [f"o{i}" for i in range(6)])
+    got = run_onnx(blob, {"x": np.asarray(x), "idx": np.asarray(idx)})
+    want = fn(x, idx)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(w, np.float32),
+                                   atol=1e-6, rtol=1e-6)
