@@ -461,8 +461,25 @@ def _emit_gather(b: _Builder, eq, ins) -> str:
     operand_shape = list(eq.invars[0].aval.shape)
     idx_shape = list(eq.invars[1].aval.shape)
     batching = tuple(getattr(dn, "operand_batching_dims", ()) or ())
+    # case: dynamic-start slice (lax.dynamic_slice with a traced start:
+    # collapsed empty, full slice sizes except the indexed axis) == ONNX
+    # Slice with runtime starts. jax clamps out-of-range starts; exported
+    # graphs assume in-bounds (true for the model-internal index math).
+    if (not dn.collapsed_slice_dims and len(dn.start_index_map) == 1
+            and list(idx_shape) == [1] and not batching):
+        a = int(dn.start_index_map[0])
+        size = int(p["slice_sizes"][a])
+        ok = all(int(p["slice_sizes"][d]) == int(operand_shape[d])
+                 for d in range(len(operand_shape)) if d != a)
+        if ok:
+            starts = b.add("Cast", [ins[1]], hint="cast", to=P.INT64)
+            ends = b.add("Add", [starts, b.i64([size], "sz")], hint="dsend")
+            return b.add("Slice", [ins[0], starts, ends, b.i64([a], "ax")],
+                         hint="dslice")
     # case: jnp.take(x, idx, axis) with scalar index depth 1, no batching
-    if len(dn.start_index_map) == 1 and idx_shape and idx_shape[-1] == 1 and not batching:
+    if (len(dn.start_index_map) == 1 and idx_shape and idx_shape[-1] == 1
+            and not batching
+            and tuple(dn.collapsed_slice_dims) == tuple(dn.start_index_map)):
         axis = dn.start_index_map[0]
         idx = b.add("Squeeze", [ins[1], b.i64([len(idx_shape) - 1], "ax")], hint="gidx")
         idx = b.add("Cast", [idx], hint="cast", to=P.INT64)

@@ -660,7 +660,11 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
 
             ch_in = tuple(src_ch(j) for j in f_list)
             c2 = 0
-            mod = T.RTDETRDecoder(nc=nc, ch=ch_in, dtype=dtype)
+            # optional YAML size overrides after nc (reference keeps them as
+            # constructor kwargs): [nc, hd, nq, ndp, nh, ndl, d_ffn]
+            extra = {k: int(vv) for k, vv in
+                     zip(("hd", "nq", "ndp", "nh", "ndl", "d_ffn"), args[1:])}
+            mod = T.RTDETRDecoder(nc=nc, ch=ch_in, dtype=dtype, **extra)
             detect_idx = i
             list_input = True
         elif mname in ("Detect", "Detect_Efficient", "DetectAux", "Detect_SEAM",
