@@ -207,3 +207,24 @@ def test_rtdetr_onnx_export_roundtrip(tmp_path):
     want = model.predict(variables, jnp.asarray(img).astype(jnp.float32) / 255.0)
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, np.asarray(w), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("yaml_name,cls_name,n_out", [
+    ("tiny-pose.yaml", "PoseModel", 3),
+    ("tiny-obb.yaml", "OBBModel", 2),
+])
+def test_pose_obb_onnx_export(yaml_name, cls_name, n_out, tmp_path):
+    """Pose/OBB ONNX artifacts match the live model via the numpy
+    interpreter (completes ONNX coverage of every task head)."""
+    import experiment_yolo_tpu.nn.tasks as tasks
+    from experiment_yolo_tpu.export.onnx_runtime_np import run_onnx
+
+    model = getattr(tasks, cls_name)(str(Path(__file__).parent / "assets" / yaml_name))
+    variables = model.init(jax.random.PRNGKey(0))
+    p = Exporter(model, variables, imgsz=64, batch=1)("onnx", tmp_path / "m")
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    got = run_onnx(p.read_bytes(), {"images": img})
+    want = model.predict(variables, jnp.asarray(img).astype(jnp.float32) / 255.0)
+    assert len(got) == n_out
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(w), atol=1e-3, rtol=1e-3)
