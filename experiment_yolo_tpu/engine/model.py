@@ -36,6 +36,13 @@ class YOLO:
             task = task or guess_model_task(model)
             self.model = TASK_MODELS.get(task, DetectionModel)(model, nc=nc, dtype=dtype)
             self.variables = self.model.init(jax.random.PRNGKey(seed))
+        elif model.endswith((".stablehlo", ".tflite", ".onnx")):
+            # exported artifact: predict/val through AutoBackend (reference
+            # YOLO('model.onnx') flow); train/export are unavailable
+            from experiment_yolo_tpu.nn.autobackend import BackendModel
+
+            self.model = BackendModel(model, nc=nc)
+            self.variables = {}
         elif model.endswith(".ckpt") or Path(model).is_dir():
             from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
 

@@ -62,13 +62,16 @@ class DetectionPredictor:
 
         self.imgsz = check_imgsz(int(self.args.imgsz), max(model.strides))
         self.batch = max(int(self.args.batch), 1)
-        self._infer = jax.jit(self._infer_fn)
+        if getattr(model, "batch", None):
+            self.batch = int(model.batch)  # exported artifacts bake the batch
+        if hasattr(model, "forward_host"):
+            # exported artifact (AutoBackend): host forward + jitted NMS
+            self._nms = jax.jit(self._nms_fn)
+            self._infer = self._infer_backend
+        else:
+            self._infer = jax.jit(self._infer_fn)
 
-    def _infer_fn(self, variables, imgs):
-        # uint8 in, normalize on device: 4x less host->device traffic and
-        # the cast/divide fuses into the first conv's input pass
-        imgs = imgs.astype(jnp.float32) / 255.0
-        boxes, scores = self.model.predict(variables, imgs)
+    def _nms_fn(self, boxes, scores):
         return non_max_suppression(
             boxes,
             scores,
@@ -80,6 +83,17 @@ class DetectionPredictor:
             nms_type=str(getattr(self.args, "nms_type", "soft") or "soft"),
             soft_first_quirk=bool(getattr(self.args, "soft_nms_quirk", False)),
         )
+
+    def _infer_fn(self, variables, imgs):
+        # uint8 in, normalize on device: 4x less host->device traffic and
+        # the cast/divide fuses into the first conv's input pass
+        imgs = imgs.astype(jnp.float32) / 255.0
+        boxes, scores = self.model.predict(variables, imgs)
+        return self._nms_fn(boxes, scores)
+
+    def _infer_backend(self, variables, imgs):
+        boxes, scores = self.model.forward_host(np.asarray(imgs))
+        return self._nms(jnp.asarray(boxes), jnp.asarray(scores))
 
     def _preprocess_chunk(self, chunk):
         pre = [letterbox(img, (self.imgsz, self.imgsz)) for _, img in chunk]

@@ -55,11 +55,14 @@ class DetectionValidator:
         )
 
         is_rtdetr = getattr(model, "head_type", "") == "RTDETRDecoder"
+        is_backend = hasattr(model, "forward_host")  # exported artifact
+
+        def _forward(variables, imgs):
+            imgs = imgs.astype(jnp.float32) / 255.0  # normalize on device
+            return model.predict(variables, imgs)
 
         @jax.jit
-        def infer(variables, imgs):
-            imgs = imgs.astype(jnp.float32) / 255.0  # normalize on device
-            boxes, scores = model.predict(variables, imgs)
+        def postprocess(boxes, scores):
             if is_rtdetr:
                 # reference RT-DETR val protocol (models/rtdetr/val.py:
                 # postprocess): NO NMS, NO conf threshold — all nq queries,
@@ -87,6 +90,17 @@ class DetectionValidator:
                 pre_nms_topk=4096,
                 nms_type=str(getattr(args, "nms_type", "soft") or "soft"),
                 soft_first_quirk=bool(getattr(args, "soft_nms_quirk", False)),
+            )
+
+        if is_backend:
+            def infer(variables, imgs):
+                import numpy as _np
+
+                boxes, scores = model.forward_host(_np.asarray(imgs))
+                return postprocess(jnp.asarray(boxes), jnp.asarray(scores))
+        else:
+            infer = jax.jit(
+                lambda variables, imgs: postprocess(*_forward(variables, imgs))
             )
 
         self._cache_key, self._dataset, self._loader, self._infer = key, dataset, loader, infer

@@ -34,6 +34,7 @@ class AutoBackend:
         self.format = self._model_type(src)
         self.names: Dict[int, str] = {}
         self.nc = nc or 0
+        self.input_shape = None  # (B, H, W, C) for fixed-shape artifacts
         if self.format == "yaml":
             from experiment_yolo_tpu.nn.tasks import DetectionModel
 
@@ -48,16 +49,26 @@ class AutoBackend:
             self.nc = self.model.nc
             self.names = self.model.names
         elif self.format == "stablehlo":
-            from experiment_yolo_tpu.engine.exporter import load_stablehlo
+            from jax import export as jexport
 
-            self._fn = load_stablehlo(src)
+            exported = jexport.deserialize(Path(src).read_bytes())
+            self._fn = exported.call
+            if exported.in_avals:
+                self.input_shape = tuple(int(d) for d in exported.in_avals[0].shape)
         elif self.format == "tflite":
             import tensorflow as tf
 
             self._interp = tf.lite.Interpreter(model_path=src)
             self._interp.allocate_tensors()
+            self.input_shape = tuple(
+                int(d) for d in self._interp.get_input_details()[0]["shape"]
+            )
         elif self.format == "onnx":
+            from experiment_yolo_tpu.export import onnx_proto as _P
+
             self._onnx_blob = Path(src).read_bytes()
+            ins = _P.parse_model(self._onnx_blob)["graph"]["inputs"]
+            self.input_shape = tuple(ins[0]["dims"]) if ins else None
             try:  # pragma: no cover - onnxruntime absent in this env
                 import onnxruntime as ort
 
@@ -116,3 +127,26 @@ class AutoBackend:
 
     def warmup(self, imgsz: int = 640, batch: int = 1) -> None:
         self.forward(np.zeros((batch, imgsz, imgsz, 3), np.uint8))
+
+
+class BackendModel:
+    """Model-shaped adapter over AutoBackend for the YOLO facade/predictor:
+    exported artifacts (.stablehlo/.tflite/.onnx) predict through the same
+    pipeline as live models, with the forward on the artifact's runtime and
+    the NMS staying a jitted XLA program (reference: YOLO('model.onnx')
+    routes through AutoBackend, engine/model.py:206 + predictor)."""
+
+    task = "detect"
+
+    def __init__(self, src, nc: Optional[int] = None):
+        self.backend = AutoBackend(src, nc=nc)
+        self.nc = self.backend.nc or (nc or 80)
+        self.names = self.backend.names or {i: str(i) for i in range(self.nc)}
+        self.strides = (8, 16, 32)  # nominal v8 pyramid (imgsz divisibility)
+        sh = self.backend.input_shape
+        self.batch = int(sh[0]) if sh else None  # artifacts have a baked batch
+
+    def forward_host(self, imgs_u8: np.ndarray):
+        """uint8 NHWC -> (boxes, scores) numpy; host-side entry (the
+        artifact runtime is not jax-traceable)."""
+        return self.backend.forward(np.asarray(imgs_u8, np.uint8))

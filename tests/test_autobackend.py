@@ -52,3 +52,26 @@ def test_yaml_backend_warmup():
     be = AutoBackend(TINY)
     be.warmup(imgsz=64)
     assert be.nc == 3
+
+
+def test_facade_predict_from_exported_artifact(artifacts, tmp_path):
+    """YOLO('model.onnx').predict(...) — the reference's exported-artifact
+    predict flow: host forward through AutoBackend, jitted NMS, same
+    Results as the live model."""
+    from experiment_yolo_tpu.engine.model import YOLO
+    from experiment_yolo_tpu.engine.predictor import DetectionPredictor
+
+    model, variables, ckpt, shlo, tfl, onnx = artifacts
+    img = np.random.RandomState(3).randint(0, 255, (48, 64, 3), np.uint8)
+
+    live = DetectionPredictor(model, variables, overrides={"imgsz": 64, "conf": 0.0001})
+    want = live(img)[0]
+
+    for src in (str(onnx), str(shlo)):
+        y = YOLO(src, nc=3)
+        got = y.predict(img, imgsz=64, conf=0.0001)[0]
+        assert len(got.boxes) == len(want.boxes)
+        np.testing.assert_allclose(np.asarray(got.boxes.xyxy), np.asarray(want.boxes.xyxy),
+                                   atol=0.1)
+        np.testing.assert_allclose(np.asarray(got.boxes.conf), np.asarray(want.boxes.conf),
+                                   atol=1e-3)
