@@ -90,9 +90,14 @@ class Exporter:
         closed = jax.make_jaxpr(self._predict_fn())(self._example_input())
         path = path.with_suffix(".onnx")
         path.parent.mkdir(parents=True, exist_ok=True)
+        # task/head metadata in the doc string: AutoBackend reads it back so
+        # exported RT-DETR artifacts validate with the right protocol
+        doc = (f"task={getattr(self.model, 'task', 'detect')};"
+               f"head_type={getattr(self.model, 'head_type', '')};"
+               f"nc={getattr(self.model, 'nc', 0)}")
         blob = export_jaxpr_to_onnx(
             closed, ["images"], self._output_names(), path=path,
-            graph_name=type(self.model).__name__,
+            graph_name=type(self.model).__name__, doc=doc,
         )
         LOGGER.info(f"export: onnx -> {path} ({len(blob) / 1e6:.1f} MB)")
         return path
@@ -189,9 +194,14 @@ class Exporter:
         return path
 
 
-def load_stablehlo(path: str | Path):
-    """Reload a serialized StableHLO export as a callable."""
+def load_stablehlo_exported(path: str | Path):
+    """Reload a serialized StableHLO export (jax.export.Exported — exposes
+    in_avals for shape introspection alongside .call)."""
     from jax import export as jexport
 
-    exported = jexport.deserialize(Path(path).read_bytes())
-    return exported.call
+    return jexport.deserialize(Path(path).read_bytes())
+
+
+def load_stablehlo(path: str | Path):
+    """Reload a serialized StableHLO export as a callable."""
+    return load_stablehlo_exported(path).call

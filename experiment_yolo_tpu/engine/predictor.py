@@ -64,6 +64,9 @@ class DetectionPredictor:
         self.batch = max(int(self.args.batch), 1)
         if getattr(model, "batch", None):
             self.batch = int(model.batch)  # exported artifacts bake the batch
+        in_sh = getattr(getattr(model, "backend", None), "input_shape", None)
+        if in_sh and isinstance(in_sh[1], int):
+            self.imgsz = int(in_sh[1])  # ...and the image size
         if hasattr(model, "forward_host"):
             # exported artifact (AutoBackend): host forward + jitted NMS
             self._nms = jax.jit(self._nms_fn)
@@ -136,11 +139,16 @@ class DetectionPredictor:
             t2 = time.time()
             return self._postprocess(chunk_i, pre, det, counts, names, t0, t1, t2)
 
+        backend = hasattr(self.model, "forward_host")
         for chunk in chunks():
             t0 = time.time()
             pre, batch_np = self._preprocess_chunk(chunk)
             t1 = time.time()
-            fut = self._infer(self.variables, jnp.asarray(batch_np))
+            # backend path consumes the numpy batch directly (the artifact
+            # runtime is host-side; uploading just to pull back would add a
+            # blocking HtoD+DtoH round trip per chunk)
+            fut = self._infer(self.variables,
+                              batch_np if backend else jnp.asarray(batch_np))
             pending.append((chunk, pre, fut, t0, t1))
             if len(pending) > 1:
                 yield from flush()

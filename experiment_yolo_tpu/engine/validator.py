@@ -48,6 +48,14 @@ class DetectionValidator:
         if self._cache_key == key:
             return data, self._dataset, self._loader, self._infer
         split = data.get(args.split or "val") or data["val"]
+        if getattr(model, "batch", None):
+            # exported artifacts bake batch/imgsz and can't take rect's
+            # variable shapes
+            args.batch = int(model.batch)
+            args.rect = False
+            in_sh = getattr(model.backend, "input_shape", None)
+            if in_sh and isinstance(in_sh[1], int):
+                args.imgsz = int(in_sh[1])
         dataset = build_yolo_dataset(args, split, mode="val")
         loader = DataLoader(
             dataset, args.batch, shuffle=False, workers=args.workers, drop_last=False,
@@ -94,9 +102,7 @@ class DetectionValidator:
 
         if is_backend:
             def infer(variables, imgs):
-                import numpy as _np
-
-                boxes, scores = model.forward_host(_np.asarray(imgs))
+                boxes, scores = model.forward_host(np.asarray(imgs))
                 return postprocess(jnp.asarray(boxes), jnp.asarray(scores))
         else:
             infer = jax.jit(

@@ -76,7 +76,7 @@ def _transpose(b: _Builder, x: str, perm) -> str:
 
 
 def export_jaxpr_to_onnx(closed_jaxpr, input_names, output_names, path=None,
-                         graph_name: str = "experiment_yolo_tpu"):
+                         graph_name: str = "experiment_yolo_tpu", doc: str = ""):
     """Compile a ClosedJaxpr to a serialized ONNX ModelProto (bytes).
 
     closed_jaxpr: from ``jax.make_jaxpr(fn)(*example)`` — consts become
@@ -118,7 +118,7 @@ def export_jaxpr_to_onnx(closed_jaxpr, input_names, output_names, path=None,
     b.nodes.extend(out_map_nodes)
 
     g = P.graph(graph_name, b.nodes, graph_inputs, graph_outputs, b.initializers)
-    m = P.model(g, opset=17)
+    m = P.model(g, opset=17, doc=doc)
     if path is not None:
         with open(path, "wb") as f:
             f.write(m)

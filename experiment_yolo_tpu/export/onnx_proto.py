@@ -228,12 +228,14 @@ def _fields(buf: bytes) -> List[Tuple[int, int, object]]:
 
 def parse_model(buf: bytes) -> Dict:
     """Parse a serialized ModelProto into nested dicts (structural subset)."""
-    out = {"opset": None, "producer": None, "graph": None}
+    out = {"opset": None, "producer": None, "graph": None, "doc": ""}
     for field, _w, v in _fields(buf):
         if field == 1:
             out["ir_version"] = v
         elif field == 2:
             out["producer"] = v.decode()
+        elif field == 6:
+            out["doc"] = v.decode()
         elif field == 7:
             out["graph"] = _parse_graph(v)
         elif field == 8:

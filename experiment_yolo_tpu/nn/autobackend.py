@@ -35,6 +35,9 @@ class AutoBackend:
         self.names: Dict[int, str] = {}
         self.nc = nc or 0
         self.input_shape = None  # (B, H, W, C) for fixed-shape artifacts
+        self.task = "detect"
+        self.head_type = ""
+        self.output_names: list = []
         if self.format == "yaml":
             from experiment_yolo_tpu.nn.tasks import DetectionModel
 
@@ -49,9 +52,9 @@ class AutoBackend:
             self.nc = self.model.nc
             self.names = self.model.names
         elif self.format == "stablehlo":
-            from jax import export as jexport
+            from experiment_yolo_tpu.engine.exporter import load_stablehlo_exported
 
-            exported = jexport.deserialize(Path(src).read_bytes())
+            exported = load_stablehlo_exported(src)
             self._fn = exported.call
             if exported.in_avals:
                 self.input_shape = tuple(int(d) for d in exported.in_avals[0].shape)
@@ -67,8 +70,19 @@ class AutoBackend:
             from experiment_yolo_tpu.export import onnx_proto as _P
 
             self._onnx_blob = Path(src).read_bytes()
-            ins = _P.parse_model(self._onnx_blob)["graph"]["inputs"]
+            parsed = _P.parse_model(self._onnx_blob)
+            ins = parsed["graph"]["inputs"]
             self.input_shape = tuple(ins[0]["dims"]) if ins else None
+            self.output_names = [o["name"] for o in parsed["graph"]["outputs"]]
+            # exporter-written metadata (task=...;head_type=...;nc=...)
+            for kv in (parsed.get("doc") or "").split(";"):
+                k, _, val = kv.partition("=")
+                if k == "task" and val:
+                    self.task = val
+                elif k == "head_type" and val:
+                    self.head_type = val
+                elif k == "nc" and val.isdigit() and not self.nc:
+                    self.nc = int(val)
             try:  # pragma: no cover - onnxruntime absent in this env
                 import onnxruntime as ort
 
@@ -136,15 +150,29 @@ class BackendModel:
     the NMS staying a jitted XLA program (reference: YOLO('model.onnx')
     routes through AutoBackend, engine/model.py:206 + predictor)."""
 
-    task = "detect"
-
     def __init__(self, src, nc: Optional[int] = None):
         self.backend = AutoBackend(src, nc=nc)
         self.nc = self.backend.nc or (nc or 80)
         self.names = self.backend.names or {i: str(i) for i in range(self.nc)}
         self.strides = (8, 16, 32)  # nominal v8 pyramid (imgsz divisibility)
         sh = self.backend.input_shape
-        self.batch = int(sh[0]) if sh else None  # artifacts have a baked batch
+        # symbolic dims (external ONNX with dynamic axes) stay None
+        self.batch = int(sh[0]) if sh and isinstance(sh[0], int) else None
+        self.task = self.backend.task
+        self.head_type = self.backend.head_type
+        outs = self.backend.output_names
+        if outs:  # output naming also identifies the task (our exporter's)
+            by_name = {"rboxes": "obb", "kpts": "pose", "coeffs": "segment",
+                       "probs": "classify"}
+            for name, t in by_name.items():
+                if name in outs:
+                    self.task = t
+        if self.task != "detect":
+            raise NotImplementedError(
+                f"exported-{self.task} artifacts have task-specific "
+                "postprocess; run them via AutoBackend / the ONNX runtimes "
+                "directly (predictor/validator artifact path is detect-only)"
+            )
 
     def forward_host(self, imgs_u8: np.ndarray):
         """uint8 NHWC -> (boxes, scores) numpy; host-side entry (the

@@ -69,9 +69,23 @@ def test_facade_predict_from_exported_artifact(artifacts, tmp_path):
 
     for src in (str(onnx), str(shlo)):
         y = YOLO(src, nc=3)
-        got = y.predict(img, imgsz=64, conf=0.0001)[0]
+        # no imgsz/batch given: the artifact's baked shape must be adopted
+        got = y.predict(img, conf=0.0001)[0]
         assert len(got.boxes) == len(want.boxes)
         np.testing.assert_allclose(np.asarray(got.boxes.xyxy), np.asarray(want.boxes.xyxy),
                                    atol=0.1)
         np.testing.assert_allclose(np.asarray(got.boxes.conf), np.asarray(want.boxes.conf),
                                    atol=1e-3)
+
+
+def test_facade_rejects_nondetect_artifacts(tmp_path):
+    """Seg/pose/obb artifacts need task-specific postprocess: the facade
+    raises clearly instead of silently running the detect pipeline."""
+    from experiment_yolo_tpu.engine.model import YOLO
+    from experiment_yolo_tpu.nn.tasks import SegmentationModel
+
+    model = SegmentationModel(str(Path(__file__).parent / "assets" / "tiny-seg.yaml"))
+    variables = model.init(jax.random.PRNGKey(0))
+    p = Exporter(model, variables, imgsz=64, batch=1)("onnx", tmp_path / "seg")
+    with pytest.raises(NotImplementedError, match="segment"):
+        YOLO(str(p))
