@@ -74,7 +74,7 @@ class DetectionPredictor:
         else:
             self._infer = jax.jit(self._infer_fn)
 
-    def _nms_fn(self, boxes, scores):
+    def _nms_fn(self, boxes, scores, return_idx: bool = False):
         return non_max_suppression(
             boxes,
             scores,
@@ -85,12 +85,36 @@ class DetectionPredictor:
             agnostic=bool(self.args.agnostic_nms),
             nms_type=str(getattr(self.args, "nms_type", "soft") or "soft"),
             soft_first_quirk=bool(getattr(self.args, "soft_nms_quirk", False)),
+            return_idx=return_idx,
         )
 
     def _infer_fn(self, variables, imgs):
         # uint8 in, normalize on device: 4x less host->device traffic and
         # the cast/divide fuses into the first conv's input pass
         imgs = imgs.astype(jnp.float32) / 255.0
+        task = getattr(self.model, "task", "detect")
+        if task == "segment":
+            from experiment_yolo_tpu.nn.heads_extra import assemble_masks
+
+            boxes, scores, coeffs, protos = self.model.predict(variables, imgs)
+            det, counts, idx = self._nms_fn(boxes, scores, return_idx=True)
+            kept = jnp.take_along_axis(coeffs, idx[..., None], axis=1)
+            masks = assemble_masks(kept, protos)  # (B, max_det, Hp, Wp) probs
+            return det, counts, masks
+        if task == "pose":
+            boxes, scores, kpts = self.model.predict(variables, imgs)
+            det, counts, idx = self._nms_fn(boxes, scores, return_idx=True)
+            kept = jnp.take_along_axis(kpts, idx[..., None, None], axis=1)
+            return det, counts, kept
+        if task == "obb":
+            from experiment_yolo_tpu.ops.nms import nms_rotated
+
+            rboxes, scores = self.model.predict(variables, imgs)
+            det7, counts = nms_rotated(
+                rboxes, scores, conf_thres=float(self.args.conf),
+                iou_thres=float(self.args.iou), max_det=int(self.args.max_det),
+            )
+            return det7, counts
         boxes, scores = self.model.predict(variables, imgs)
         return self._nms_fn(boxes, scores)
 
@@ -135,9 +159,11 @@ class DetectionPredictor:
 
         def flush():
             chunk_i, pre, fut, t0, t1 = pending.pop(0)
-            det, counts = jax.device_get(fut)
+            out = jax.device_get(fut)
+            det, counts, extra = out[0], out[1], (out[2] if len(out) > 2 else None)
             t2 = time.time()
-            return self._postprocess(chunk_i, pre, det, counts, names, t0, t1, t2)
+            return self._postprocess(chunk_i, pre, det, counts, names, t0, t1, t2,
+                                     extra=extra)
 
         backend = hasattr(self.model, "forward_host")
         for chunk in chunks():
@@ -155,27 +181,63 @@ class DetectionPredictor:
         while pending:
             yield from flush()
 
-    def _postprocess(self, chunk, pre, det, counts, names, t0, t1, t2):
+    def _postprocess(self, chunk, pre, det, counts, names, t0, t1, t2, extra=None):
+        task = getattr(self.model, "task", "detect")
         results = []
         for i, ((path, orig), (pimg, gain, (padw, padh))) in enumerate(zip(chunk, pre)):
             n = int(counts[i])
             d = det[i, :n].copy()
             oh, ow = orig.shape[:2]
+            speed = {
+                "preprocess": (t1 - t0) * 1000 / len(chunk),
+                "inference": (t2 - t1) * 1000 / len(chunk),
+            }
+            if task == "obb":
+                # xywhr: rescale centers/extents, angle unchanged
+                d[:, 0] = ((d[:, 0] - padw) / gain).clip(0, ow)
+                d[:, 1] = ((d[:, 1] - padh) / gain).clip(0, oh)
+                d[:, 2:4] = d[:, 2:4] / gain
+                results.append(Results(orig, path, names, None, speed=speed, obb=d))
+                continue
             d[:, [0, 2]] = ((d[:, [0, 2]] - padw) / gain).clip(0, ow)
             d[:, [1, 3]] = ((d[:, [1, 3]] - padh) / gain).clip(0, oh)
+            keep = None
             if self.args.classes is not None:
                 keep = np.isin(d[:, 5].astype(int), np.atleast_1d(self.args.classes))
                 d = d[keep]
+            masks = kpts = None
+            if task == "segment" and extra is not None:
+                masks = self._masks_to_orig(extra[i, :n], d, gain, padw, padh, oh, ow,
+                                            keep)
+            elif task == "pose" and extra is not None:
+                k = extra[i, :n].copy()  # (n, nk, 2|3) letterbox px
+                if keep is not None:
+                    k = k[keep]
+                k[..., 0] = ((k[..., 0] - padw) / gain).clip(0, ow)
+                k[..., 1] = ((k[..., 1] - padh) / gain).clip(0, oh)
+                kpts = k
             results.append(
-                Results(
-                    orig,
-                    path,
-                    names,
-                    d,
-                    speed={
-                        "preprocess": (t1 - t0) * 1000 / len(chunk),
-                        "inference": (t2 - t1) * 1000 / len(chunk),
-                    },
-                )
+                Results(orig, path, names, d, speed=speed, masks=masks, keypoints=kpts)
             )
         return results
+
+    def _masks_to_orig(self, mask_probs, d, gain, padw, padh, oh, ow, keep):
+        """Proto-resolution mask probs -> original-space bool masks cropped
+        to their boxes (reference ops.process_mask + scale_masks)."""
+        import cv2
+
+        if keep is not None:
+            mask_probs = mask_probs[keep]
+        out = np.zeros((len(d), oh, ow), bool)
+        top, left = int(round(padh)), int(round(padw))
+        nh, nw = int(round(oh * gain)), int(round(ow * gain))
+        for j, m in enumerate(np.asarray(mask_probs, np.float32)):
+            # upsample proto grid -> letterbox square, strip pad, -> original
+            up = cv2.resize(m, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+            crop = up[top: top + nh, left: left + nw]
+            full = cv2.resize(crop, (ow, oh), interpolation=cv2.INTER_LINEAR) > 0.5
+            x1, y1, x2, y2 = d[j, :4].astype(int)
+            box_mask = np.zeros_like(full)
+            box_mask[max(y1, 0): y2, max(x1, 0): x2] = True
+            out[j] = full & box_mask
+        return out

@@ -53,32 +53,124 @@ class Boxes:
         return self.xywh / np.asarray([w, h, w, h])
 
 
+class Masks:
+    """Instance masks in original-image space (reference results.py:460).
+    data: (N, Ho, Wo) bool."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, bool)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+
+class Keypoints:
+    """Pose keypoints in original-image space (reference results.py:500).
+    data: (N, nk, 2|3) [x, y(, conf)]."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self) -> np.ndarray:
+        return self.data[..., :2]
+
+    @property
+    def conf(self) -> Optional[np.ndarray]:
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
+class OBB:
+    """Oriented boxes in original-image space (reference results.py:595).
+    data: (N, 7) [cx, cy, w, h, rad, conf, cls]."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32).reshape(-1, 7)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xywhr(self) -> np.ndarray:
+        return self.data[:, :5]
+
+    @property
+    def conf(self) -> np.ndarray:
+        return self.data[:, 5]
+
+    @property
+    def cls(self) -> np.ndarray:
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self) -> np.ndarray:
+        """(N, 4, 2) corner points (reference ops.xywhr2xyxyxyxy)."""
+        cx, cy, w, h, r = (self.data[:, i] for i in range(5))
+        cos, sin = np.cos(r), np.sin(r)
+        dx1, dy1 = w / 2 * cos, w / 2 * sin
+        dx2, dy2 = -h / 2 * sin, h / 2 * cos
+        c = np.stack([cx, cy], -1)
+        return np.stack(
+            [c + np.stack([dx1 + dx2, dy1 + dy2], -1),
+             c + np.stack([dx1 - dx2, dy1 - dy2], -1),
+             c - np.stack([dx1 + dx2, dy1 + dy2], -1),
+             c - np.stack([dx1 - dx2, dy1 - dy2], -1)], 1
+        )
+
+
 class Results:
     """One image's predictions + metadata."""
 
-    def __init__(self, orig_img: np.ndarray, path: str, names: Dict[int, str], boxes: np.ndarray, speed: Optional[dict] = None):
+    def __init__(self, orig_img: np.ndarray, path: str, names: Dict[int, str],
+                 boxes: Optional[np.ndarray], speed: Optional[dict] = None,
+                 masks: Optional[np.ndarray] = None,
+                 keypoints: Optional[np.ndarray] = None,
+                 obb: Optional[np.ndarray] = None):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
         self.path = path
         self.names = names
-        self.boxes = Boxes(boxes, self.orig_shape)
+        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
+        self.obb = OBB(obb, self.orig_shape) if obb is not None else None
         self.speed = speed or {}
 
     def __len__(self):
-        return len(self.boxes)
+        return len(self.boxes if self.boxes is not None else self.obb)
 
     def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5) -> np.ndarray:
-        """Draw boxes on a copy of the original (BGR) image."""
+        """Draw boxes/masks/keypoints/oriented boxes on a copy of the
+        original (BGR) image."""
         import cv2
 
         img = self.orig_img.copy()
         lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
-        for x1, y1, x2, y2, conf, cls in self.boxes.data:
-            c = int(cls)
-            color = _class_color(c)
-            cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
-            label = f"{self.names.get(c, c)} {conf:.2f}"
-            cv2.putText(img, label, (int(x1), max(int(y1) - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1))
+        if self.masks is not None and self.boxes is not None:
+            for m, cls in zip(self.masks.data, self.boxes.cls):
+                color = np.asarray(_class_color(int(cls)), np.float32)
+                img[m] = (0.6 * img[m] + 0.4 * color).astype(img.dtype)
+        if self.boxes is not None:
+            for x1, y1, x2, y2, conf, cls in self.boxes.data:
+                c = int(cls)
+                color = _class_color(c)
+                cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
+                label = f"{self.names.get(c, c)} {conf:.2f}"
+                cv2.putText(img, label, (int(x1), max(int(y1) - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1))
+        if self.obb is not None:
+            for pts, conf, cls in zip(self.obb.xyxyxyxy, self.obb.conf, self.obb.cls):
+                cv2.polylines(img, [pts.astype(np.int32)], True, _class_color(int(cls)), lw)
+        if self.keypoints is not None:
+            for inst in self.keypoints.data:
+                for kp in inst:
+                    if kp.shape[-1] < 3 or kp[2] > 0.5:
+                        cv2.circle(img, (int(kp[0]), int(kp[1])), max(lw, 2), (0, 255, 0), -1)
         return img
 
     def save(self, filename: str | Path) -> None:
