@@ -34,7 +34,13 @@ class YOLO:
             from experiment_yolo_tpu.nn.tasks import TASK_MODELS, guess_model_task
 
             task = task or guess_model_task(model)
-            self.model = TASK_MODELS.get(task, DetectionModel)(model, nc=nc, dtype=dtype)
+            if task == "classify":
+                from experiment_yolo_tpu.models.classify import ClassificationModel
+
+                cls = ClassificationModel
+            else:
+                cls = TASK_MODELS.get(task, DetectionModel)
+            self.model = cls(model, nc=nc, dtype=dtype) if nc else cls(model, dtype=dtype)
             self.variables = self.model.init(jax.random.PRNGKey(seed))
         elif model.endswith((".stablehlo", ".tflite", ".onnx")):
             # exported artifact: predict/val through AutoBackend (reference

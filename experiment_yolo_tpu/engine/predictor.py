@@ -115,6 +115,9 @@ class DetectionPredictor:
                 iou_thres=float(self.args.iou), max_det=int(self.args.max_det),
             )
             return det7, counts
+        if task == "classify":
+            probs = self.model.predict(variables, imgs)  # (B, nc)
+            return probs, jnp.zeros((probs.shape[0],), jnp.int32)
         boxes, scores = self.model.predict(variables, imgs)
         return self._nms_fn(boxes, scores)
 
@@ -192,6 +195,10 @@ class DetectionPredictor:
                 "preprocess": (t1 - t0) * 1000 / len(chunk),
                 "inference": (t2 - t1) * 1000 / len(chunk),
             }
+            if task == "classify":
+                results.append(Results(orig, path, names, None, speed=speed,
+                                       probs=det[i]))
+                continue
             if task == "obb":
                 # xywhr: rescale centers/extents, angle unchanged
                 d[:, 0] = ((d[:, 0] - padw) / gain).clip(0, ow)

@@ -124,6 +124,25 @@ class OBB:
         )
 
 
+class Probs:
+    """Classification probabilities (reference results.py:549)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data, np.float32).reshape(-1)
+
+    @property
+    def top1(self) -> int:
+        return int(self.data.argmax())
+
+    @property
+    def top1conf(self) -> float:
+        return float(self.data.max())
+
+    @property
+    def top5(self) -> np.ndarray:
+        return np.argsort(-self.data)[:5]
+
+
 class Results:
     """One image's predictions + metadata."""
 
@@ -131,7 +150,8 @@ class Results:
                  boxes: Optional[np.ndarray], speed: Optional[dict] = None,
                  masks: Optional[np.ndarray] = None,
                  keypoints: Optional[np.ndarray] = None,
-                 obb: Optional[np.ndarray] = None):
+                 obb: Optional[np.ndarray] = None,
+                 probs: Optional[np.ndarray] = None):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
         self.path = path
@@ -140,10 +160,13 @@ class Results:
         self.masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
         self.obb = OBB(obb, self.orig_shape) if obb is not None else None
+        self.probs = Probs(probs) if probs is not None else None
         self.speed = speed or {}
 
     def __len__(self):
-        return len(self.boxes if self.boxes is not None else self.obb)
+        if self.boxes is not None:
+            return len(self.boxes)
+        return len(self.obb) if self.obb is not None else 0
 
     def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5) -> np.ndarray:
         """Draw boxes/masks/keypoints/oriented boxes on a copy of the

@@ -73,6 +73,21 @@ class ClassificationModel:
         """Softmax class probabilities (B, nc)."""
         return jax.nn.softmax(self.module.apply(variables, x, False), -1)
 
+    # facade/predictor surface (reference ClassificationModel mirrors the
+    # detection API): nominal stride for imgsz checks, names, param count
+    strides = (32,)
+
+    @property
+    def names(self):
+        return {i: str(i) for i in range(self.nc)}
+
+    def num_params(self, variables) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+    def info(self, variables=None) -> str:
+        n = self.num_params(variables) if variables else -1
+        return f"ClassificationModel(nc={self.nc}, params={n:,})"
+
 
 class _ClsNet(nn.Module):
     backbone: Any

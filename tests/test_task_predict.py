@@ -61,3 +61,17 @@ def test_detect_predict_unchanged():
     res, img = _predict("DetectionModel", "tiny.yaml")
     assert res.masks is None and res.keypoints is None and res.obb is None
     assert res.boxes is not None
+
+
+def test_classify_predict_results():
+    from experiment_yolo_tpu.models.classify import ClassificationModel
+
+    model = ClassificationModel(str(ASSETS / "tiny.yaml"), nc=4)
+    variables = model.init(jax.random.PRNGKey(0))
+    img = np.random.RandomState(5).randint(0, 255, (48, 96, 3), np.uint8)
+    pred = DetectionPredictor(model, variables, overrides={"imgsz": 64})
+    res = pred(img)[0]
+    assert res.probs is not None and res.boxes is None
+    assert res.probs.data.shape == (4,)
+    np.testing.assert_allclose(res.probs.data.sum(), 1.0, atol=1e-5)
+    assert 0 <= res.probs.top1 < 4 and len(res.probs.top5) <= 5
