@@ -140,7 +140,46 @@ def forward_flops(model, variables, batch: int, imgsz: int = 640) -> float:
         return 0.0
 
 
+def probe_backend(timeout_s: int = 240, retries: int = 3, wait_s: int = 120) -> bool:
+    """Bounded backend-reachability probe.
+
+    The remote-relay TPU backend HANGS (not errors) at init when the relay
+    is down, which would wedge this script indefinitely. Probe device init
+    in a subprocess with a hard timeout, retrying a few times, so bench
+    always terminates with either real numbers or an explicit error line.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True  # local smoke runs
+    for i in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+            print(f"tpu probe {i}: init failed: {r.stderr.decode()[-200:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"tpu probe {i}: init hung > {timeout_s}s (relay down?)", file=sys.stderr)
+        if i < retries - 1:
+            time.sleep(wait_s)
+    return False
+
+
 def main() -> None:
+    if not probe_backend():
+        print(json.dumps({
+            "metric": "yolov8n_640_bf16_infer_img_s_per_chip",
+            "value": 0.0,
+            "unit": "img/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (relay outage); last measured numbers in BENCH_r02.json / docs/KERNELS.md",
+        }))
+        return
+
     from experiment_yolo_tpu.nn.tasks import DetectionModel
 
     extras = {}
