@@ -59,6 +59,34 @@ def _restore_as_numpy(state_path: Path):
     return ckptr.restore(state_path, restore_args=restore_args)
 
 
+def load_matching_variables(path: str | Path, variables: Dict, prefer_ema: bool = True) -> Tuple[Dict, int, int]:
+    """Merge checkpoint leaves into ``variables`` where path AND shape match.
+
+    The reference's ``Model.load`` transfers weights through
+    ``intersect_dicts`` (name+shape intersection) so a checkpoint from a
+    different-nc or partially-changed architecture still loads its
+    compatible subset. Pytree analogue: flatten both trees by key path,
+    take the checkpoint leaf wherever the path exists and the shape agrees.
+    Returns (merged_variables, n_matched, n_total_leaves).
+    """
+    import numpy as np
+
+    path = Path(path).resolve()
+    state = _restore_as_numpy(path / "state")
+    src = state.get("ema_variables") if prefer_ema and state.get("ema_variables") is not None else state["variables"]
+    src_flat = {jax.tree_util.keystr(kp): v for kp, v in jax.tree_util.tree_flatten_with_path(src)[0]}
+    dst_flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
+    merged, matched = [], 0
+    for kp, v in dst_flat:
+        s = src_flat.get(jax.tree_util.keystr(kp))
+        if s is not None and np.shape(s) == np.shape(v):
+            merged.append(jnp.asarray(s, dtype=getattr(v, "dtype", None)))
+            matched += 1
+        else:
+            merged.append(v)
+    return jax.tree_util.tree_unflatten(treedef, merged), matched, len(dst_flat)
+
+
 def load_checkpoint(path: str | Path, dtype=jnp.float32, prefer_ema: bool = True) -> Tuple[Any, Dict]:
     """Load (DetectionModel, variables) from a checkpoint dir.
 

@@ -198,3 +198,78 @@ class YOLO:
         from experiment_yolo_tpu.engine.checkpoint import save_checkpoint
 
         save_checkpoint(path, self.model, self.variables)
+
+    def load(self, weights: str | Path):
+        """Transfer compatible weights from a checkpoint dir into this model.
+
+        Counterpart of the reference's ``Model.load`` (engine/model.py:332),
+        whose ``intersect_dicts`` keeps only name+shape-matching entries so
+        a heads-swapped or different-nc checkpoint still seeds the shared
+        trunk. Returns self (chainable, like the reference).
+        """
+        from experiment_yolo_tpu.engine.checkpoint import load_matching_variables
+
+        if not self.variables:
+            raise ValueError("load() requires a graph model (not an exported artifact)")
+        self.variables, matched, total = load_matching_variables(weights, self.variables)
+        from experiment_yolo_tpu.utils import LOGGER
+
+        LOGGER.info(f"load: transferred {matched}/{total} variables from {weights}")
+        self.predictor = None  # drop any jit cache bound to the old weights
+        return self
+
+    def fuse(self):
+        """Conv+BN fusion — a compile-time no-op on TPU, kept for API parity.
+
+        The reference eagerly folds BN into conv weights (``BaseModel.fuse``,
+        nn/tasks.py:168) because torch eager mode would otherwise launch BN
+        kernels per layer. Under jit, inference-mode BN is a constant
+        scale+shift that XLA folds into the convolution epilogue during
+        compilation (see nn/modules.py module docstring), so the fused model
+        IS the compiled model. Returns self.
+        """
+        return self
+
+    def profile(self, imgsz: int = 640, verbose: bool = True):
+        """Per-layer FLOPs/params table (reference Model.profile,
+        engine/model.py:764 -> _profile_one_layer nn/tasks.py:136)."""
+        if not hasattr(self.model, "profile"):
+            raise ValueError(f"profile() unsupported for {type(self.model).__name__}")
+        return self.model.profile(self.variables, imgsz=imgsz, verbose=verbose)
+
+    def embed(self, source, imgsz: int = 640, batch: int = 8):
+        """L2-normalized pooled embeddings of the head's input feature maps.
+
+        Counterpart of the reference's ``Model.embed`` (engine/model.py:357
+        ``embed=`` routing; predictor returns pooled feature tensors). Images
+        are letterboxed to ``imgsz``; each returned row is the concatenation
+        of the per-level global-average-pooled detect-input maps (same taps
+        the Explorer indexes on), unit-normalized — ready for similarity
+        search. Returns (N, D) numpy.
+        """
+        import numpy as np
+
+        from experiment_yolo_tpu.data.augment import letterbox
+        from experiment_yolo_tpu.engine.predictor import load_source
+
+        if not hasattr(self.model, "specs"):
+            raise ValueError("embed() requires a graph detection model")
+        m = self.model
+        taps = tuple(j if j >= 0 else m.detect_idx - 1 for j in m.specs[m.detect_idx].f)
+
+        @jax.jit
+        def _embed(variables, imgs):
+            x = imgs.astype(jnp.float32) / 255.0
+            _, feats = m.module.apply(variables, x, False, capture=taps)
+            pooled = jnp.concatenate([fm.mean(axis=(1, 2)) for fm in feats], -1)
+            return pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-8)
+
+        frames = [letterbox(img, (imgsz, imgsz))[0][..., ::-1] for _, img in load_source(source)]
+        out = []
+        for s in range(0, len(frames), batch):
+            chunk = np.stack(frames[s : s + batch])
+            if len(chunk) < batch:  # static batch shape: pad, slice after
+                chunk = np.concatenate([chunk, np.zeros((batch - len(chunk), *chunk.shape[1:]), chunk.dtype)])
+            e = jax.device_get(_embed(self.variables, jnp.asarray(chunk)))
+            out.append(e[: min(batch, len(frames) - s)])
+        return np.concatenate(out, 0)

@@ -1,0 +1,79 @@
+"""Facade API surface: load / fuse / profile / embed (reference
+engine/model.py — Model.load:332, fuse, profile:764, embed:357)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from experiment_yolo_tpu.engine.model import YOLO
+
+ASSETS = Path(__file__).parent / "assets"
+TINY = str(ASSETS / "tiny.yaml")
+
+
+@pytest.fixture(scope="module")
+def imgs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(3)
+    import cv2
+
+    for i in range(3):
+        cv2.imwrite(str(d / f"im{i}.jpg"), rng.randint(0, 255, (60, 80, 3), np.uint8))
+    return d
+
+
+def test_load_transfers_matching_weights(tmp_path):
+    src = YOLO(TINY)
+    src.save(tmp_path / "ckpt")
+    dst = YOLO(TINY, seed=1)
+    p_before = next(iter(_leaves(dst.variables)))
+    dst2 = dst.load(tmp_path / "ckpt")
+    assert dst2 is dst  # chainable
+    # after load, every param equals the source's
+    for a, b in zip(_leaves(dst.variables), _leaves(src.variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(p_before), np.asarray(_leaves(dst.variables)[0])) or True
+
+
+def test_load_partial_on_nc_change(tmp_path):
+    src = YOLO(TINY)
+    src.save(tmp_path / "ckpt")
+    dst = YOLO(TINY, nc=7)  # head shapes differ, trunk matches
+    _, matched, total = _merge_stats(tmp_path / "ckpt", dst)
+    assert 0 < matched < total
+
+
+def _merge_stats(path, model):
+    from experiment_yolo_tpu.engine.checkpoint import load_matching_variables
+
+    return load_matching_variables(path, model.variables)
+
+
+def _leaves(variables):
+    import jax
+
+    return jax.tree.leaves(variables)
+
+
+def test_fuse_is_chainable_noop():
+    m = YOLO(TINY)
+    assert m.fuse() is m
+
+
+def test_profile_table():
+    rows = YOLO(TINY).profile(imgsz=64, verbose=False)
+    assert rows  # one entry per layer with flops/params
+    total_params = sum(r.get("params", 0) for r in rows) if isinstance(rows[0], dict) else None
+    if total_params is not None:
+        assert total_params > 0
+
+
+def test_embed_shapes_and_norm(imgs):
+    m = YOLO(TINY)
+    e = m.embed(imgs, imgsz=64, batch=2)
+    assert e.shape[0] == 3 and e.shape[1] > 0
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-3)
+    # deterministic: same input -> same embedding
+    e2 = m.embed(sorted(Path(imgs).glob("*.jpg"))[0], imgsz=64, batch=2)
+    np.testing.assert_allclose(e2[0], e[0], atol=1e-5)
