@@ -59,6 +59,7 @@ class YOLO:
         self.overrides: Dict[str, Any] = {}
         self.trainer = None
         self.predictor = None
+        self._callbacks: Dict[str, list] = {}
 
     # -- info ---------------------------------------------------------------
     @property
@@ -74,10 +75,34 @@ class YOLO:
         return self.model.num_params(self.variables)
 
     # -- task routing ---------------------------------------------------------
+    def __call__(self, source, stream: bool = False, **kwargs):
+        """``model(img)`` is predict — reference Model.__call__ (engine/model.py:145)."""
+        return self.predict(source, stream=stream, **kwargs)
+
+    @property
+    def names(self):
+        """Class-index -> name mapping of the underlying model."""
+        return getattr(self.model, "names", None)
+
+    def add_callback(self, event: str, fn) -> None:
+        """Register a training-event hook (reference Model.add_callback,
+        engine/model.py:787; 25-event table in utils/callbacks.py). Hooks
+        are installed on every trainer this facade creates."""
+        self._callbacks.setdefault(event, []).append(fn)
+
+    def clear_callback(self, event: str) -> None:
+        self._callbacks.pop(event, None)
+
+    def reset_callbacks(self) -> None:
+        self._callbacks = {}
+
     def train(self, **kwargs):
         from experiment_yolo_tpu.engine.trainer import DetectionTrainer
 
         self.trainer = DetectionTrainer(model=self.model, variables=self.variables, overrides={**self.overrides, **kwargs})
+        for event, fns in self._callbacks.items():
+            for fn in fns:
+                self.trainer.callbacks.add(event, fn)
         results = self.trainer.train()
         self.variables = self.trainer.best_variables or self.trainer.variables
         if getattr(self.trainer, "_rebuilt_model", False):  # e.g. dataset kpt_shape

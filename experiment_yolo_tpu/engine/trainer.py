@@ -262,6 +262,7 @@ class DetectionTrainer:
 
         epoch = start_epoch
         for epoch in range(start_epoch, args.epochs):
+            self.epoch = epoch  # callbacks read trainer.epoch (reference trainer.py:781)
             self.callbacks.run("on_train_epoch_start", trainer=self)
             if args.close_mosaic and epoch == args.epochs - args.close_mosaic:
                 LOGGER.info("Closing dataloader mosaic")

@@ -69,6 +69,29 @@ def test_profile_table():
         assert total_params > 0
 
 
+def test_call_is_predict_and_names(imgs):
+    m = YOLO(TINY)
+    img = np.random.RandomState(1).randint(0, 255, (60, 80, 3), np.uint8)
+    res = m(img, imgsz=64, conf=1e-4)  # __call__ routes to predict
+    assert res and hasattr(res[0], "boxes")
+    assert isinstance(m.names, dict)
+
+
+def test_facade_callbacks_fire(tmp_path):
+    from experiment_yolo_tpu.data import make_synthetic_dataset
+
+    data = make_synthetic_dataset(tmp_path / "synth", n_train=16, n_val=4, imgsz=64)
+    m = YOLO(TINY)
+    seen = []
+    m.add_callback("on_fit_epoch_end", lambda trainer: seen.append(trainer.epoch))
+    m.train(data=str(data), epochs=1, batch=8, imgsz=64, workers=0, val=False,
+            save=False, amp=False, warmup_epochs=0.0, project=str(tmp_path / "runs"),
+            close_mosaic=0, max_labels=16, nbs=8)
+    assert seen == [0]
+    m.clear_callback("on_fit_epoch_end")
+    assert "on_fit_epoch_end" not in m._callbacks
+
+
 def test_embed_shapes_and_norm(imgs):
     m = YOLO(TINY)
     e = m.embed(imgs, imgsz=64, batch=2)
