@@ -13,7 +13,7 @@ from typing import Any, Dict, List
 from experiment_yolo_tpu.cfg import DEFAULT_CFG_DICT, check_dict_alignment
 from experiment_yolo_tpu.utils import LOGGER, colorstr
 
-MODES = ("train", "val", "predict", "benchmark", "cfg")
+MODES = ("train", "val", "predict", "benchmark", "serve", "cfg")
 
 USAGE = f"""
     yolo-tpu MODE ARGS
@@ -67,6 +67,20 @@ def entrypoint(argv: List[str] | None = None) -> Any:
     if model_src is None:
         raise SyntaxError(f"'model=' is required for mode {mode!r}\n{USAGE}")
     source = overrides.pop("source", None)
+    if mode == "serve":
+        # HTTP detection service with dynamic batching (serve.py)
+        from experiment_yolo_tpu.serve import DetectionServer
+
+        host = str(overrides.pop("host", "127.0.0.1"))
+        port = int(overrides.pop("port", 8000))
+        server = DetectionServer(model_src, **overrides)
+        bound = server.start(host=host, port=port)
+        LOGGER.info(f"{colorstr('serve:')} ready on {host}:{bound} — POST /predict, GET /health")
+        try:
+            server._http_thread.join()
+        except KeyboardInterrupt:
+            server.stop()
+        return server
     check_dict_alignment({**DEFAULT_CFG_DICT, "model": None, "source": None}, overrides)
 
     from experiment_yolo_tpu import YOLO

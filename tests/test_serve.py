@@ -1,0 +1,99 @@
+"""HTTP serving with dynamic batching (experiment_yolo_tpu/serve.py)."""
+
+import base64
+import json
+import threading
+import urllib.request
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from experiment_yolo_tpu.serve import DetectionServer
+
+TINY = str(Path(__file__).parent / "assets" / "tiny.yaml")
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = DetectionServer(TINY, batch=4, imgsz=64, conf=1e-4, max_wait_ms=30)
+    port = s.start(port=0)
+    yield s, port
+    s.stop()
+
+
+def _jpeg(seed: int) -> bytes:
+    img = np.random.RandomState(seed).randint(0, 255, (60, 80, 3), np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return buf.tobytes()
+
+
+def _post(port: int, data: bytes, ctype: str = "image/jpeg"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=data, headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    _, port = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["batch"] == 4 and h["imgsz"] == 64
+
+
+def test_predict_raw_and_base64(server):
+    _, port = server
+    out = _post(port, _jpeg(0))
+    assert "detections" in out and isinstance(out["detections"], list)
+    for d in out["detections"]:
+        assert len(d["box"]) == 4 and 0.0 <= d["conf"] <= 1.0 and "name" in d
+    b64 = json.dumps({"image": base64.b64encode(_jpeg(1)).decode()}).encode()
+    out2 = _post(port, b64, ctype="application/json")
+    assert "detections" in out2
+
+
+def test_concurrent_requests_batched(server):
+    _, port = server
+    outs = [None] * 6
+    errs = []
+
+    def hit(i):
+        try:
+            outs[i] = _post(port, _jpeg(100 + i))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errs and all(o is not None and "detections" in o for o in outs)
+
+
+def test_bad_requests(server):
+    _, port = server
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/predict", data=b"not an image")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei2:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
+    assert ei2.value.code == 404
+
+
+def test_deterministic_vs_direct_predict(server):
+    """A served detection equals the same image through the direct predictor."""
+    s, port = server
+    img_bytes = _jpeg(7)
+    out = _post(port, img_bytes)
+    img = cv2.imdecode(np.frombuffer(img_bytes, np.uint8), cv2.IMREAD_COLOR)
+    res = s.predictor([img])[0]
+    assert len(out["detections"]) == len(res.boxes)
+    if len(res.boxes):
+        np.testing.assert_allclose(
+            np.array([d["box"] for d in out["detections"]]),
+            np.asarray(res.boxes.xyxy), atol=0.01)
