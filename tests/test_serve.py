@@ -85,6 +85,23 @@ def test_bad_requests(server):
     assert ei2.value.code == 404
 
 
+def test_serve_exported_onnx_artifact(tmp_path):
+    """The server also fronts exported artifacts (AutoBackend host forward):
+    the deployment story is train -> export -> serve, all one toolchain."""
+    from experiment_yolo_tpu.engine.model import YOLO
+
+    m = YOLO(TINY)
+    p = m.export("onnx", tmp_path / "tiny_srv", imgsz=64, batch=1)
+    s = DetectionServer(str(p), conf=1e-4, max_wait_ms=5)
+    assert s.predictor.imgsz == 64 and s.predictor.batch == 1  # baked shapes adopted
+    port = s.start(port=0)
+    try:
+        out = _post(port, _jpeg(3))
+        assert "detections" in out
+    finally:
+        s.stop()
+
+
 def test_deterministic_vs_direct_predict(server):
     """A served detection equals the same image through the direct predictor."""
     s, port = server
