@@ -29,6 +29,12 @@ from experiment_yolo_tpu.parallel.tensor import (
     tp_shardings,
     tp_spec,
 )
+from experiment_yolo_tpu.parallel.expert import (
+    EP_RULES,
+    ep_shard,
+    ep_shardings,
+    make_mesh_ep,
+)
 
 __all__ = [
     "batch_sharded",
@@ -52,4 +58,8 @@ __all__ = [
     "tp_shard",
     "tp_shardings",
     "tp_spec",
+    "EP_RULES",
+    "ep_shard",
+    "ep_shardings",
+    "make_mesh_ep",
 ]
