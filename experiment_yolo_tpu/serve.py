@@ -192,11 +192,52 @@ class DetectionServer:
 
     def predict_one(self, img: np.ndarray) -> dict:
         res, batch_ms = self.batcher.submit(img).result(timeout=60)
-        names = res.names or {}
-        dets = [
-            {"box": [round(float(v), 2) for v in b.tolist()],
+        return {**serialize_results(res), "speed_ms": round(batch_ms, 2)}
+
+
+def _rle(mask: np.ndarray) -> dict:
+    """COCO-style uncompressed RLE (column-major counts, first run = zeros)."""
+    flat = np.asarray(mask, bool).flatten(order="F")
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    counts = np.diff(np.concatenate([[0], change, [flat.size]])).tolist()
+    if flat.size and flat[0]:  # counts must start with a zero-run
+        counts = [0] + counts
+    return {"size": [int(mask.shape[0]), int(mask.shape[1])], "counts": counts}
+
+
+def serialize_results(res) -> dict:
+    """Task-aware Results -> JSON-safe dict (boxes / masks RLE / keypoints /
+    oriented boxes / classify probs)."""
+    names = res.names or {}
+    out: dict = {"detections": []}
+    if res.probs is not None:  # classify
+        p = res.probs
+        out["probs"] = {
+            "top1": {"cls": p.top1, "name": str(names.get(p.top1, p.top1)),
+                     "conf": round(p.top1conf, 4)},
+            "top5": [{"cls": int(k), "name": str(names.get(int(k), int(k))),
+                      "conf": round(float(p.data[k]), 4)} for k in p.top5],
+        }
+        return out
+    if res.obb is not None:  # oriented boxes
+        out["detections"] = [
+            {"xywhr": [round(float(v), 4) for v in xr.tolist()],
+             "points": [[round(float(v), 2) for v in pt] for pt in pts.tolist()],
              "conf": round(float(c), 4), "cls": int(k),
              "name": str(names.get(int(k), int(k)))}
-            for b, c, k in zip(res.boxes.xyxy, res.boxes.conf, res.boxes.cls)
+            for xr, pts, c, k in zip(res.obb.xywhr, res.obb.xyxyxyxy,
+                                     res.obb.conf, res.obb.cls)
         ]
-        return {"detections": dets, "speed_ms": round(batch_ms, 2)}
+        return out
+    if res.boxes is not None:
+        for i, (b, c, k) in enumerate(zip(res.boxes.xyxy, res.boxes.conf, res.boxes.cls)):
+            d = {"box": [round(float(v), 2) for v in b.tolist()],
+                 "conf": round(float(c), 4), "cls": int(k),
+                 "name": str(names.get(int(k), int(k)))}
+            if res.masks is not None:
+                d["mask_rle"] = _rle(res.masks.data[i])
+            if res.keypoints is not None:
+                d["keypoints"] = [[round(float(v), 2) for v in kp]
+                                  for kp in res.keypoints.data[i].tolist()]
+            out["detections"].append(d)
+    return out

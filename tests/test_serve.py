@@ -85,6 +85,36 @@ def test_bad_requests(server):
     assert ei2.value.code == 404
 
 
+def test_task_aware_serialization():
+    """segment/pose results serialize masks as COCO RLE and keypoints."""
+    import jax
+
+    import experiment_yolo_tpu.nn.tasks as tasks
+    from experiment_yolo_tpu.engine.predictor import DetectionPredictor
+    from experiment_yolo_tpu.serve import _rle, serialize_results
+
+    img = np.random.RandomState(5).randint(0, 255, (48, 96, 3), np.uint8)
+    for cls_name, yaml_name, field in (
+        ("SegmentationModel", "tiny-seg.yaml", "mask_rle"),
+        ("PoseModel", "tiny-pose.yaml", "keypoints"),
+    ):
+        model = getattr(tasks, cls_name)(str(Path(__file__).parent / "assets" / yaml_name))
+        variables = model.init(jax.random.PRNGKey(0))
+        res = DetectionPredictor(model, variables, overrides={"imgsz": 64, "conf": 1e-4})(img)[0]
+        out = serialize_results(res)
+        assert all(field in d for d in out["detections"])
+    # RLE roundtrip: decode(encode(m)) == m
+    m = np.random.RandomState(0).rand(13, 17) > 0.5
+    r = _rle(m)
+    decoded = np.zeros(13 * 17, bool)
+    pos, val = 0, False
+    for c in r["counts"]:
+        decoded[pos:pos + c] = val
+        pos += c
+        val = not val
+    np.testing.assert_array_equal(decoded.reshape(17, 13).T, m)
+
+
 def test_serve_exported_onnx_artifact(tmp_path):
     """The server also fronts exported artifacts (AutoBackend host forward):
     the deployment story is train -> export -> serve, all one toolchain."""
