@@ -22,6 +22,23 @@ from experiment_yolo_tpu.data.dataset import YOLODataset
 from experiment_yolo_tpu.utils import LOGGER
 
 
+def make_embed_fn(model):
+    """Jitted (variables, uint8 NHWC imgs) -> (B, D) L2-normalized embeddings:
+    global-average-pooled concat of the detect head's input feature maps,
+    tapped via GraphModel ``capture`` (the reference's YOLO.embed taps,
+    engine/model.py:357). Shared by Explorer and the YOLO.embed facade."""
+    f = model.specs[model.detect_idx].f
+    taps = tuple(j if j >= 0 else model.detect_idx - 1 for j in f)
+
+    def embed(variables, imgs):
+        imgs = imgs.astype(jnp.float32) / 255.0
+        _, feats = model.module.apply(variables, imgs, False, capture=taps)
+        pooled = jnp.concatenate([fm.mean(axis=(1, 2)) for fm in feats], -1)
+        return pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-8)
+
+    return jax.jit(embed)
+
+
 class Explorer:
     """Embed a dataset with a detection model and query it.
 
@@ -38,17 +55,7 @@ class Explorer:
         self.batch = batch
         self.embeddings: Optional[np.ndarray] = None  # (N, D) L2-normalized
 
-        # tap the head's input features (the highest-level fused maps)
-        f = model.specs[model.detect_idx].f
-        self._taps = tuple(j if j >= 0 else model.detect_idx - 1 for j in f)
-
-        def embed(variables, imgs):
-            imgs = imgs.astype(jnp.float32) / 255.0
-            _, feats = model.module.apply(variables, imgs, False, capture=self._taps)
-            pooled = jnp.concatenate([fm.mean(axis=(1, 2)) for fm in feats], -1)
-            return pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-8)
-
-        self._embed = jax.jit(embed)
+        self._embed = make_embed_fn(model)
 
     def build(self) -> np.ndarray:
         """Compute embeddings for every image (create_embeddings_table)."""

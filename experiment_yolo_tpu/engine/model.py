@@ -194,9 +194,11 @@ class YOLO:
             m.model = DetectionModel({k: v for k, v in yaml_cfg.items() if k != "yaml_file"})
             m.variables = m.model.init(_jax.random.PRNGKey(0))
             m.overrides, m.trainer, m.predictor, m.ckpt_path = {}, None, None, None
+            m._callbacks = {}
             return m
 
-        tuner = Tuner(base_args=train_kwargs)
+        save_dir = str(Path(train_kwargs["project"]) / "tune") if "project" in train_kwargs else None
+        tuner = Tuner(base_args=train_kwargs, save_dir=save_dir)
         return tuner(factory, iterations=iterations)
 
     def export(self, format: str = "stablehlo", path: str | Path = "model_export", imgsz: int = 640, batch: int = 1,
@@ -275,20 +277,14 @@ class YOLO:
         import numpy as np
 
         from experiment_yolo_tpu.data.augment import letterbox
+        from experiment_yolo_tpu.data.explorer import make_embed_fn
         from experiment_yolo_tpu.engine.predictor import load_source
 
         if not hasattr(self.model, "specs"):
             raise ValueError("embed() requires a graph detection model")
-        m = self.model
-        taps = tuple(j if j >= 0 else m.detect_idx - 1 for j in m.specs[m.detect_idx].f)
-
-        @jax.jit
-        def _embed(variables, imgs):
-            x = imgs.astype(jnp.float32) / 255.0
-            _, feats = m.module.apply(variables, x, False, capture=taps)
-            pooled = jnp.concatenate([fm.mean(axis=(1, 2)) for fm in feats], -1)
-            return pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-8)
-
+        if getattr(self, "_embed_fn", None) is None:  # jit once, reuse across calls
+            self._embed_fn = make_embed_fn(self.model)
+        _embed = self._embed_fn
         frames = [letterbox(img, (imgsz, imgsz))[0][..., ::-1] for _, img in load_source(source)]
         out = []
         for s in range(0, len(frames), batch):

@@ -107,14 +107,16 @@ class DetectionServer:
         self.yolo = model if isinstance(model, YOLO) else YOLO(str(model))
         from experiment_yolo_tpu.engine.predictor import DetectionPredictor
 
-        self.batch = batch
-        self.imgsz = imgsz
         self.predictor = DetectionPredictor(
             self.yolo.model, self.yolo.variables,
             overrides={"batch": batch, "imgsz": imgsz, "conf": conf,
                        "verbose": False, **overrides},
         )
-        self.batcher = _Batcher(self.predictor, batch, max_wait_ms)
+        # exported artifacts bake batch/imgsz — report and batch to the
+        # shapes the device program actually runs
+        self.batch = self.predictor.batch
+        self.imgsz = self.predictor.imgsz
+        self.batcher = _Batcher(self.predictor, self.batch, max_wait_ms)
         self.httpd: Optional[ThreadingHTTPServer] = None
         self._http_thread: Optional[threading.Thread] = None
 
@@ -158,9 +160,13 @@ class DetectionServer:
                     if self.headers.get("Content-Type", "").startswith("application/json"):
                         raw = base64.b64decode(json.loads(raw)["image"])
                     img = server._decode(raw)
-                    self._send(200, server.predict_one(img))
-                except Exception as e:
+                except Exception as e:  # malformed request -> client error
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                try:
+                    self._send(200, server.predict_one(img))
+                except Exception as e:  # inference/device fault -> server error
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._http_thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
@@ -174,6 +180,15 @@ class DetectionServer:
             self.httpd.shutdown()
             self.httpd.server_close()
         self.batcher._stop.set()
+        # fail queued requests immediately instead of leaving their handler
+        # threads blocked until the Future timeout
+        while True:
+            try:
+                _, fut = self.batcher.q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("server stopped"))
 
     def warmup(self) -> None:
         """Compile the device program before accepting traffic."""
