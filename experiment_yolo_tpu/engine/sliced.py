@@ -50,6 +50,17 @@ def slice_grid(h: int, w: int, slice: int, overlap: float) -> List[Tuple[int, in
     return [(y, x) for y in starts(h) for x in starts(w)]
 
 
+def nms_max_wh(h: int, w: int) -> float:
+    """Class-offset magnitude for NMS in original-image pixels: must exceed
+    the largest image dimension or boxes of adjacent classes collide after
+    the cls*max_wh shift (ops/nms.py:97). Doubles from the 7680 default so
+    jit sees few distinct static values."""
+    mwh = 7680.0
+    while mwh <= max(h, w):
+        mwh *= 2
+    return mwh
+
+
 class SlicedPredictor:
     """Small-object detection by slicing: the DEAL-YOLO use case (aerial
     wildlife) is exactly where sliced inference shines — tiny objects that
@@ -68,10 +79,11 @@ class SlicedPredictor:
         self.overlap = float(overlap)
         self.include_full = bool(include_full)
         self.imgsz = check_imgsz(int(self.args.imgsz), max(model.strides))
-        self._infer = jax.jit(self._infer_fn)
+        self._infer = jax.jit(self._infer_fn, static_argnames=("max_wh",))
 
     # ------------------------------------------------------------------
-    def _infer_fn(self, variables, slices_u8, offsets, full_u8, gain, pad):
+    def _infer_fn(self, variables, slices_u8, offsets, full_u8, gain, pad,
+                  max_wh: float = 7680.0):
         """slices (N,s,s,3) u8 + per-slice origins (N,2) [x0,y0];
         full (1,imgsz,imgsz,3) u8 letterboxed + its (gain, (padw,padh)).
         Returns (det (1,max_det,6), count (1,)) in ORIGINAL image pixels."""
@@ -99,6 +111,7 @@ class SlicedPredictor:
             max_det=int(self.args.max_det),
             multi_label=False,
             agnostic=bool(self.args.agnostic_nms),
+            max_wh=max_wh,
             nms_type=str(getattr(self.args, "nms_type", "soft") or "soft"),
             soft_first_quirk=bool(getattr(self.args, "soft_nms_quirk", False)),
         )
@@ -133,11 +146,13 @@ class SlicedPredictor:
             t0 = time.time()
             slices, offsets, full, gain, pad = self._prepare(img)
             t1 = time.time()
+            mwh = nms_max_wh(*img.shape[:2])
             det, counts = jax.device_get(
                 self._infer(self.variables, jnp.asarray(slices), jnp.asarray(offsets),
                             None if full is None else jnp.asarray(full),
                             0.0 if gain is None else gain,
-                            jnp.zeros((2,), jnp.float32) if pad is None else jnp.asarray(pad))
+                            jnp.zeros((2,), jnp.float32) if pad is None else jnp.asarray(pad),
+                            max_wh=mwh)
             )
             t2 = time.time()
             n = int(counts[0])

@@ -130,8 +130,7 @@ _ELEMENTWISE = {
     "max": "Max", "min": "Min", "exp": "Exp", "log": "Log",
     "tanh": "Tanh", "logistic": "Sigmoid", "sqrt": "Sqrt", "erf": "Erf",
     "neg": "Neg", "abs": "Abs", "floor": "Floor", "ceil": "Ceil",
-    "sign": "Sign", "rem": "Mod", "atan": "Atan", "sin": "Sin", "cos": "Cos",
-    "is_finite": "IsInf",  # handled specially below if ever needed
+    "sign": "Sign", "atan": "Atan", "sin": "Sin", "cos": "Cos",
 }
 
 _REDUCE = {"reduce_sum": "ReduceSum", "reduce_max": "ReduceMax", "reduce_min": "ReduceMin"}
@@ -171,6 +170,17 @@ def _emit_one(b: _Builder, prim: str, eq, env, get) -> str:
 
     if prim in _ELEMENTWISE:
         return b.add(_ELEMENTWISE[prim], ins, hint=prim)
+    if prim == "rem":
+        # fmod=1: C-fmod semantics (remainder takes the DIVIDEND's sign,
+        # matching lax.rem) and the only legal mode for float inputs
+        return b.add("Mod", ins, hint="rem", fmod=1)
+    if prim == "is_finite":
+        # finite == !(isinf || isnan); ONNX IsInf alone is the inverse for
+        # infs and wrong for NaN
+        inf = b.add("IsInf", ins)
+        nan = b.add("IsNaN", ins)
+        either = b.add("Or", [inf, nan])
+        return b.add("Not", [either], hint="is_finite")
     if prim == "rsqrt":
         s = b.add("Sqrt", ins)
         return b.add("Reciprocal", [s], hint="rsqrt")
@@ -188,8 +198,11 @@ def _emit_one(b: _Builder, prim: str, eq, env, get) -> str:
         to = P.NP_TO_ONNX[_np_dtype(aval)]
         return b.add("Cast", ins, hint="cast", to=to)
     if prim == "clamp":
-        # jax clamp(min, x, max); ONNX Clip(x, min, max)
-        return b.add("Clip", [ins[1], ins[0], ins[2]], hint="clip")
+        # jax clamp(min, x, max). ONNX Clip requires SCALAR bounds, so lower
+        # to Max/Min which accept broadcast tensors (per-element bounds are
+        # common in box clipping).
+        lo = b.add("Max", [ins[1], ins[0]])
+        return b.add("Min", [lo, ins[2]], hint="clamp")
     if prim == "select_n":
         # select_n(pred, on_false, on_true) with bool pred == Where(pred, true, false)
         assert len(ins) == 3, "select_n with >2 cases unsupported"
@@ -335,6 +348,8 @@ def _emit_dot_general(b: _Builder, eq, ins) -> str:
 
 def _emit_conv(b: _Builder, eq, ins, env) -> str:
     p = eq.params
+    if int(p.get("batch_group_count", 1)) != 1:
+        raise NotImplementedError(f"conv batch_group_count={p['batch_group_count']}")
     dn = p["dimension_numbers"]
     lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
     nsp = len(lhs_spec) - 2
@@ -428,6 +443,10 @@ def _emit_maxpool(b: _Builder, eq, ins) -> str:
     dims = list(p["window_dimensions"])
     strides = list(p["window_strides"])
     padding = list(p["padding"])
+    for key in ("base_dilation", "window_dilation"):
+        dil = p.get(key)
+        if dil is not None and any(int(d) != 1 for d in dil):
+            raise NotImplementedError(f"reduce_window_max with {key}={tuple(dil)}")
     rank = len(dims)
     # find spatial axes: window==1 on batch/channel axes
     sp = [i for i in range(rank) if dims[i] != 1 or strides[i] != 1]

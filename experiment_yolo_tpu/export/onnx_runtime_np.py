@@ -143,6 +143,13 @@ def run_onnx(model_bytes: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
             fn = {"Equal": np.equal, "Less": np.less, "LessOrEqual": np.less_equal,
                   "Greater": np.greater, "GreaterOrEqual": np.greater_equal}[op]
             out = fn(ins[0], ins[1])
+        elif op == "Mod":
+            # fmod=1 -> C fmod (sign of dividend); fmod=0 -> Python-style
+            out = np.fmod(ins[0], ins[1]) if int(at.get("fmod", 0)) else np.mod(ins[0], ins[1])
+        elif op == "IsInf":
+            out = np.isinf(ins[0])
+        elif op == "IsNaN":
+            out = np.isnan(ins[0])
         elif op == "Not":
             out = ~ins[0]
         elif op == "And":

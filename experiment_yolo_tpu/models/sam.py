@@ -105,13 +105,18 @@ class _ViTBlock(nn.Module):
         return x + z
 
 
+def ln2d_core(x, w, b):
+    """LayerNorm2d math with explicit params (shared with parallel/pipeline)."""
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * w + b
+
+
 def _ln2d(x, c, dtype, name, parent):
     """LayerNorm2d (channel-wise affine LN over the channel axis)."""
     w = parent.param(f"{name}_w", nn.initializers.ones, (c,), jnp.float32)
     b = parent.param(f"{name}_b", nn.initializers.zeros, (c,), jnp.float32)
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * w + b
+    return ln2d_core(x, w, b)
 
 
 class ImageEncoderViT(nn.Module):

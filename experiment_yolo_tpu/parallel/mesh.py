@@ -29,10 +29,12 @@ def make_mesh(
     virtual host mesh when the default platform exposes fewer chips)."""
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
-        if len(devs) < n_devices:
+        if len(devs) < n_devices and devices is None:
             # Default platform has too few chips (e.g. single-chip TPU via a
             # relay plugin): fall back to virtual host CPU devices, which
-            # honour --xla_force_host_platform_device_count.
+            # honour --xla_force_host_platform_device_count. Only for
+            # discovered devices — an explicit too-short ``devices`` list is
+            # a caller error and must raise, not silently switch platforms.
             try:
                 cpu = jax.devices("cpu")
             except RuntimeError:

@@ -170,7 +170,7 @@ def sam_encoder_pipeline(enc, variables, mesh: Mesh, axis: str = "pipe"):
 
 
 def _apply_ln2d(x, w, b):
-    """Channel LayerNorm2d with explicit params (models/sam.py:_ln2d)."""
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * w + b
+    """Channel LayerNorm2d with explicit params (models/sam.py:ln2d_core)."""
+    from experiment_yolo_tpu.models.sam import ln2d_core
+
+    return ln2d_core(x, w, b)

@@ -40,12 +40,14 @@ def make_mesh_tp(n_data: int, n_model: int, devices=None) -> Mesh:
 # Megatron pattern for the SAM ViT encoder + two-way decoder (models/sam.py):
 # column-parallel up-projections, row-parallel down-projections.
 SAM_VIT_TP_RULES: List[Tuple[str, int]] = [
+    # first match wins: the decoder in-projection rule must precede the
+    # generic proj/kernel rule, which would otherwise row-shard
+    # q_proj/k_proj/v_proj kernels while their biases go col-parallel
+    (r"[qkv]_proj/(kernel|bias)$", -1),  # prompt-decoder attention in-projs
     (r"qkv/(kernel|bias)$", -1),       # (D, 3D) col-parallel; bias follows
     (r"proj/kernel$", 0),              # (D, D) row-parallel; bias replicated
     (r"mlp_lin1/(kernel|bias)$", -1),  # (D, 4D) col-parallel
     (r"mlp_lin2/kernel$", 0),          # (4D, D) row-parallel
-    (r"[qkv]_proj/(kernel|bias)$", -1),  # prompt-decoder attention in-projs
-    (r"out_proj/kernel$", 0),
     (r"mlp1/(kernel|bias)$", -1),
     (r"mlp2/kernel$", 0),
 ]

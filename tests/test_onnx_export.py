@@ -49,6 +49,25 @@ def test_proto_roundtrip_primitives():
     assert gg["inputs"][0]["dims"] == [1, 3, "H", 4]
 
 
+def test_isfinite_rem_clamp_semantics():
+    """Regression: is_finite must not lower to bare IsInf (inverted, NaN-wrong);
+    rem needs Mod fmod=1 (dividend sign, float-legal); clamp with TENSOR
+    bounds must avoid ONNX Clip's scalar-only min/max."""
+    x = np.array([1.0, -np.inf, np.nan, 0.0, np.inf], np.float32)
+    _roundtrip(lambda a: jnp.isfinite(a), x)
+
+    a = np.array([-7.0, 7.0, -7.5, 7.5], np.float32)
+    b = np.array([3.0, -3.0, 2.0, -2.0], np.float32)
+    _roundtrip(lambda u, v: jax.lax.rem(u, v), a, b)  # sign of dividend
+
+    lo = np.array([0.0, 1.0, 2.0, 3.0], np.float32)
+    hi = np.array([2.0, 3.0, 4.0, 5.0], np.float32)
+    v = np.array([-1.0, 2.5, 9.0, 4.0], np.float32)
+    blob = _roundtrip(lambda vv: jnp.clip(vv, lo, hi), v)
+    ops = [n["op_type"] for n in P.parse_model(blob)["graph"]["nodes"]]
+    assert "Clip" not in ops  # tensor bounds -> Max/Min chain
+
+
 def test_elementwise_and_reduce():
     def fn(a, b):
         c = jnp.exp(a) * jax.nn.sigmoid(b) + jnp.maximum(a, b)

@@ -28,6 +28,12 @@ def test_tp_spec_rules():
     assert tp_spec("stem/kernel", (3, 3, 3, 64), SAM_VIT_TP_RULES, 4) == P()
     # non-divisible -> replicated, never an error
     assert tp_spec("b/qkv/kernel", (64, 194), SAM_VIT_TP_RULES, 4) == P()
+    # decoder in-projections are COL-parallel (regression: the generic
+    # proj/kernel row rule used to shadow them, splitting kernel and bias
+    # across different dims); out_proj stays row-parallel
+    assert tp_spec("dec/q_proj/kernel", (64, 64), SAM_VIT_TP_RULES, 4) == P(None, "model")
+    assert tp_spec("dec/q_proj/bias", (64,), SAM_VIT_TP_RULES, 4) == P("model")
+    assert tp_spec("dec/out_proj/kernel", (64, 64), SAM_VIT_TP_RULES, 4) == P("model", None)
 
 
 @pytest.fixture()

@@ -91,3 +91,13 @@ def test_facade_sliced_predict():
     img = (np.random.RandomState(1).rand(100, 130, 3) * 255).astype(np.uint8)
     res = m.sliced_predict([img], slice=64, overlap=0.2, imgsz=64, conf=0.01)
     assert len(res) == 1
+
+
+def test_nms_max_wh_exceeds_image_dim():
+    """Regression: sliced NMS runs in original-image pixels — the class
+    offset must exceed the largest dimension (satellite frames > 7680px)."""
+    from experiment_yolo_tpu.engine.sliced import nms_max_wh
+
+    assert nms_max_wh(640, 640) == 7680.0
+    assert nms_max_wh(100, 10000) > 10000
+    assert nms_max_wh(40000, 100) > 40000
