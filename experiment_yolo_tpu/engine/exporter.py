@@ -50,6 +50,23 @@ class Exporter:
         task = getattr(self.model, "task", "detect")
         return self._OUTPUT_NAMES.get(task, ["out0", "out1"])
 
+    def _write_meta(self, artifact: Path) -> None:
+        """Sidecar ``<artifact>.meta.json`` for formats whose serialization
+        carries no metadata (stablehlo/tflite/saved_model); ONNX embeds the
+        same fields in the model doc string. AutoBackend reads this back so
+        a non-detect artifact is routed (or refused) by task instead of
+        silently postprocessed as detect."""
+        import json
+
+        names = getattr(self.model, "names", None)
+        meta = {
+            "task": getattr(self.model, "task", "detect"),
+            "head_type": getattr(self.model, "head_type", ""),
+            "nc": int(getattr(self.model, "nc", 0) or 0),
+            "names": {int(k): str(v) for k, v in names.items()} if isinstance(names, dict) else None,
+        }
+        Path(str(artifact) + ".meta.json").write_text(json.dumps(meta))
+
     def _predict_fn(self):
         model, variables = self.model, self.variables
 
@@ -111,6 +128,7 @@ class Exporter:
         path = path.with_suffix(".stablehlo")
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_bytes(blob)
+        self._write_meta(path)
         LOGGER.info(f"export: stablehlo -> {path} ({len(blob) / 1e6:.1f} MB)")
         return path
 
@@ -133,6 +151,7 @@ class Exporter:
         module = self._tf_module()
         path.parent.mkdir(parents=True, exist_ok=True)
         tf.saved_model.save(module, str(path))
+        self._write_meta(path)
         LOGGER.info(f"export: saved_model -> {path}")
         return path
 
@@ -190,6 +209,7 @@ class Exporter:
         path = path.with_suffix(".tflite")
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_bytes(blob)
+        self._write_meta(path)
         LOGGER.info(f"export: tflite -> {path} ({len(blob) / 1e6:.1f} MB)")
         return path
 

@@ -73,9 +73,12 @@ ONNX_CAST = {P.FLOAT: np.float32, P.UINT8: np.uint8, P.INT8: np.int8, P.INT32: n
              P.INT64: np.int64, P.BOOL: np.bool_, P.FLOAT16: np.float16, P.DOUBLE: np.float64}
 
 
-def run_onnx(model_bytes: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarray]:
-    """Execute a serialized ModelProto; returns outputs in graph order."""
-    m = P.parse_model(model_bytes)
+def run_onnx(model_bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    """Execute a serialized ModelProto (or an already-parsed model dict —
+    callers running per-frame should parse once and pass the dict, since
+    parsing rebuilds every weight initializer); returns outputs in graph
+    order."""
+    m = model_bytes if isinstance(model_bytes, dict) else P.parse_model(model_bytes)
     g = m["graph"]
     env: Dict[str, np.ndarray] = {}
     for name, t in g["initializers"].items():

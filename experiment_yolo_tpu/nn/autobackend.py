@@ -45,12 +45,14 @@ class AutoBackend:
             self.variables = self.model.init(jax.random.PRNGKey(0))
             self.nc = self.model.nc
             self.names = self.model.names
+            self.task = getattr(self.model, "task", "detect")
         elif self.format == "checkpoint":
             from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
 
             self.model, self.variables = load_checkpoint(src, dtype=dtype)
             self.nc = self.model.nc
             self.names = self.model.names
+            self.task = getattr(self.model, "task", "detect")
         elif self.format == "stablehlo":
             from experiment_yolo_tpu.engine.exporter import load_stablehlo_exported
 
@@ -58,6 +60,7 @@ class AutoBackend:
             self._fn = exported.call
             if exported.in_avals:
                 self.input_shape = tuple(int(d) for d in exported.in_avals[0].shape)
+            self._read_sidecar_meta(src)
         elif self.format == "tflite":
             import tensorflow as tf
 
@@ -66,13 +69,16 @@ class AutoBackend:
             self.input_shape = tuple(
                 int(d) for d in self._interp.get_input_details()[0]["shape"]
             )
+            self._read_sidecar_meta(src)
         elif self.format == "onnx":
             from experiment_yolo_tpu.export import onnx_proto as _P
 
             self._onnx_blob = Path(src).read_bytes()
             parsed = _P.parse_model(self._onnx_blob)
+            self._onnx_parsed = parsed  # run_onnx per frame: parse ONCE
             ins = parsed["graph"]["inputs"]
             self.input_shape = tuple(ins[0]["dims"]) if ins else None
+            self._onnx_input = ins[0]["name"] if ins else "images"
             self.output_names = [o["name"] for o in parsed["graph"]["outputs"]]
             # exporter-written metadata (task=...;head_type=...;nc=...)
             for kv in (parsed.get("doc") or "").split(";"):
@@ -94,6 +100,23 @@ class AutoBackend:
         if not self.names and self.nc:
             self.names = {i: str(i) for i in range(self.nc)}
 
+    def _read_sidecar_meta(self, src: str) -> None:
+        """Read ``<artifact>.meta.json`` (written by the Exporter for the
+        formats whose serialization carries no metadata — stablehlo/tflite;
+        ONNX embeds the same fields in its doc string)."""
+        import json
+
+        p = Path(str(src) + ".meta.json")
+        if not p.exists():
+            return
+        meta = json.loads(p.read_text())
+        self.task = meta.get("task") or self.task
+        self.head_type = meta.get("head_type") or self.head_type
+        if not self.nc and meta.get("nc"):
+            self.nc = int(meta["nc"])
+        if meta.get("names"):
+            self.names = {int(k): str(v) for k, v in meta["names"].items()}
+
     @staticmethod
     def _model_type(src: str) -> str:
         p = Path(src)
@@ -110,14 +133,26 @@ class AutoBackend:
         return "unknown"
 
     def forward(self, imgs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """uint8 NHWC batch -> (boxes xywh pixels (B,A,4), scores (B,A,nc))."""
+        """uint8 NHWC batch -> (boxes xywh pixels (B,A,4), scores (B,A,nc)).
+
+        Task models (``self.task`` != 'detect') return their first two
+        predict outputs here — boxes are rboxes (B,A,5) for obb; callers
+        needing the task extras (coeffs/protos/kpts) should use the graph
+        model's predict directly.
+        """
         if self.format in ("yaml", "checkpoint"):
             x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
-            boxes, scores = self.model.predict(self.variables, x)
-            return np.asarray(boxes), np.asarray(scores)
+            out = self.model.predict(self.variables, x)
+            out = out if isinstance(out, tuple) else (out,)
+            if len(out) == 1:  # classify: single probs tensor
+                return np.asarray(out[0]), np.asarray(out[0])
+            return np.asarray(out[0]), np.asarray(out[1])
         if self.format == "stablehlo":
-            boxes, scores = self._fn(jnp.asarray(imgs))
-            return np.asarray(boxes), np.asarray(scores)
+            out = self._fn(jnp.asarray(imgs))
+            out = out if isinstance(out, (tuple, list)) else (out,)
+            if len(out) == 1:
+                return np.asarray(out[0]), np.asarray(out[0])
+            return np.asarray(out[0]), np.asarray(out[1])
         if self.format == "onnx":
             x = np.asarray(imgs, np.uint8)
             if self._ort is not None:  # pragma: no cover - env has no onnxruntime
@@ -126,18 +161,24 @@ class AutoBackend:
             else:
                 from experiment_yolo_tpu.export.onnx_runtime_np import run_onnx
 
-                outs = run_onnx(self._onnx_blob, {"images": x})
+                outs = run_onnx(self._onnx_parsed, {self._onnx_input: x})
             # graph outputs are emitted in deterministic order (boxes,
             # scores, ...): shape heuristics would misfire for nc=4 or OBB
             return np.asarray(outs[0]), np.asarray(outs[1])
-        # tflite: fixed signature (uint8 in, two outputs)
+        # tflite: uint8 in, (boxes, scores) out
         inp = self._interp.get_input_details()[0]
         self._interp.set_tensor(inp["index"], np.asarray(imgs, np.uint8))
         self._interp.invoke()
-        outs = [self._interp.get_tensor(o["index"]) for o in self._interp.get_output_details()]
-        boxes = next(o for o in outs if o.shape[-1] == 4)
-        scores = next(o for o in outs if o.shape[-1] != 4)
-        return boxes, scores
+        dets = self._interp.get_output_details()
+        outs = [self._interp.get_tensor(o["index"]) for o in dets]
+        four = [o for o in outs if o.shape[-1] == 4]
+        rest = [o for o in outs if o.shape[-1] != 4]
+        if len(four) == 1 and rest:
+            return four[0], rest[0]
+        # ambiguous shapes (e.g. nc=4 detect: both outputs end in 4) — fall
+        # back to the converter's signature order (Identity, Identity_1, ...)
+        order = sorted(range(len(outs)), key=lambda i: dets[i]["name"])
+        return outs[order[0]], outs[order[1]]
 
     def warmup(self, imgsz: int = 640, batch: int = 1) -> None:
         self.forward(np.zeros((batch, imgsz, imgsz, 3), np.uint8))

@@ -124,6 +124,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)  # flax semantics: dtype = compute dtype
         ura = self.use_running_average if use_running_average is None else use_running_average
         c = x.shape[-1]
         scale = (

@@ -113,8 +113,9 @@ def dfl_decode_packed(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     MXU. Packing ``128 // (4*reg_max)`` anchors per 128-lane row instead
     (two anchors for reg_max=16) and doing both reductions as ONE
     (rows,128)@(128,2G) segment matmul keeps every lane busy. The softmax
-    max-shift uses the row-global max — constant within each group, so the
-    result is the per-group softmax exactly (up to fp reassociation).
+    max-shift is PER GROUP (like :func:`dfl_decode`): a row-global max
+    would let one anchor's large logit underflow a whole neighbouring
+    group to 0/0 = NaN when logit spreads exceed ~88.
 
     Falls back to :func:`dfl_decode` when the packing doesn't divide.
     """
@@ -129,7 +130,9 @@ def dfl_decode_packed(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     groups = 128 // reg_max  # segment groups per row (8 for reg_max=16)
     seg, _, _ = packed_segment_matrices(reg_max)
     x2 = pred_dist.reshape(-1, 128)
-    m = jax.lax.stop_gradient(x2.max(-1, keepdims=True))
+    mg = jax.lax.stop_gradient(
+        x2.reshape(-1, groups, reg_max).max(-1, keepdims=True))
+    m = jnp.broadcast_to(mg, (*mg.shape[:-1], reg_max)).reshape(-1, 128)
     e = jnp.exp(x2 - m)  # input dtype (bf16 under AMP), f32 accumulation below
     nd = jnp.dot(e, jnp.asarray(seg, e.dtype), preferred_element_type=jnp.float32)
     out = nd[:, groups:] / nd[:, :groups]
@@ -198,14 +201,26 @@ def decode_rboxes(feats, angle, strides, nc: int, reg_max: int = 16):
 
     Rebuild of the reference OBB.forward inference branch (head.py:116):
     DFL -> dist2rbox with the sigmoid-mapped angle -> *stride; the angle is
-    NOT scaled by stride.
+    NOT scaled by stride. Decodes PER LEVEL before concatenating, like
+    :func:`decode_detections` — the raw (4*reg_max+nc) maps never
+    materialize as one (B, A, no) tensor (HBM-traffic bound on TPU).
     """
     b = feats[0].shape[0]
-    no = 4 * reg_max + nc
-    flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)
-    box, cls = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
     feat_shapes = [f.shape[1:3] for f in feats]
     anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
-    dist = dfl_decode(box, reg_max)
-    rbox = dist2rbox(dist, angle, anchor_points[None]) * stride_tensor[None]
+    rbox_l, cls_l = [], []
+    start = 0
+    for f in feats:
+        h, w = f.shape[1:3]
+        a = h * w
+        box = f[..., : 4 * reg_max].reshape(b, a, 4 * reg_max)
+        cls_l.append(f[..., 4 * reg_max:].reshape(b, a, nc))
+        dist = dfl_decode(box, reg_max)
+        ang = angle[:, start:start + a]
+        ap = anchor_points[start:start + a]
+        st = stride_tensor[start:start + a]
+        rbox_l.append(dist2rbox(dist, ang, ap[None]) * st[None])
+        start += a
+    rbox = jnp.concatenate(rbox_l, 1)
+    cls = jnp.concatenate(cls_l, 1)
     return jnp.concatenate([rbox, angle], -1), jax.nn.sigmoid(cls)

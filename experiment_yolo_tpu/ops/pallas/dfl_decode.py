@@ -33,18 +33,26 @@ from jax.experimental.pallas import tpu as pltpu
 from experiment_yolo_tpu.ops.anchors import dfl_decode, packed_segment_matrices as _matrices
 
 
+def _group_shift(x, groups: int):
+    """Subtract each group's own max (NOT the row max: a cross-group logit
+    spread > ~88 would underflow a whole group to den=0 -> NaN)."""
+    t, lanes = x.shape
+    reg_max = lanes // groups
+    xg = x.reshape(t, groups, reg_max)
+    mg = jnp.max(xg, axis=-1, keepdims=True)
+    return (xg - mg).reshape(t, lanes)
+
+
 def _fwd_kernel(x_ref, seg_ref, out_ref, *, groups: int):
     x = x_ref[:].astype(jnp.float32)
-    m = jnp.max(x, axis=-1, keepdims=True)  # row-global: constant per group
-    e = jnp.exp(x - m)
+    e = jnp.exp(_group_shift(x, groups))
     nd = jnp.dot(e, seg_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = nd[:, groups:] / nd[:, :groups]
 
 
 def _bwd_kernel(x_ref, y_ref, g_ref, seg_ref, ind_ref, bins_ref, dx_ref, *, groups: int):
     x = x_ref[:].astype(jnp.float32)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x - m)
+    e = jnp.exp(_group_shift(x, groups))
     den = jnp.dot(e, seg_ref[:, :groups], preferred_element_type=jnp.float32)
     inv_den_l = jnp.dot(1.0 / den, ind_ref[:], preferred_element_type=jnp.float32)
     y_l = jnp.dot(y_ref[:], ind_ref[:], preferred_element_type=jnp.float32)

@@ -130,10 +130,14 @@ def _df_loss_packed(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -
     t2 = jnp.minimum(target, reg_max - 1).astype(jnp.float32).reshape(-1, groups)
     t_lane = jnp.dot(t2, jnp.asarray(ind), preferred_element_type=jnp.float32)
     hat = jnp.maximum(0.0, 1.0 - jnp.abs(bins_lane - t_lane)).astype(pred_dist.dtype)
-    m = jax.lax.stop_gradient(x2.max(-1, keepdims=True))  # row-global: valid shift
+    # per-GROUP max shift: with a row-global max, a group sitting far below
+    # another anchor's logits underflows den -> log(0) = -inf
+    mg = jax.lax.stop_gradient(
+        x2.reshape(-1, groups, reg_max).max(-1))  # (rows, G)
+    m = jnp.broadcast_to(mg[..., None], (*mg.shape, reg_max)).reshape(-1, 128)
     e = jnp.exp((x2 - m).astype(jnp.float32))
     den = jnp.dot(e, jnp.asarray(seg), preferred_element_type=jnp.float32)
-    lse = m.astype(jnp.float32) + jnp.log(den)
+    lse = mg.astype(jnp.float32) + jnp.log(den)
     proj = jnp.dot(x2 * hat, jnp.asarray(seg), preferred_element_type=jnp.float32)
     return (lse - proj).reshape(b, a, 4).mean(-1)
 

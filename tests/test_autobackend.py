@@ -89,3 +89,34 @@ def test_facade_rejects_nondetect_artifacts(tmp_path):
     p = Exporter(model, variables, imgsz=64, batch=1)("onnx", tmp_path / "seg")
     with pytest.raises(NotImplementedError, match="segment"):
         YOLO(str(p))
+
+
+def test_stablehlo_sidecar_meta_guards_nondetect(tmp_path):
+    """Regression: stablehlo serialization carries no task metadata — the
+    exporter's sidecar .meta.json must route (or refuse) by task so an OBB
+    artifact's (B,A,5) rboxes are never postprocessed as detect xywh."""
+    from experiment_yolo_tpu.engine.model import YOLO
+    from experiment_yolo_tpu.nn.tasks import OBBModel
+
+    model = OBBModel(str(Path(__file__).parent / "assets" / "tiny-obb.yaml"))
+    variables = model.init(jax.random.PRNGKey(0))
+    p = Exporter(model, variables, imgsz=64, batch=1)("stablehlo", tmp_path / "obb")
+    assert Path(str(p) + ".meta.json").exists()
+    be = AutoBackend(str(p))
+    assert be.task == "obb" and be.nc == model.nc
+    with pytest.raises(NotImplementedError, match="obb"):
+        YOLO(str(p))
+
+
+def test_checkpoint_task_and_robust_unpack(tmp_path):
+    """A pose checkpoint through AutoBackend: task is read from the model
+    and forward unpacks the 3-output predict without crashing."""
+    from experiment_yolo_tpu.nn.tasks import PoseModel
+
+    model = PoseModel(str(Path(__file__).parent / "assets" / "tiny-pose.yaml"))
+    variables = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(tmp_path / "ck", model, variables)
+    be = AutoBackend(str(tmp_path / "ck"))
+    assert be.task == "pose"
+    boxes, scores = be.forward(np.zeros((1, 64, 64, 3), np.uint8))
+    assert boxes.shape[-1] == 4 and scores.shape[-1] == model.nc

@@ -144,3 +144,37 @@ def test_loss_path_packed_equals_default(mode):
     g_got = jax.grad(lambda fs: total(LossConfig(nc=3, packed_decode=mode), fs)[0])(feats)
     for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_packed_stable_under_cross_group_spread():
+    """Regression: a row-global max shift underflows a neighbouring anchor's
+    whole group (den=0 -> NaN) when logit spreads exceed exp's range. The
+    packed decode/loss must match the unpacked form even at extreme spreads."""
+    from experiment_yolo_tpu.utils.loss import _df_loss, _df_loss_packed
+
+    x = np.zeros((1, 2, 64), np.float32)
+    x[0, 0, :] = 200.0   # anchor 0: huge logits
+    x[0, 1, :] = -200.0  # anchor 1 (same 128-lane row): tiny logits
+    xj = jnp.asarray(x)
+
+    want = dfl_decode(xj, 16)
+    got_x = dfl_decode_packed(xj, 16)
+    got_p = dfl_decode_pallas(xj, 16, True)
+    assert np.isfinite(np.asarray(got_x)).all() and np.isfinite(np.asarray(got_p)).all()
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want), atol=1e-5)
+
+    # gradients stay finite and match through both packed paths
+    r = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4))
+    g_ref = jax.grad(lambda a: jnp.sum(dfl_decode(a, 16) * r))(xj)
+    for fn in (lambda a: dfl_decode_packed(a, 16), lambda a: dfl_decode_pallas(a, 16, True)):
+        g = jax.grad(lambda a: jnp.sum(fn(a) * r))(xj)
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+
+    # the packed DFL loss: same row-sharing layout, same hazard
+    t = jnp.full((1, 2, 4), 7.25, jnp.float32)
+    want_l = _df_loss(xj.reshape(1, 2, 4, 16), t)
+    got_l = _df_loss_packed(xj, t, 16)
+    assert np.isfinite(np.asarray(got_l)).all()
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l), atol=1e-4, rtol=1e-5)
