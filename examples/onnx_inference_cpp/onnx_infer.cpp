@@ -275,6 +275,12 @@ static Attr parse_attr(const uint8_t* buf, size_t len, std::string* name_out) {
     else if (f.num == 4 && f.wire == 2) a.s.assign((const char*)f.data, f.len);
     else if (f.num == 7 && f.wire == 5) a.ints.push_back(int64_t(f.f32));  // floats unused
     else if (f.num == 8 && f.wire == 0) a.ints.push_back(int64_t(f.v));
+    else if (f.num == 8 && f.wire == 2) {
+      // packed repeated ints (the proto3 default emitted by standard ONNX
+      // serializers; dropping these silently would zero strides/pads/perm)
+      Cursor c{f.data, f.data + f.len};
+      while (c.p < c.end) a.ints.push_back(int64_t(read_varint(c)));
+    }
   });
   return a;
 }
@@ -652,14 +658,10 @@ static std::vector<Tensor> run_graph(const Graph& g,
       // output strides mapped from input coords
       std::vector<int64_t> ostr(ndim, 0);
       {
-        int64_t s = 1;
-        for (size_t k = ndim; k-- > 0;) {
-          if (!red[k]) { ostr[k] = s; s *= ins[0]->shape[k]; }
-        }
-        // recompute strides against oshape (non-reduced dims only, in order)
+        // strides against oshape (non-reduced dims only, in order)
         std::vector<int64_t> kept;
         for (size_t k = 0; k < ndim; k++) if (!red[k]) kept.push_back(ins[0]->shape[k]);
-        s = 1;
+        int64_t s = 1;
         std::vector<int64_t> kstr(kept.size());
         for (size_t k = kept.size(); k-- > 0;) { kstr[k] = s; s *= kept[k]; }
         size_t ki = 0;
@@ -714,12 +716,16 @@ static std::vector<Tensor> run_graph(const Graph& g,
           d = ins[0]->numel() / rest;
         }
     } else if (op == "Squeeze") {
+      if (ins.size() < 2)
+        throw std::runtime_error("Squeeze with attribute axes (opset<13) unsupported");
       out = *ins[0];
       std::vector<int64_t> axes = as_i64_list(*ins[1]);
       for (auto& a : axes) if (a < 0) a += int64_t(out.shape.size());
       std::sort(axes.rbegin(), axes.rend());
       for (auto a : axes) out.shape.erase(out.shape.begin() + a);
     } else if (op == "Unsqueeze") {
+      if (ins.size() < 2)
+        throw std::runtime_error("Unsqueeze with attribute axes (opset<13) unsupported");
       out = *ins[0];
       std::vector<int64_t> axes = as_i64_list(*ins[1]);
       std::sort(axes.begin(), axes.end());
@@ -775,6 +781,8 @@ static std::vector<Tensor> run_graph(const Graph& g,
         off += ta;
       }
     } else if (op == "Slice") {
+      if (ins.size() < 4)
+        throw std::runtime_error("Slice with attribute starts/ends (opset<10) unsupported");
       std::vector<int64_t> starts = as_i64_list(*ins[1]);
       std::vector<int64_t> ends = as_i64_list(*ins[2]);
       std::vector<int64_t> axes = as_i64_list(*ins[3]);

@@ -48,8 +48,12 @@ def auto_annotate(data, det_model, det_variables, sam_variables=None,
         det = result.boxes.data  # (n, 6) xyxy px, conf, cls
         if det.shape[0] == 0:
             continue
-        img = cv2.imread(result.path)
-        h, w = img.shape[:2]
+        h, w = result.orig_shape  # no decode needed for the box-only path
+        img = None
+        if sam_pred is not None:
+            img = cv2.imread(result.path)
+            if img is None:
+                raise FileNotFoundError(f"could not read image {result.path}")
         lines = []
         for row in det:
             cls = int(row[5])

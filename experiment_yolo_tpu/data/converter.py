@@ -158,9 +158,13 @@ def convert_coco(
                 if row in bboxes:
                     continue
                 bboxes.append(row)
-                if use_segments and ann.get("segmentation") is not None:
-                    seg = ann["segmentation"]
-                    if len(seg) == 0:
+                # segments/keypoints stay index-ALIGNED with bboxes: an
+                # annotation missing the key appends a placeholder so later
+                # rows never shift onto the wrong bbox (the upstream
+                # converter misaligns here when keys are partially present)
+                if use_segments:
+                    seg = ann.get("segmentation")
+                    if not seg:
                         segments.append([])
                     else:
                         if len(seg) > 1:
@@ -168,15 +172,18 @@ def convert_coco(
                         else:
                             pts = np.array(seg[0]).reshape(-1, 2)
                         segments.append([cls] + (pts / np.array([w, h])).reshape(-1).tolist())
-                if use_keypoints and ann.get("keypoints") is not None:
-                    kp = np.array(ann["keypoints"]).reshape(-1, 3) / np.array([w, h, 1])
-                    keypoints.append(row + kp.reshape(-1).tolist())
+                if use_keypoints:
+                    if ann.get("keypoints") is None:
+                        keypoints.append(None)
+                    else:
+                        kp = np.array(ann["keypoints"]).reshape(-1, 3) / np.array([w, h, 1])
+                        keypoints.append(row + kp.reshape(-1).tolist())
 
             with open((fn / f).with_suffix(".txt"), "a") as file:
                 for i in range(len(bboxes)):
-                    if use_keypoints:
+                    if use_keypoints and keypoints[i] is not None:
                         line = keypoints[i]
-                    elif use_segments and i < len(segments) and len(segments[i]) > 0:
+                    elif use_segments and len(segments[i]) > 0:
                         line = segments[i]
                     else:
                         line = bboxes[i]
@@ -212,6 +219,8 @@ def convert_dota_to_yolo_obb(dota_root_path: str) -> None:
             if image_path.suffix.lower() not in (".png", ".jpg", ".jpeg"):
                 continue
             img = cv2.imread(str(image_path))
+            if img is None:
+                raise FileNotFoundError(f"could not read image {image_path}")
             h, w = img.shape[:2]
             orig_label = orig_dir / f"{image_path.stem}.txt"
             out_lines = []
@@ -260,6 +269,8 @@ def yolo_bbox2segment(im_dir, save_dir=None, sam_variant: str = "b", sam_variabl
         if rows.size == 0:
             continue
         img = cv2.imread(str(im_file))
+        if img is None:
+            raise FileNotFoundError(f"could not read image {im_file}")
         h, w = img.shape[:2]
         cls, boxes = rows[:, 0].astype(int), rows[:, 1:5]
         xyxy = np.asarray(xywh2xyxy(boxes * np.array([w, h, w, h], np.float32)))

@@ -58,9 +58,7 @@ def _poly_rect_inter_area(poly: np.ndarray, rect: Sequence[float]) -> float:
         pts = clip(pts, lambda p: p[1] <= y2, lambda a, b: y_cut(a, b, y2))
     if len(pts) < 3:
         return 0.0
-    arr = np.stack(pts)
-    x, y = arr[:, 0], arr[:, 1]
-    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2)
+    return _poly_area(np.stack(pts))
 
 
 def _poly_area(poly: np.ndarray) -> float:
@@ -104,6 +102,8 @@ def load_yolo_dota(data_root: str, split: str = "train") -> List[dict]:
         if im_file.suffix.lower() not in (".png", ".jpg", ".jpeg"):
             continue
         img = cv2.imread(str(im_file))
+        if img is None:
+            raise FileNotFoundError(f"could not read image {im_file}")
         h, w = img.shape[:2]
         lb_file = lb_dir / f"{im_file.stem}.txt"
         if lb_file.exists():
@@ -176,6 +176,8 @@ def crop_and_save(anno: dict, windows: np.ndarray, window_objs: List[np.ndarray]
     import cv2
 
     im = cv2.imread(anno["filepath"])
+    if im is None:
+        raise FileNotFoundError(f"could not read image {anno['filepath']}")
     name = Path(anno["filepath"]).stem
     for i, window in enumerate(windows):
         x_start, y_start, x_stop, y_stop = window.tolist()
@@ -234,6 +236,8 @@ def split_test(data_root: str, save_dir: str, crop_size: int = 1024, gap: int = 
         if im_file.suffix.lower() not in (".png", ".jpg", ".jpeg"):
             continue
         im = cv2.imread(str(im_file))
+        if im is None:
+            raise FileNotFoundError(f"could not read image {im_file}")
         h, w = im.shape[:2]
         for window in get_windows((h, w), crop_sizes, gaps):
             x_start, y_start, x_stop, y_stop = window.tolist()

@@ -78,8 +78,9 @@ def unzip_file(file, path=None, exclude: Sequence[str] = _EXCLUDE, exist_ok: boo
     with zipfile.ZipFile(file) as zf:
         names = [n for n in zf.namelist() if not any(x in n for x in exclude)]
         top = {Path(n).parts[0] for n in names if Path(n).parts}
-        if len(top) > 1 or (names and not names[0].endswith("/") and len(top) == len(names)):
-            # loose files at the root: extract into <stem>/
+        loose = [n for n in names if len(Path(n).parts) == 1 and not n.endswith("/")]
+        if len(top) > 1 or loose:
+            # files at the root (not one top-level dir): extract into <stem>/
             extract_path = path / file.stem
         else:
             extract_path = path
@@ -139,6 +140,9 @@ def safe_download(
                 if f.exists() and f.stat().st_size > min_bytes:
                     break
                 f.unlink(missing_ok=True)
+            except MemoryError:
+                f.unlink(missing_ok=True)
+                raise  # insufficient disk space is not retryable
             except Exception as e:
                 f.unlink(missing_ok=True)
                 if i >= retry:

@@ -240,10 +240,13 @@ int yolodata_load_batch(const char* paths, int n, int imgsz, int workers,
         ratio_pad[i * 3 + 2] = 0.0f;
       }
       {
+        // notify while HOLDING the lock: notifying after unlock races with
+        // the waiter waking (from a spurious wakeup), seeing done==n, and
+        // returning — destroying the stack-allocated cv under our feet.
         std::lock_guard<std::mutex> lk(done_mu);
         done.fetch_add(1);
+        done_cv.notify_one();
       }
-      done_cv.notify_one();
     });
   }
   std::unique_lock<std::mutex> lk(done_mu);
