@@ -81,11 +81,10 @@ def unzip_file(file, path=None, exclude: Sequence[str] = _EXCLUDE, exist_ok: boo
         loose = [n for n in names if len(Path(n).parts) == 1 and not n.endswith("/")]
         if len(top) > 1 or loose:
             # files at the root (not one top-level dir): extract into <stem>/
-            extract_path = path / file.stem
+            target = extract_path = path / file.stem
         else:
             extract_path = path
-            path = path / list(top)[0] if top else path
-        target = path if extract_path is path else extract_path
+            target = path / next(iter(top)) if top else path
         if target.exists() and any(target.iterdir()) and not exist_ok:
             LOGGER.warning(f"unzip target {target} not empty, skipping extract")
             return target

@@ -209,3 +209,55 @@ def test_check_cls_dataset(tmp_path):
     assert data["train"].exists() and data["val"].exists()
     with pytest.raises(FileNotFoundError):
         check_cls_dataset(tmp_path / "nope")
+
+
+def test_unzip_single_toplevel_dir_without_dir_entries(tmp_path):
+    """Regression: a zip whose only names are nested files (no explicit dir
+    entries) has ONE top-level dir and must extract to path/<dir>, not into
+    an extra <stem>/ level."""
+    import zipfile
+
+    from experiment_yolo_tpu.utils.downloads import unzip_file
+
+    zf = tmp_path / "data.zip"
+    with zipfile.ZipFile(zf, "w") as z:
+        z.writestr("foo/a.txt", "a")
+        z.writestr("foo/b/c.txt", "c")
+    out = unzip_file(zf, path=tmp_path / "unz")
+    assert out == tmp_path / "unz" / "foo"
+    assert (out / "a.txt").read_text() == "a"
+    # loose root files still wrap into <stem>/
+    zf2 = tmp_path / "loose.zip"
+    with zipfile.ZipFile(zf2, "w") as z:
+        z.writestr("a.txt", "a")
+        z.writestr("foo/b.txt", "b")
+    out2 = unzip_file(zf2, path=tmp_path / "unz2")
+    assert out2 == tmp_path / "unz2" / "loose"
+    assert (out2 / "a.txt").exists() and (out2 / "foo" / "b.txt").exists()
+
+
+def test_convert_coco_partial_segmentation_stays_aligned(tmp_path):
+    """Regression: an annotation without 'segmentation' must not shift later
+    polygons onto the wrong bbox row."""
+    import json
+
+    from experiment_yolo_tpu.data.converter import convert_coco
+
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    data = {
+        "images": [{"id": 1, "height": 100, "width": 100, "file_name": "im.jpg"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20]},  # no segmentation
+            {"id": 2, "image_id": 1, "category_id": 2,
+             "bbox": [50, 50, 20, 20],
+             "segmentation": [[50, 50, 70, 50, 70, 70, 50, 70]]},
+        ],
+    }
+    (ann_dir / "instances_val.json").write_text(json.dumps(data))
+    out = convert_coco(str(ann_dir), save_dir=str(tmp_path / "conv"), use_segments=True)
+    lines = (out / "labels" / "val" / "im.txt").read_text().strip().splitlines()
+    assert len(lines) == 2
+    # row 0: plain bbox (5 fields, cls 0); row 1: polygon (9 fields, cls 1)
+    assert len(lines[0].split()) == 5 and lines[0].split()[0] == "0"
+    assert len(lines[1].split()) == 9 and lines[1].split()[0] == "1"
