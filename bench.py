@@ -203,14 +203,9 @@ def main() -> None:
         print(f"deal-yolo ASF-P2P2 train batch 128: {tv:.1f} img/s", file=sys.stderr)
     except Exception as e:
         print(f"deal train bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
-    try:
-        # A/B the 128-lane packed DFL decode+loss (chip_queue item 3)
-        tvp = bench_train_step("yolov8-ASF-P2P2.yaml", batch=128, packed_decode="xla")
-        extras["deal_asf_p2p2_train_packed_img_s"] = round(tvp, 1)
-        print(f"deal-yolo ASF-P2P2 train b128 packed_decode=xla: {tvp:.1f} img/s",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"packed train bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    # packed-decode A/B retired: measured on-chip 2026-08-18 (docs/KERNELS.md)
+    # — packed_xla train 501.8 vs 672.5 img/s, packed inference 6456 vs 9099;
+    # the packed forms lose and stay gated off by default.
 
     model = DetectionModel("yolov8n.yaml", nc=80, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0))
@@ -234,14 +229,6 @@ def main() -> None:
         print(f"batch {b}: {v:.1f} img/s", file=sys.stderr)
         if v > best:
             best, best_b = v, b
-    try:
-        # packed-lane inference decode A/B at the winning batch
-        mp = DetectionModel("yolov8n.yaml", nc=80, dtype=jnp.bfloat16, packed_decode=True)
-        vp = bench_batch(mp, variables, best_b or 128)
-        extras["yolov8n_packed_decode_img_s"] = round(vp, 1)
-        print(f"packed-decode inference batch {best_b or 128}: {vp:.1f} img/s", file=sys.stderr)
-    except Exception as e:
-        print(f"packed inference bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
     fl = forward_flops(model, variables, best_b)
     if fl and best_b:
         tflops = best * (fl / best_b) / 1e12  # achieved TFLOP/s
