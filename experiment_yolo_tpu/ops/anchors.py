@@ -10,6 +10,7 @@ order in grid units, matching the reference's convention.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -82,6 +83,46 @@ def dfl_decode(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     num = jnp.einsum("...r,r->...", e, proj, preferred_element_type=jnp.float32)
     den = e.sum(-1, dtype=jnp.float32)
     return num / den
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def dfl_decode_fused(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """:func:`dfl_decode` with an analytic VJP (identical forward math).
+
+    Autodiff of the softmax-expectation materializes the (B, A, 4, reg_max)
+    exp as a residual AND two f32 (B, A, 4, reg_max) broadcasts in the
+    division backward — at DEAL-P2 b128 train shapes that is 0.55 GB saved
+    + 2x 1.1 GB swept per step (HLO cost audit, docs/KERNELS.md round-3).
+    The analytic form d x_r = p_r * (r - y) * dy needs only the tiny
+    (B, A, 4) f32 (max, den, y) residuals plus ONE re-read of the bf16
+    logits, all in a single fused elementwise pass.
+    """
+    return dfl_decode(pred_dist, reg_max)
+
+
+def _dfl_decode_fused_fwd(pred_dist, reg_max):
+    shape = pred_dist.shape
+    dist = pred_dist.reshape(*shape[:-1], 4, reg_max)
+    m = dist.max(-1, keepdims=True)
+    e = jnp.exp(dist - m)
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    num = jnp.einsum("...r,r->...", e, proj, preferred_element_type=jnp.float32)
+    den = e.sum(-1, dtype=jnp.float32)
+    y = num / den
+    return y, (pred_dist, m, den, y)
+
+
+def _dfl_decode_fused_bwd(reg_max, res, g):
+    pred_dist, m, den, y = res
+    shape = pred_dist.shape
+    dist = pred_dist.reshape(*shape[:-1], 4, reg_max)
+    p = jnp.exp((dist - m).astype(jnp.float32)) / den[..., None]
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    dx = p * (proj - y[..., None]) * g[..., None]
+    return (dx.astype(pred_dist.dtype).reshape(shape),)
+
+
+dfl_decode_fused.defvjp(_dfl_decode_fused_fwd, _dfl_decode_fused_bwd)
 
 
 def packed_segment_matrices(reg_max: int):

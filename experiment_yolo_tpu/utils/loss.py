@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,9 +71,18 @@ class LossConfig:
     # DFL decode layout: 'off' = (..., 4, reg_max) view (16-lane tiles);
     # 'xla' = 128-lane packed segment-matmul form (ops/anchors.py:
     # dfl_decode_packed); 'pallas' = fused kernel with analytic VJP
-    # (ops/pallas/dfl_decode.py). Same math; measured on-chip before
-    # changing the default.
+    # (ops/pallas/dfl_decode.py). Same math; measured on-chip 2026-08-18:
+    # both packed forms LOSE to 'off' (docs/KERNELS.md) — keep 'off'.
     packed_decode: str = "off"
+    # analytic custom-VJP forms of the DFL decode + hat-DFL loss (identical
+    # math; residuals shrink from (B, A, 4, reg_max)-sized exp/one-hot
+    # tensors to (B, A, 4) scalars and the f32 division-backward broadcasts
+    # disappear). Values: True/'on' (both), 'decode', 'loss', False/'off'.
+    # Only applies when packed_decode == 'off'. On-chip b128 A/B measured
+    # the fused forms slightly SLOWER than autodiff when HBM is not the
+    # binding constraint (docs/KERNELS.md) — their value is the ~2.2 GB of
+    # freed residuals for larger batches.
+    fused_dfl: Any = True
 
 
 def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -107,6 +116,46 @@ def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     )
     proj = (pred_dist * hat).sum(-1, dtype=jnp.float32)
     return (lse - proj).mean(-1)
+
+
+@jax.custom_vjp
+def _df_loss_fused(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """:func:`_df_loss` with an analytic VJP (identical forward math).
+
+    Autodiff of the logsumexp keeps the f32 (B, A, 4, reg_max) exp as a
+    residual and the hat mask as a second one (~1.6 GB at DEAL-P2 b128);
+    the analytic dx = (softmax(x) - hat) * g/4 recomputes both from the
+    bf16 logits + tiny (B, A, 4) f32 (max, den) residuals in one fused
+    elementwise pass.
+    """
+    return _df_loss(pred_dist, target)
+
+
+def _df_loss_fused_fwd(pred_dist, target):
+    reg_max = pred_dist.shape[-1]
+    t = jnp.minimum(target, reg_max - 1)
+    m = pred_dist.max(-1)
+    e = jnp.exp((pred_dist - m[..., None]).astype(jnp.float32))
+    den = e.sum(-1)
+    lse = m.astype(jnp.float32) + jnp.log(den)
+    bins = jnp.arange(reg_max, dtype=t.dtype)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(bins - t[..., None])).astype(pred_dist.dtype)
+    proj = (pred_dist * hat).sum(-1, dtype=jnp.float32)
+    return (lse - proj).mean(-1), (pred_dist, t, m, den)
+
+
+def _df_loss_fused_bwd(res, g):
+    pred_dist, t, m, den = res
+    reg_max = pred_dist.shape[-1]
+    p = jnp.exp((pred_dist - m[..., None]).astype(jnp.float32)) / den[..., None]
+    bins = jnp.arange(reg_max, dtype=t.dtype)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(bins - t[..., None])).astype(jnp.float32)
+    dx = (p - hat) * (g / pred_dist.shape[-2]).astype(jnp.float32)[..., None, None]
+    # targets are labels (stop-gradient upstream of the assigner): zero tangent
+    return dx.astype(pred_dist.dtype), jnp.zeros_like(t)
+
+
+_df_loss_fused.defvjp(_df_loss_fused_fwd, _df_loss_fused_bwd)
 
 
 def _df_loss_packed(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.ndarray:
@@ -181,11 +230,16 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
     target_ltrb = bbox2dist(ap, target_bboxes, reg_max)
     # checkpoint: log_softmax + one-hot masks are 3x (B, A, 4, reg_max) f32
     # residuals otherwise (~830 MB at DEAL-P2 shapes)
+    fused = cfg.fused_dfl in (True, "on", "loss") and cfg.packed_decode == "off"
     if cfg.packed_decode != "off":
         _dfl_fn = lambda pd, t: _df_loss_packed(pd, t, reg_max)
+    elif fused:
+        _dfl_fn = lambda pd, t: _df_loss_fused(pd.reshape(b, -1, 4, reg_max), t)
     else:
         _dfl_fn = lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
-    if cfg.checkpoint_loss:
+    if cfg.checkpoint_loss and not fused:
+        # the fused form's residuals are already minimal (logits + (B, A, 4)
+        # scalars); checkpointing it would only rerun the forward
         _dfl_fn = jax.checkpoint(_dfl_fn)
     dfl = _dfl_fn(pred_distri, target_ltrb)  # (B, A)
     loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
@@ -249,12 +303,16 @@ def detection_loss(
         from experiment_yolo_tpu.ops.anchors import dfl_decode_packed as _dfl
     elif cfg.packed_decode == "pallas":
         from experiment_yolo_tpu.ops.pallas.dfl_decode import dfl_decode_pallas as _dfl
+    elif cfg.fused_dfl:
+        from experiment_yolo_tpu.ops.anchors import dfl_decode_fused as _dfl
     else:
         _dfl = dfl_decode
     _dec_fn = lambda d: dist2bbox(_dfl(d, reg_max), anchor_points[None], xywh=False)
-    if cfg.checkpoint_loss and cfg.packed_decode != "pallas":
-        # the pallas kernel's VJP already recomputes from the input; wrapping
-        # it in jax.checkpoint would just run the forward twice
+    if cfg.checkpoint_loss and cfg.packed_decode != "pallas" and not (
+            cfg.fused_dfl and cfg.packed_decode == "off"):
+        # the pallas kernel's and the fused form's VJPs already recompute
+        # from the input; wrapping them in jax.checkpoint would just run the
+        # forward twice
         _dec_fn = jax.checkpoint(_dec_fn)
     pred_bboxes = _dec_fn(pred_distri)  # (B,A,4) f32 (bf16 exp, f32 accumulators)
 

@@ -69,10 +69,15 @@ _CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
 _FUSION_KIND_RE = re.compile(r"kind=k(\w+)")
 
 
+_INSTR_RE = re.compile(r"^(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
+_OPCODE_RE = re.compile(r"\b([a-z][\w\-]*)\(")
+
+
 def parse_hlo(text: str):
-    """Return (comp_ops, toplevel) where comp_ops maps computation name ->
-    list of opcodes inside, and toplevel is a list of dicts for each entry /
-    while-body instruction with a cost hint."""
+    """Return (comp_ops, instrs): comp_ops maps computation name -> list of
+    opcodes inside; instrs is one dict per instruction (any computation).
+    Opcode = first lowercase word followed by '(' after the '=' (layout
+    tuples like T(8,128) are uppercase and skipped)."""
     comp_ops: dict[str, list[str]] = {}
     cur = None
     instrs = []
@@ -80,7 +85,7 @@ def parse_hlo(text: str):
         s = line.strip()
         if not s:
             continue
-        if s.endswith("{") and ("{" in s) and ("=" not in s.split("{")[0]):
+        if s.endswith("{") and "=" not in s.split("{", 1)[0]:
             m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)", s)
             cur = m.group(1) if m else None
             if cur:
@@ -89,10 +94,14 @@ def parse_hlo(text: str):
         if s.startswith("}"):
             cur = None
             continue
-        m = re.match(r"^(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*[\w\[\],{}\s/x]*?\s([a-z][\w\-]*)\(", s)
+        m = _INSTR_RE.match(s)
         if not m:
             continue
-        name, opcode = m.group(1), m.group(2)
+        name, rhs = m.group(1), m.group(2)
+        om = _OPCODE_RE.search(rhs)
+        if not om:
+            continue
+        opcode = om.group(1)
         if cur:
             comp_ops[cur].append(opcode)
         instrs.append({"comp": cur, "name": name, "opcode": opcode, "line": s})
@@ -152,6 +161,9 @@ def main(argv):
     compiled = lowered.compile()
     text = compiled.as_text()
     print(f"optimized HLO: {len(text.splitlines())} lines", file=sys.stderr)
+    if "dump" in kv:
+        Path(kv["dump"]).write_text(text)
+        print(f"dumped to {kv['dump']}", file=sys.stderr)
 
     # TPU backend_configs carry '"estimated_cycles":"N"' on instructions the
     # cost model scheduled (convs, windowed fusions, reduces). Elementwise
