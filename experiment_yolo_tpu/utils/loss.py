@@ -78,11 +78,12 @@ class LossConfig:
     # math; residuals shrink from (B, A, 4, reg_max)-sized exp/one-hot
     # tensors to (B, A, 4) scalars and the f32 division-backward broadcasts
     # disappear). Values: True/'on' (both), 'decode', 'loss', False/'off'.
-    # Only applies when packed_decode == 'off'. On-chip b128 A/B measured
-    # the fused forms slightly SLOWER than autodiff when HBM is not the
-    # binding constraint (docs/KERNELS.md) — their value is the ~2.2 GB of
-    # freed residuals for larger batches.
-    fused_dfl: Any = True
+    # Only applies when packed_decode == 'off'. On-chip b128 A/B (2026-08-18,
+    # docs/KERNELS.md): fused 640 vs autodiff 673 img/s (-5%) — the recompute
+    # costs more than the freed bandwidth when HBM is not binding, and the
+    # ~2.2 GB it frees does NOT unlock a faster batch (b192 needs 5.7 GB more
+    # than the chip has). Default OFF; turn on for memory-bound configs.
+    fused_dfl: Any = False
 
 
 def _df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
