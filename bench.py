@@ -33,14 +33,34 @@ ITERS = 50
 BASELINE_IMG_S = 3000.0
 
 
+def _perturb_one_leaf(variables, eps):
+    """Add ``eps`` to the FIRST conv kernel (the stem's 4-D weight): every
+    layer's output then depends on the scan carry, so XLA can neither hoist
+    any conv out of the loop nor collapse the iterations, at the cost of one
+    tiny (k,k,3,C) add. (Perturbing a later/1-D leaf would let XLA hoist the
+    stem conv itself.)"""
+    flat, treedef = jax.tree.flatten(variables["params"])
+    for i, leaf in enumerate(flat):
+        if getattr(leaf, "ndim", None) == 4:
+            flat = list(flat)
+            flat[i] = leaf + eps.astype(leaf.dtype)
+            break
+    return {**variables, "params": jax.tree.unflatten(treedef, flat)}
+
+
 def make_timed_fn(model, iters: int):
     @jax.jit
     def run(variables, x):
+        # The carry perturbs a PARAMETER, not the input: the forward still
+        # has a serial cross-iteration dependency (no hoist/collapse), but
+        # the input tensor stays loop-invariant so its bf16 convert + layout
+        # copy hoist OUT of the loop — same scope as the reference's
+        # get_FPS.py:62-88, which times a pre-staged device tensor
+        # (profile_hlo measured the per-iter input convert+copy at ~18% of
+        # the step when the input carried the perturbation).
         def body(carry, _):
-            # serial dependency: input depends on previous output so the
-            # loop body cannot be hoisted or collapsed by XLA
-            xi = x + carry * 1e-30
-            boxes, scores = model.predict(variables, xi)
+            v = _perturb_one_leaf(variables, carry * 1e-30)
+            boxes, scores = model.predict(v, x)
             return jnp.sum(scores[0, 0]) + jnp.sum(boxes[0, 0]), None
 
         s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
@@ -50,18 +70,26 @@ def make_timed_fn(model, iters: int):
 
 
 def bench_batch(model, variables, batch: int, imgsz: int = 640) -> float:
+    """Per-iteration throughput via the two-length delta: time the 5-iter and
+    50-iter scan programs and divide by the 45-iter difference. Both programs
+    share the per-call relay dispatch (~40 ms) and the hoisted one-time input
+    prep, so the delta is pure steady-state device time — the analogue of the
+    reference's cuda.synchronize-bracketed timed loop (get_FPS.py:62-88)."""
     x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
     warm = make_timed_fn(model, WARMUP_ITERS)
-    _ = jax.device_get(warm(variables, x))
     run = make_timed_fn(model, ITERS)
+    _ = jax.device_get(warm(variables, x))  # compile
     _ = jax.device_get(run(variables, x))  # compile
-    times = []
+    t_warm, t_run = [], []
     for _ in range(3):
         t0 = time.perf_counter()
+        _ = jax.device_get(warm(variables, x))
+        t_warm.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         _ = jax.device_get(run(variables, x))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    return batch * ITERS / dt
+        t_run.append(time.perf_counter() - t0)
+    dt = min(t_run) - min(t_warm)
+    return batch * (ITERS - WARMUP_ITERS) / dt
 
 
 def bench_train_step(cfg: str = "yolov8-ASF-P2P2.yaml", batch: int = 32, imgsz: int = 640,
