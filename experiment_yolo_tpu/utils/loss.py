@@ -232,17 +232,35 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
     # checkpoint: log_softmax + one-hot masks are 3x (B, A, 4, reg_max) f32
     # residuals otherwise (~830 MB at DEAL-P2 shapes)
     fused = cfg.fused_dfl in (True, "on", "loss") and cfg.packed_decode == "off"
-    if cfg.packed_decode != "off":
-        _dfl_fn = lambda pd, t: _df_loss_packed(pd, t, reg_max)
-    elif fused:
-        _dfl_fn = lambda pd, t: _df_loss_fused(pd.reshape(b, -1, 4, reg_max), t)
+    if isinstance(pred_distri, (list, tuple)):
+        # per-level path: the adjacent-bin CE runs in each head map's native
+        # (B, H, W, 4*reg_max) NHWC layout — per-anchor math is identical to
+        # the flat form, but the (B, A, 4*reg_max) concat and the (B, HW, no)
+        # re-layout copies it forces disappear from the program
+        # (docs/KERNELS.md chip session 3 cost audit)
+        _fn = _df_loss_fused if fused else _df_loss
+        if cfg.checkpoint_loss and not fused:
+            _fn = jax.checkpoint(_fn)
+        parts, off = [], 0
+        for d in pred_distri:
+            _, hh, ww, _ = d.shape
+            n = hh * ww
+            t = target_ltrb[:, off:off + n].reshape(b, hh, ww, 4)
+            parts.append(_fn(d.reshape(b, hh, ww, 4, reg_max), t).reshape(b, n))
+            off += n
+        dfl = jnp.concatenate(parts, 1)  # (B, A)
     else:
-        _dfl_fn = lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
-    if cfg.checkpoint_loss and not fused:
-        # the fused form's residuals are already minimal (logits + (B, A, 4)
-        # scalars); checkpointing it would only rerun the forward
-        _dfl_fn = jax.checkpoint(_dfl_fn)
-    dfl = _dfl_fn(pred_distri, target_ltrb)  # (B, A)
+        if cfg.packed_decode != "off":
+            _dfl_fn = lambda pd, t: _df_loss_packed(pd, t, reg_max)
+        elif fused:
+            _dfl_fn = lambda pd, t: _df_loss_fused(pd.reshape(b, -1, 4, reg_max), t)
+        else:
+            _dfl_fn = lambda pd, t: _df_loss(pd.reshape(b, -1, 4, reg_max), t)
+        if cfg.checkpoint_loss and not fused:
+            # the fused form's residuals are already minimal (logits +
+            # (B, A, 4) scalars); checkpointing would only rerun the forward
+            _dfl_fn = jax.checkpoint(_dfl_fn)
+        dfl = _dfl_fn(pred_distri, target_ltrb)  # (B, A)
     loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / target_scores_sum
     return loss_iou, loss_dfl, new_iou_mean
 
@@ -272,15 +290,27 @@ def detection_loss(
     same assign + BboxLoss machinery).
     """
     nc, reg_max = cfg.nc, cfg.reg_max
-    no = nc + reg_max * 4
     # DetectAux (extra head.py:235): 2*nl maps arrive at train time — the
     # first nl are the main head, the rest the auxiliary one-to-many head
     aux_feats = None
     if len(feats) == 2 * len(strides):
         feats, aux_feats = feats[: len(strides)], feats[len(strides) :]
     b = feats[0].shape[0]
-    flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)  # (B, A, no)
-    pred_distri, pred_scores = flat[..., : reg_max * 4], flat[..., reg_max * 4 :]
+    # Scores concatenate (the assigner and the cls-loss zoo are
+    # anchor-global), but the 4*reg_max distribution half stays PER-LEVEL:
+    # the decode and the adjacent-bin CE are purely per-anchor, and running
+    # them in each head map's native NHWC layout removes the (B, A, 64)
+    # concat plus the (B, HW, no) re-layout copies from the compiled step
+    # (docs/KERNELS.md chip session 3; mirrors the inference-side per-level
+    # decode that measured +27%). The packed layouts need the flat form.
+    per_level = cfg.packed_decode == "off"
+    pred_scores = jnp.concatenate(
+        [f[..., reg_max * 4:].reshape(b, -1, nc) for f in feats], axis=1)  # (B, A, nc)
+    if per_level:
+        pred_distri = [f[..., : reg_max * 4] for f in feats]  # (B, H, W, 64) each
+    else:
+        pred_distri = jnp.concatenate(
+            [f[..., : reg_max * 4].reshape(b, -1, reg_max * 4) for f in feats], axis=1)
     dtype = pred_scores.dtype
 
     feat_shapes = [f.shape[1:3] for f in feats]
@@ -308,14 +338,26 @@ def detection_loss(
         from experiment_yolo_tpu.ops.anchors import dfl_decode_fused as _dfl
     else:
         _dfl = dfl_decode
-    _dec_fn = lambda d: dist2bbox(_dfl(d, reg_max), anchor_points[None], xywh=False)
-    if cfg.checkpoint_loss and cfg.packed_decode != "pallas" and not (
-            cfg.fused_dfl and cfg.packed_decode == "off"):
-        # the pallas kernel's and the fused form's VJPs already recompute
-        # from the input; wrapping them in jax.checkpoint would just run the
-        # forward twice
-        _dec_fn = jax.checkpoint(_dec_fn)
-    pred_bboxes = _dec_fn(pred_distri)  # (B,A,4) f32 (bf16 exp, f32 accumulators)
+    # the pallas kernel's and the fused form's VJPs already recompute from
+    # the input; wrapping them in jax.checkpoint would just run the forward
+    # twice
+    ckpt_dec = cfg.checkpoint_loss and cfg.packed_decode != "pallas" and not (
+        cfg.fused_dfl and cfg.packed_decode == "off")
+    if per_level:
+        _dec_level = lambda d, ap2: dist2bbox(_dfl(d, reg_max), ap2, xywh=False)
+        if ckpt_dec:
+            _dec_level = jax.checkpoint(_dec_level)
+        parts, off = [], 0
+        for d, (hh, ww) in zip(pred_distri, feat_shapes):
+            ap2 = anchor_points[off:off + hh * ww].reshape(hh, ww, 2)[None]
+            parts.append(_dec_level(d, ap2).reshape(b, -1, 4))
+            off += hh * ww
+        pred_bboxes = jnp.concatenate(parts, 1)  # (B,A,4) f32
+    else:
+        _dec_fn = lambda d: dist2bbox(_dfl(d, reg_max), anchor_points[None], xywh=False)
+        if ckpt_dec:
+            _dec_fn = jax.checkpoint(_dec_fn)
+        pred_bboxes = _dec_fn(pred_distri)  # (B,A,4) f32 (bf16 exp, f32 accumulators)
 
     if cfg.assigner == "atss":
         from experiment_yolo_tpu.utils import atss
@@ -391,11 +433,22 @@ def detection_loss(
         # the AUX predictions at aux_loss_ratio=0.25. The aux branch uses
         # plain BCE for cls (the reference's default self.bce) and does not
         # advance the Wise-IoU running mean.
-        flat_aux = jnp.concatenate([f.reshape(b, -1, no) for f in aux_feats], axis=1)
-        pred_distri_aux, pred_scores_aux = flat_aux[..., : reg_max * 4], flat_aux[..., reg_max * 4 :]
-        pred_bboxes_aux = dist2bbox(
-            dfl_decode(pred_distri_aux, reg_max), anchor_points[None], xywh=False
-        )
+        pred_scores_aux = jnp.concatenate(
+            [f[..., reg_max * 4:].reshape(b, -1, nc) for f in aux_feats], axis=1)
+        if per_level:
+            pred_distri_aux = [f[..., : reg_max * 4] for f in aux_feats]
+            parts, off = [], 0
+            for d, (hh, ww) in zip(pred_distri_aux, feat_shapes):
+                ap2 = anchor_points[off:off + hh * ww].reshape(hh, ww, 2)[None]
+                parts.append(dist2bbox(dfl_decode(d, reg_max), ap2, xywh=False).reshape(b, -1, 4))
+                off += hh * ww
+            pred_bboxes_aux = jnp.concatenate(parts, 1)
+        else:
+            pred_distri_aux = jnp.concatenate(
+                [f[..., : reg_max * 4].reshape(b, -1, reg_max * 4) for f in aux_feats], axis=1)
+            pred_bboxes_aux = dist2bbox(
+                dfl_decode(pred_distri_aux, reg_max), anchor_points[None], xywh=False
+            )
         res_aux = tal.assign(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
             jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
