@@ -308,8 +308,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.mode == "nearest", "only nearest upsampling is used by the configs"
-        x = jnp.repeat(x, self.scale, axis=1)
-        return jnp.repeat(x, self.scale, axis=2)
+        return _nearest_upsample(x, self.scale, self.scale)
 
 
 class Concat(nn.Module):
@@ -589,11 +588,19 @@ def _adaptive_pool2x(x, mode: str):
     return x.max(axis=(2, 4)) if mode == "max" else x.mean(axis=(2, 4))
 
 
+def _nearest_upsample(x, fh, fw):
+    """Nearest-neighbour upsample by integer factors as ONE broadcast +
+    reshape: two sequential ``jnp.repeat`` calls materialize the H-repeated
+    intermediate (a full extra sweep fwd and a reduce sweep bwd — ~4% of the
+    DEAL-P2 train step's estimated cycles, docs/KERNELS.md)."""
+    b, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, fh, w, fw, c))
+    return y.reshape(b, h * fh, w * fw, c)
+
+
 def _upsample_to(x, h, w):
     """Nearest-neighbour upsample to (h, w) — integer factors only."""
-    fh, fw = h // x.shape[1], w // x.shape[2]
-    x = jnp.repeat(x, fh, axis=1)
-    return jnp.repeat(x, fw, axis=2)
+    return _nearest_upsample(x, h // x.shape[1], w // x.shape[2])
 
 
 class ZoomCat(nn.Module):
