@@ -7,11 +7,14 @@ get_FPS.py:62-88: NMS excluded) in bf16 on one chip, sweeping batch size.
 Methodology: the remote-relay TPU backend has ~40 ms per-dispatch
 round-trip latency and a no-op ``block_until_ready``, so N iterations are
 chained INSIDE one jitted program via ``lax.scan`` with a serial
-dependency (the carry perturbs the input by a denormal-scale amount) so
-XLA cannot hoist the loop-invariant forward out of the loop; timing syncs
-with a 1-element ``device_get``. This measures pure device throughput —
-the analogue of get_FPS.py's warmup + 1000 timed iters with
-``torch.cuda.synchronize``.
+dependency: the carry perturbs every float parameter by a denormal-scale
+amount, so no part of the forward is loop-invariant and XLA can neither
+hoist nor collapse the body — while the INPUT tensor stays loop-invariant
+and its bf16 convert + layout copy hoist out (the reference's get_FPS also
+times a pre-staged device tensor). Throughput is the 50-vs-5-iteration
+time delta, which cancels the shared dispatch latency and one-time input
+prep. This measures pure steady-state device throughput — the analogue of
+get_FPS.py's warmup + 1000 timed iters with ``torch.cuda.synchronize``.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 3000 img/s (the BASELINE.json target for a v5e
@@ -34,18 +37,18 @@ BASELINE_IMG_S = 3000.0
 
 
 def _perturb_one_leaf(variables, eps):
-    """Add ``eps`` to the FIRST conv kernel (the stem's 4-D weight): every
-    layer's output then depends on the scan carry, so XLA can neither hoist
-    any conv out of the loop nor collapse the iterations, at the cost of one
-    tiny (k,k,3,C) add. (Perturbing a later/1-D leaf would let XLA hoist the
-    stem conv itself.)"""
-    flat, treedef = jax.tree.flatten(variables["params"])
-    for i, leaf in enumerate(flat):
-        if getattr(leaf, "ndim", None) == 4:
-            flat = list(flat)
-            flat[i] = leaf + eps.astype(leaf.dtype)
-            break
-    return {**variables, "params": jax.tree.unflatten(treedef, flat)}
+    """Add ``eps`` to EVERY float leaf (params and stats): every layer's
+    output then depends on the scan carry, so XLA can neither hoist any op
+    out of the loop nor collapse the iterations. The cost is one sweep over
+    the parameters (a few MB — noise next to the GB-scale activations).
+    Perturbing a single leaf instead would let XLA hoist everything upstream
+    of that leaf's layer, silently inflating the measurement for configs
+    whose flatten order does not start at the stem."""
+    return jax.tree.map(
+        lambda l: l + eps.astype(l.dtype)
+        if jnp.issubdtype(l.dtype, jnp.floating) else l,
+        variables,
+    )
 
 
 def make_timed_fn(model, iters: int):
@@ -89,6 +92,14 @@ def bench_batch(model, variables, batch: int, imgsz: int = 640) -> float:
         _ = jax.device_get(run(variables, x))
         t_run.append(time.perf_counter() - t0)
     dt = min(t_run) - min(t_warm)
+    # dispatch jitter (~40 ms/call) can make the delta collapse when the
+    # device time itself is small; fall back to the conservative whole-call
+    # time rather than publishing a division by ~0
+    floor = min(t_run) * (ITERS - WARMUP_ITERS) / ITERS * 0.2
+    if dt <= floor:
+        print(f"bench: delta {dt * 1e3:.1f} ms below noise floor; "
+              "falling back to whole-call timing", file=sys.stderr)
+        return batch * ITERS / min(t_run)
     return batch * (ITERS - WARMUP_ITERS) / dt
 
 

@@ -125,7 +125,9 @@ class DetectionTrainer:
             checkpoint_loss=(getattr(args, "remat", False) is not False
                              and getattr(args, "remat", None) is not None),
             packed_decode=getattr(args, "packed_decode", "off") or "off",
-            fused_dfl=bool(getattr(args, "fused_dfl", False)),
+            # pass through verbatim: False/'off' disable, True/'on' enable
+            # both fused forms, 'decode'/'loss' select one (LossConfig)
+            fused_dfl=getattr(args, "fused_dfl", False),
         )
 
     def _get_save_dir(self) -> Path:

@@ -25,6 +25,7 @@ from experiment_yolo_tpu.nn.modules import (
     GhostConv,
     _act,
     _max_pool_same,
+    _nearest_upsample,
     autopad,
     ldconv_bilinear_gather,
 )
@@ -1254,7 +1255,6 @@ class CARAFE(nn.Module):
         # pixel shuffle: (B,h,w,(s*k)^2) -> (B,hs,ws,k^2)
         wgt = wgt.reshape(b, h, w, s, s, k * k).transpose(0, 1, 3, 2, 4, 5).reshape(b, ho, wo, k * k)
         wgt = jax.nn.softmax(wgt, axis=-1)
-        from experiment_yolo_tpu.nn.modules import _nearest_upsample
         xu = _nearest_upsample(x, s, s)  # nearest upsample
         pad = k // 2 * s
         xp = jnp.pad(xu, ((0, 0), (pad, pad), (pad, pad), (0, 0)))

@@ -265,6 +265,19 @@ def _box_dfl_losses(cfg, pred_distri, pred_bboxes, anchor_points, target_bboxes,
     return loss_iou, loss_dfl, new_iou_mean
 
 
+def _per_level_decode(dists, anchor_points, feat_shapes, b, dec_fn):
+    """Apply ``dec_fn(dist_map, (1, H, W, 2) anchors)`` to each level's
+    (B, H, W, 4*reg_max) map and concatenate to (B, A, 4) — shared by the
+    main and DetectAux heads so the offset/reshape bookkeeping cannot
+    drift between them."""
+    parts, off = [], 0
+    for d, (hh, ww) in zip(dists, feat_shapes):
+        ap2 = anchor_points[off:off + hh * ww].reshape(hh, ww, 2)[None]
+        parts.append(dec_fn(d, ap2).reshape(b, -1, 4))
+        off += hh * ww
+    return jnp.concatenate(parts, 1)
+
+
 def detection_loss(
     feats: Sequence[jnp.ndarray],  # per-level (B, H, W, 4*reg_max + nc) raw maps
     batch: Dict[str, jnp.ndarray],  # cls (B,M), bboxes (B,M,4) normalized xywh, mask (B,M)
@@ -330,11 +343,12 @@ def detection_loss(
     # decode predictions (grid units)
     # checkpoint: the decode's softmax residual is (B, A, 4, reg_max) f32
     # (~310 MB at DEAL-P2 train shapes); recompute it in the backward
+    fused_dec = cfg.fused_dfl in (True, "on", "decode")
     if cfg.packed_decode == "xla":
         from experiment_yolo_tpu.ops.anchors import dfl_decode_packed as _dfl
     elif cfg.packed_decode == "pallas":
         from experiment_yolo_tpu.ops.pallas.dfl_decode import dfl_decode_pallas as _dfl
-    elif cfg.fused_dfl:
+    elif fused_dec:
         from experiment_yolo_tpu.ops.anchors import dfl_decode_fused as _dfl
     else:
         _dfl = dfl_decode
@@ -342,17 +356,12 @@ def detection_loss(
     # the input; wrapping them in jax.checkpoint would just run the forward
     # twice
     ckpt_dec = cfg.checkpoint_loss and cfg.packed_decode != "pallas" and not (
-        cfg.fused_dfl and cfg.packed_decode == "off")
+        fused_dec and cfg.packed_decode == "off")
     if per_level:
         _dec_level = lambda d, ap2: dist2bbox(_dfl(d, reg_max), ap2, xywh=False)
         if ckpt_dec:
             _dec_level = jax.checkpoint(_dec_level)
-        parts, off = [], 0
-        for d, (hh, ww) in zip(pred_distri, feat_shapes):
-            ap2 = anchor_points[off:off + hh * ww].reshape(hh, ww, 2)[None]
-            parts.append(_dec_level(d, ap2).reshape(b, -1, 4))
-            off += hh * ww
-        pred_bboxes = jnp.concatenate(parts, 1)  # (B,A,4) f32
+        pred_bboxes = _per_level_decode(pred_distri, anchor_points, feat_shapes, b, _dec_level)
     else:
         _dec_fn = lambda d: dist2bbox(_dfl(d, reg_max), anchor_points[None], xywh=False)
         if ckpt_dec:
@@ -437,12 +446,10 @@ def detection_loss(
             [f[..., reg_max * 4:].reshape(b, -1, nc) for f in aux_feats], axis=1)
         if per_level:
             pred_distri_aux = [f[..., : reg_max * 4] for f in aux_feats]
-            parts, off = [], 0
-            for d, (hh, ww) in zip(pred_distri_aux, feat_shapes):
-                ap2 = anchor_points[off:off + hh * ww].reshape(hh, ww, 2)[None]
-                parts.append(dist2bbox(dfl_decode(d, reg_max), ap2, xywh=False).reshape(b, -1, 4))
-                off += hh * ww
-            pred_bboxes_aux = jnp.concatenate(parts, 1)
+            pred_bboxes_aux = _per_level_decode(
+                pred_distri_aux, anchor_points, feat_shapes, b,
+                lambda d, ap2: dist2bbox(dfl_decode(d, reg_max), ap2, xywh=False),
+            )
         else:
             pred_distri_aux = jnp.concatenate(
                 [f[..., : reg_max * 4].reshape(b, -1, reg_max * 4) for f in aux_feats], axis=1)
