@@ -173,6 +173,7 @@ class YOLO:
             boxes6 = out[:, [0, 1, 2, 3, 5, 6]] if len(out) else np.zeros((0, 6), np.float32)
             res = Results(r.orig_img, r.path, r.names, boxes6, speed=r.speed)
             res.track_ids = out[:, 4].astype(int) if len(out) else np.zeros((0,), int)
+            res.boxes.id = res.track_ids  # reference Boxes.id parity
             yield res
 
     def benchmark(self, **kwargs):

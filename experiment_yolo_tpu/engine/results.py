@@ -19,6 +19,8 @@ class Boxes:
     def __init__(self, data: np.ndarray, orig_shape):
         self.data = np.asarray(data, np.float32).reshape(-1, 6)
         self.orig_shape = orig_shape
+        # track ids, set by Model.track (reference Boxes.id, results.py:is_track)
+        self.id: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.data)
