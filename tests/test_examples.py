@@ -159,3 +159,28 @@ def test_train_val_scripts_end_to_end(tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "mAP" in r.stdout or "map" in r.stdout.lower()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not ASSET.exists(), reason="no asset image")
+def test_segmentation_onnx_example(tmp_path):
+    import jax
+
+    from experiment_yolo_tpu.engine.exporter import Exporter
+    from experiment_yolo_tpu.nn.tasks import SegmentationModel
+
+    m = SegmentationModel(str(REPO / "tests" / "assets" / "tiny-seg.yaml"))
+    v = m.init(jax.random.PRNGKey(0))
+    onnx_path = Exporter(m, v, imgsz=192, batch=1)("onnx", tmp_path / "seg")
+
+    out = tmp_path / "pred.jpg"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "segmentation_onnx_inference.py"),
+         str(onnx_path), str(ASSET), "conf=0.001", f"out={out}"],
+        capture_output=True, text=True, timeout=900,
+        env={"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "instances ->" in r.stdout
+    assert out.exists() and out.stat().st_size > 1000
