@@ -2,7 +2,9 @@
 
 Rebuild of the reference's ``yolo`` entrypoint
 (ultralytics/cfg/__init__.py:426-573): ``yolo-tpu MODE key=value ...``
-with modes train/val/predict/benchmark and the same k=v override grammar.
+with the same mode set (train/val/predict/track/export/benchmark) and
+special commands (version/checks/settings/cfg/copy-cfg/login/logout) plus
+the TPU-native ``serve`` mode, using the same k=v override grammar.
 """
 
 from __future__ import annotations
@@ -13,7 +15,8 @@ from typing import Any, Dict, List
 from experiment_yolo_tpu.cfg import DEFAULT_CFG_DICT, check_dict_alignment
 from experiment_yolo_tpu.utils import LOGGER, colorstr
 
-MODES = ("train", "val", "predict", "benchmark", "serve", "cfg")
+MODES = ("train", "val", "predict", "track", "export", "benchmark", "serve",
+         "cfg", "version", "checks", "settings", "copy-cfg", "login", "logout")
 
 USAGE = f"""
     yolo-tpu MODE ARGS
@@ -24,6 +27,10 @@ USAGE = f"""
         yolo-tpu predict model=runs/detect/train/weights/best source=imgs/ conf=0.25
         yolo-tpu val model=runs/detect/train/weights/best data=data.yaml
         yolo-tpu benchmark model=yolov8n.yaml imgsz=640
+        yolo-tpu track model=runs/detect/train/weights/best source=video.mp4
+        yolo-tpu export model=runs/detect/train/weights/best format=onnx imgsz=640
+        yolo-tpu settings [key=value ...]   # show / persist settings
+        yolo-tpu version | checks | copy-cfg | login api_key=... | logout
         yolo-tpu cfg            # print default config
 """
 
@@ -61,6 +68,63 @@ def entrypoint(argv: List[str] | None = None) -> Any:
         for k, v in DEFAULT_CFG_DICT.items():
             LOGGER.info(f"{k}={v}")
         return None
+    if mode == "version":
+        from experiment_yolo_tpu import __version__
+
+        LOGGER.info(__version__)
+        return __version__
+    if mode == "checks":
+        # environment report (reference: yolo checks -> checks.collect_system_info)
+        import platform
+
+        import jax
+
+        LOGGER.info(f"python {platform.python_version()} on {platform.platform()}")
+        LOGGER.info(f"jax {jax.__version__}, default backend: {jax.default_backend()}")
+        for d in jax.devices():
+            LOGGER.info(f"  device: {d}")
+        return None
+    if mode == "settings":
+        from experiment_yolo_tpu.utils import SettingsManager
+
+        s = SettingsManager()
+        updates = parse_key_value(rest)
+        if updates:
+            unknown = set(updates) - set(s)
+            if unknown:
+                raise SyntaxError(f"unknown settings key(s): {sorted(unknown)}")
+            s.update(updates)
+            s.save()
+        for k, v in s.items():
+            LOGGER.info(f"{k}={v}")
+        return dict(s)
+    if mode == "copy-cfg":
+        # copy default.yaml next to the user for editing (reference copy_default_cfg)
+        import shutil
+        from pathlib import Path
+
+        from experiment_yolo_tpu.cfg import DEFAULT_CFG_PATH
+
+        dst = Path.cwd() / (DEFAULT_CFG_PATH.stem + "_copy.yaml")
+        shutil.copy2(DEFAULT_CFG_PATH, dst)
+        LOGGER.info(f"{DEFAULT_CFG_PATH} copied to {dst}\n"
+                    f"Use with: yolo-tpu train cfg={dst.name} model=... data=...")
+        return dst
+    if mode in ("login", "logout"):
+        from experiment_yolo_tpu.utils import SettingsManager
+
+        s = SettingsManager()
+        if mode == "login":
+            key = parse_key_value(rest).get("api_key") or (rest[0] if rest and "=" not in rest[0] else None)
+            if not key:
+                raise SyntaxError("usage: yolo-tpu login api_key=YOUR_KEY")
+            s["api_key"] = key
+            LOGGER.info("HUB api_key saved")
+        else:
+            s.pop("api_key", None)
+            LOGGER.info("HUB api_key removed")
+        s.save()
+        return None
 
     overrides = parse_key_value(rest)
     model_src = overrides.pop("model", None)
@@ -81,7 +145,9 @@ def entrypoint(argv: List[str] | None = None) -> Any:
         except KeyboardInterrupt:
             server.stop()
         return server
-    check_dict_alignment({**DEFAULT_CFG_DICT, "model": None, "source": None}, overrides)
+    extra = {"track": {"tracker": None, "persist": None},
+             "export": {"format": None, "path": None, "int8": None}}.get(mode, {})
+    check_dict_alignment({**DEFAULT_CFG_DICT, "model": None, "source": None, **extra}, overrides)
 
     from experiment_yolo_tpu import YOLO
 
@@ -98,6 +164,23 @@ def entrypoint(argv: List[str] | None = None) -> Any:
         for r in results:
             LOGGER.info(f"  {r.path}: {len(r.boxes)} detections")
         return results
+    if mode == "track":
+        if source is None:
+            raise SyntaxError("'source=' is required for track")
+        tracker = overrides.pop("tracker", "bytetrack")
+        results = model.track(source, tracker=tracker, **overrides)
+        LOGGER.info(f"{colorstr('track:')} {len(results)} frames")
+        for r in results:
+            ids = r.track_ids if len(r.track_ids) else []
+            LOGGER.info(f"  {r.path}: {len(r.boxes)} tracks {list(ids)}")
+        return results
+    if mode == "export":
+        fmt = overrides.pop("format", "stablehlo")
+        path = overrides.pop("path", "model_export")
+        out = model.export(fmt, path=path, **{k: v for k, v in overrides.items()
+                                              if k in ("imgsz", "batch", "int8", "half", "data")})
+        LOGGER.info(f"{colorstr('export:')} {out}")
+        return out
     if mode == "benchmark":
         return model.benchmark(**overrides)
     return None
