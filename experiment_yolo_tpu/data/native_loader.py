@@ -42,6 +42,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.yolodata_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    try:  # added after the first release of the .so; stale builds lack it
+        lib.yolodata_decode_buffer.restype = ctypes.c_int
+        lib.yolodata_decode_buffer.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -74,6 +85,27 @@ def load_letterboxed_batch(
         rp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out, rp, int(failures)
+
+
+def decode_image_bytes(raw: bytes) -> Optional[np.ndarray]:
+    """Decode an in-memory JPEG/PNG buffer natively -> (H, W, 3) uint8 RGB.
+
+    Returns None when the native lib is unavailable (or too old) or the
+    buffer isn't decodable — callers fall back to cv2.imdecode. This is the
+    serving hot path (serve.py receives bytes over HTTP, not file paths).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "yolodata_decode_buffer"):
+        return None
+    data = ctypes.POINTER(ctypes.c_uint8)()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.yolodata_decode_buffer(raw, len(raw), ctypes.byref(data),
+                                  ctypes.byref(h), ctypes.byref(w)):
+        return None
+    arr = np.ctypeslib.as_array(data, shape=(h.value, w.value, 3)).copy()
+    lib.yolodata_free(data)
+    return arr
 
 
 def decode_image(path: str) -> np.ndarray:

@@ -198,6 +198,12 @@ class DetectionServer:
     # -- inference ----------------------------------------------------------
     @staticmethod
     def _decode(raw: bytes) -> np.ndarray:
+        # hot path: native C++ JPEG/PNG decode (GIL-free, native/dataloader.cpp)
+        from experiment_yolo_tpu.data.native_loader import decode_image_bytes
+
+        arr = decode_image_bytes(raw)
+        if arr is not None:
+            return arr[..., ::-1]  # native is RGB; pipeline contract is BGR
         import cv2
 
         img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)

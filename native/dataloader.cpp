@@ -107,6 +107,81 @@ bool decode(const char* path, Image* out) {
   return decode_jpeg(path, out);
 }
 
+// ---- in-memory decode (serving hot path: bytes arrive over HTTP) ----
+
+bool decode_jpeg_mem(const uint8_t* buf, size_t len, Image* out) {
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jerr.error_exit = [](j_common_ptr c) { longjmp(*static_cast<jmp_buf*>(c->client_data), 1); };
+  jmp_buf env;
+  cinfo.client_data = &env;
+  if (setjmp(env)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->data.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+struct MemCursor {
+  const uint8_t* buf;
+  size_t len;
+  size_t pos;
+};
+
+bool decode_png_mem(const uint8_t* buf, size_t len, Image* out) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  MemCursor cur{buf, len, 0};
+  png_set_read_fn(png, &cur, [](png_structp p, png_bytep dst, png_size_t n) {
+    auto* c = static_cast<MemCursor*>(png_get_io_ptr(p));
+    if (c->pos + n > c->len) png_error(p, "read past end of buffer");
+    std::memcpy(dst, c->buf + c->pos, n);
+    c->pos += n;
+  });
+  png_read_info(png, info);
+  png_set_strip_16(png);
+  png_set_palette_to_rgb(png);
+  png_set_expand_gray_1_2_4_to_8(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->data.resize(size_t(out->w) * out->h * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y) rows[y] = out->data.data() + size_t(y) * out->w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_mem(const uint8_t* buf, size_t len, Image* out) {
+  // sniff magic bytes: PNG = \x89PNG, JPEG = \xFF\xD8
+  if (len >= 4 && buf[0] == 0x89 && buf[1] == 'P' && buf[2] == 'N' && buf[3] == 'G')
+    return decode_png_mem(buf, len, out);
+  if (len >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) return decode_jpeg_mem(buf, len, out);
+  return false;
+}
+
 // bilinear resize + center letterbox into dst (S x S x 3, prefilled 114).
 // Matches data/augment.py:letterbox rounding (round(x - 0.1)/round(x + 0.1)).
 void letterbox_into(const Image& img, uint8_t* dst, int s, float* gain, float* padw, float* padh) {
@@ -270,5 +345,18 @@ int yolodata_decode(const char* path, uint8_t** data, int* h, int* w) {
 }
 
 void yolodata_free(uint8_t* data) { std::free(data); }
+
+// Decode one image from an in-memory JPEG/PNG buffer (format sniffed from
+// magic bytes); returns 0 on success. Caller frees via yolodata_free. This
+// is the HTTP serving hot path (serve.py receives bytes, not files).
+int yolodata_decode_buffer(const uint8_t* buf, long len, uint8_t** data, int* h, int* w) {
+  Image img;
+  if (len <= 0 || !decode_mem(buf, size_t(len), &img)) return 1;
+  *h = img.h;
+  *w = img.w;
+  *data = static_cast<uint8_t*>(std::malloc(img.data.size()));
+  std::memcpy(*data, img.data.data(), img.data.size());
+  return 0;
+}
 
 }  // extern "C"

@@ -48,3 +48,34 @@ def test_missing_file_counts_failure(paths, tmp_path):
     batch, rp, fails = nl.load_letterboxed_batch([paths[0], str(tmp_path / "nope.jpg")], 128, workers=2)
     assert fails == 1
     assert (batch[1] == 114).all()  # failed slot stays letterbox-fill
+
+
+def test_decode_buffer_matches_file_decode(paths, tmp_path):
+    raw = open(paths[0], "rb").read()
+    from_buf = nl.decode_image_bytes(raw)
+    assert from_buf is not None
+    np.testing.assert_array_equal(from_buf, nl.decode_image(paths[0]))
+
+    # PNG path via magic sniffing
+    import cv2
+
+    png = tmp_path / "x.png"
+    cv2.imwrite(str(png), cv2.imread(paths[0]))
+    from_buf = nl.decode_image_bytes(png.read_bytes())
+    assert from_buf is not None
+    np.testing.assert_array_equal(from_buf, nl.decode_image(str(png)))
+
+    # garbage bytes -> graceful None (cv2 fallback in serve)
+    assert nl.decode_image_bytes(b"not an image") is None
+
+
+def test_serve_decode_uses_native_and_matches_cv2(paths):
+    import cv2
+
+    from experiment_yolo_tpu.serve import DetectionServer
+
+    raw = open(paths[0], "rb").read()
+    got = DetectionServer._decode(raw)  # BGR out
+    ref = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
