@@ -16,7 +16,7 @@ from experiment_yolo_tpu.cfg import DEFAULT_CFG_DICT, check_dict_alignment
 from experiment_yolo_tpu.utils import LOGGER, colorstr
 
 MODES = ("train", "val", "predict", "track", "export", "benchmark", "serve",
-         "cfg", "version", "checks", "settings", "copy-cfg", "login", "logout")
+         "cfg", "version", "checks", "settings", "copy-cfg", "explorer", "login", "logout")
 
 USAGE = f"""
     yolo-tpu MODE ARGS
@@ -30,6 +30,7 @@ USAGE = f"""
         yolo-tpu track model=runs/detect/train/weights/best source=video.mp4
         yolo-tpu export model=runs/detect/train/weights/best format=onnx imgsz=640
         yolo-tpu settings [key=value ...]   # show / persist settings
+        yolo-tpu explorer data=datasets/coco8 similar=0 topk=5
         yolo-tpu version | checks | copy-cfg | login api_key=... | logout
         yolo-tpu cfg            # print default config
 """
@@ -110,6 +111,36 @@ def entrypoint(argv: List[str] | None = None) -> Any:
         LOGGER.info(f"{DEFAULT_CFG_PATH} copied to {dst}\n"
                     f"Use with: yolo-tpu train cfg={dst.name} model=... data=...")
         return dst
+    if mode == "explorer":
+        # headless dataset explorer (reference `yolo explorer` launches a
+        # streamlit GUI; the TPU build answers the same queries on the CLI)
+        kv = parse_key_value(rest)
+        data = kv.get("data")
+        if not data:
+            raise SyntaxError("usage: yolo-tpu explorer data=<dataset dir> "
+                              "[model=...yaml] [similar=<idx|image path>] [topk=5] [imgsz=256]")
+        from experiment_yolo_tpu import YOLO
+        from experiment_yolo_tpu.data.explorer import Explorer
+
+        m = YOLO(kv.get("model", "yolov8n.yaml"))
+        ex = Explorer(data, m.model, m.variables, imgsz=int(kv.get("imgsz", 256)))
+        ex.build()
+        LOGGER.info(f"class counts: {ex.class_counts()}")
+        sim = kv.get("similar")
+        hits = None
+        if sim is not None:
+            if isinstance(sim, int):
+                hits = ex.similar(sim, topk=int(kv.get("topk", 5)))
+            else:
+                import cv2
+
+                img = cv2.imread(str(sim))
+                if img is None:
+                    raise SyntaxError(f"cannot read query image {sim!r}")
+                hits = ex.similar_to_image(img, topk=int(kv.get("topk", 5)))
+            for j, s, f in hits:
+                LOGGER.info(f"  #{j} sim={s:.3f} {f}")
+        return hits if hits is not None else ex.embeddings
     if mode in ("login", "logout"):
         from experiment_yolo_tpu.utils import SettingsManager
 

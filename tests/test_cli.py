@@ -84,3 +84,16 @@ def test_modes_list_matches_reference_modes():
     for m in ("train", "val", "predict", "track", "export", "benchmark",
               "version", "checks", "settings", "cfg", "copy-cfg", "login", "logout"):
         assert m in MODES
+
+
+def test_explorer_mode(tmp_path):
+    from experiment_yolo_tpu.data import make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path / "ds", n_train=6, n_val=2, imgsz=96)
+    hits = entrypoint(["explorer", f"data={tmp_path / 'ds' / 'images' / 'train'}",
+                       "model=yolov8n.yaml", "similar=0", "topk=3", "imgsz=96"])
+    assert len(hits) == 3
+    for j, s, f in hits:
+        assert isinstance(j, int) and f.endswith(".jpg")
+    with pytest.raises(SyntaxError, match="usage"):
+        entrypoint(["explorer"])
