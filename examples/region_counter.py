@@ -31,10 +31,12 @@ def main(argv):
         print(__doc__)
         return 1
     model_path, source = argv[0], argv[1]
-    kv = dict(a.partition("=")[::2] for a in argv[2:])
 
+    from experiment_yolo_tpu.cfg.cli import parse_key_value
     from experiment_yolo_tpu.engine.model import YOLO
     from experiment_yolo_tpu.solutions import ObjectCounter
+
+    kv = parse_key_value(argv[2:])
 
     model = YOLO(model_path)
     counter = None

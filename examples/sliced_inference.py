@@ -24,14 +24,14 @@ def main(argv):
         print(__doc__)
         return 1
     model_path, source = argv[0], argv[1]
-    kv = dict(a.partition("=")[::2] for a in argv[2:])
 
+    from experiment_yolo_tpu.cfg.cli import parse_key_value
     from experiment_yolo_tpu.engine.model import YOLO
 
+    kv = parse_key_value(argv[2:])
     model = YOLO(model_path)
     out = kv.pop("out", None)
-    extra = {k: (int(v) if v.isdigit() else v) for k, v in kv.items()
-             if k not in ("slice", "overlap", "conf")}
+    extra = {k: v for k, v in kv.items() if k not in ("slice", "overlap", "conf")}
     n = 0
     for res in model.sliced_predict(source, stream=True,
                                     slice=int(kv.get("slice", 512)),

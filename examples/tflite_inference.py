@@ -25,41 +25,11 @@ from pathlib import Path
 import cv2
 import numpy as np
 
-
-def letterbox(img, size):
-    h, w = img.shape[:2]
-    r = min(size / h, size / w)
-    nw, nh = int(round(w * r)), int(round(h * r))
-    resized = cv2.resize(img, (nw, nh))
-    top = (size - nh) // 2
-    left = (size - nw) // 2
-    canvas = np.full((size, size, 3), 114, np.uint8)
-    canvas[top : top + nh, left : left + nw] = resized
-    return canvas, r, left, top
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from onnx_inference import letterbox, nms_numpy  # noqa: E402
 
 
-def nms_numpy(boxes, scores, iou_thres=0.7, max_det=300):
-    order = scores.argsort()[::-1][: max_det * 4]
-    keep = []
-    while order.size:
-        i = order[0]
-        keep.append(i)
-        if order.size == 1 or len(keep) >= max_det:
-            break
-        xx1 = np.maximum(boxes[i, 0], boxes[order[1:], 0])
-        yy1 = np.maximum(boxes[i, 1], boxes[order[1:], 1])
-        xx2 = np.minimum(boxes[i, 2], boxes[order[1:], 2])
-        yy2 = np.minimum(boxes[i, 3], boxes[order[1:], 3])
-        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
-        a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-        a2 = (boxes[order[1:], 2] - boxes[order[1:], 0]) * (boxes[order[1:], 3] - boxes[order[1:], 1])
-        iou = inter / (a1 + a2 - inter + 1e-9)
-        order = order[1:][iou <= iou_thres]
-    return keep
-
-
-def run_model(tflite_path, batch_u8):
-    """Run the flatbuffer through the TFLite interpreter (boxes, scores)."""
+def make_interpreter(tflite_path):
     try:
         from tensorflow.lite.python.interpreter import Interpreter
     except ImportError:  # tflite-runtime-only environments
@@ -67,19 +37,23 @@ def run_model(tflite_path, batch_u8):
 
     interp = Interpreter(model_path=str(tflite_path))
     interp.allocate_tensors()
+    return interp
+
+
+def run_model(interp, batch_u8):
+    """Run a batch through an allocated interpreter -> (boxes, scores)."""
     inp = interp.get_input_details()[0]
     interp.set_tensor(inp["index"], np.asarray(batch_u8, inp["dtype"]))
     interp.invoke()
     dets = interp.get_output_details()
     outs = [interp.get_tensor(o["index"]) for o in dets]
-    size = inp["shape"][1]
     # (boxes, scores): boxes end in 4; if ambiguous fall back to name order
     four = [o for o in outs if o.shape[-1] == 4]
     rest = [o for o in outs if o.shape[-1] != 4]
     if len(four) == 1 and rest:
-        return four[0], rest[0], size
+        return four[0], rest[0]
     order = sorted(range(len(outs)), key=lambda i: dets[i]["name"])
-    return outs[order[0]], outs[order[1]], size
+    return outs[order[0]], outs[order[1]]
 
 
 def main(argv):
@@ -96,17 +70,13 @@ def main(argv):
         print(f"cannot read image: {img_path}")
         return 1
 
-    # probe the baked input size from the interpreter itself
-    try:
-        from tensorflow.lite.python.interpreter import Interpreter
-    except ImportError:
-        from tflite_runtime.interpreter import Interpreter  # type: ignore
-    size = int(Interpreter(model_path=str(tflite_path)).get_input_details()[0]["shape"][1])
+    interp = make_interpreter(tflite_path)
+    size = int(interp.get_input_details()[0]["shape"][1])
 
     canvas, r, left, top = letterbox(orig, size)
     batch = np.ascontiguousarray(canvas[..., ::-1][None])  # BGR -> RGB
 
-    boxes_xywh, scores, _ = run_model(tflite_path, batch)
+    boxes_xywh, scores = run_model(interp, batch)
     boxes_xywh, scores = np.asarray(boxes_xywh[0], np.float32), np.asarray(scores[0], np.float32)
 
     cls = scores.argmax(-1)

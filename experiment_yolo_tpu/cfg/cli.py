@@ -146,7 +146,10 @@ def entrypoint(argv: List[str] | None = None) -> Any:
 
         s = SettingsManager()
         if mode == "login":
-            key = parse_key_value(rest).get("api_key") or (rest[0] if rest and "=" not in rest[0] else None)
+            if rest and "=" not in rest[0]:  # bare token: yolo-tpu login KEY
+                key = rest[0]
+            else:
+                key = parse_key_value(rest).get("api_key")
             if not key:
                 raise SyntaxError("usage: yolo-tpu login api_key=YOUR_KEY")
             s["api_key"] = key

@@ -109,6 +109,10 @@ bool decode(const char* path, Image* out) {
 
 // ---- in-memory decode (serving hot path: bytes arrive over HTTP) ----
 
+// Untrusted input: a tiny buffer can declare enormous dimensions; cap
+// before any allocation (64 MP ≈ 192 MB RGB).
+constexpr int64_t kMaxDecodePixels = 64LL * 1024 * 1024;
+
 bool decode_jpeg_mem(const uint8_t* buf, size_t len, Image* out) {
   jpeg_decompress_struct cinfo;
   jpeg_error_mgr jerr;
@@ -127,6 +131,11 @@ bool decode_jpeg_mem(const uint8_t* buf, size_t len, Image* out) {
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
+  if (out->w <= 0 || out->h <= 0 || int64_t(out->w) * out->h > kMaxDecodePixels) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return false;  // forged header: refuse before allocating
+  }
   out->data.resize(size_t(out->w) * out->h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
@@ -166,6 +175,10 @@ bool decode_png_mem(const uint8_t* buf, size_t len, Image* out) {
   png_read_update_info(png, info);
   out->w = png_get_image_width(png, info);
   out->h = png_get_image_height(png, info);
+  if (out->w <= 0 || out->h <= 0 || int64_t(out->w) * out->h > kMaxDecodePixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;  // forged header: refuse before allocating
+  }
   out->data.resize(size_t(out->w) * out->h * 3);
   std::vector<png_bytep> rows(out->h);
   for (int y = 0; y < out->h; ++y) rows[y] = out->data.data() + size_t(y) * out->w * 3;
@@ -339,6 +352,10 @@ int yolodata_decode(const char* path, uint8_t** data, int* h, int* w) {
   *h = img->h;
   *w = img->w;
   *data = static_cast<uint8_t*>(std::malloc(img->data.size()));
+  if (!*data) {
+    delete img;
+    return 1;
+  }
   std::memcpy(*data, img->data.data(), img->data.size());
   delete img;
   return 0;
@@ -348,15 +365,24 @@ void yolodata_free(uint8_t* data) { std::free(data); }
 
 // Decode one image from an in-memory JPEG/PNG buffer (format sniffed from
 // magic bytes); returns 0 on success. Caller frees via yolodata_free. This
-// is the HTTP serving hot path (serve.py receives bytes, not files).
+// is the HTTP serving hot path (serve.py receives bytes, not files), so the
+// input is UNTRUSTED: header-declared dimensions are capped before any
+// allocation, and no C++ exception may cross the extern "C" boundary.
 int yolodata_decode_buffer(const uint8_t* buf, long len, uint8_t** data, int* h, int* w) {
-  Image img;
-  if (len <= 0 || !decode_mem(buf, size_t(len), &img)) return 1;
-  *h = img.h;
-  *w = img.w;
-  *data = static_cast<uint8_t*>(std::malloc(img.data.size()));
-  std::memcpy(*data, img.data.data(), img.data.size());
-  return 0;
+  constexpr int64_t kMaxPixels = 64LL * 1024 * 1024;  // 64 MP ≈ 192 MB RGB
+  try {
+    Image img;
+    if (len <= 0 || !decode_mem(buf, size_t(len), &img)) return 1;
+    if (img.h <= 0 || img.w <= 0 || int64_t(img.h) * img.w > kMaxPixels) return 1;
+    *h = img.h;
+    *w = img.w;
+    *data = static_cast<uint8_t*>(std::malloc(img.data.size()));
+    if (!*data) return 1;
+    std::memcpy(*data, img.data.data(), img.data.size());
+    return 0;
+  } catch (...) {  // bad_alloc from a forged 100000x100000 header, etc.
+    return 1;
+  }
 }
 
 }  // extern "C"

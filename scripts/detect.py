@@ -13,7 +13,9 @@ import sys
 
 
 def main(argv):
-    kv = dict(a.partition("=")[::2] for a in argv)
+    from experiment_yolo_tpu.cfg.cli import parse_key_value
+
+    kv = parse_key_value(argv)
     if "model" not in kv or "source" not in kv:
         print(__doc__)
         return 1
@@ -23,7 +25,7 @@ def main(argv):
     model = YOLO(kv.pop("model"))
     source = kv.pop("source")
     overrides = dict(imgsz=int(kv.pop("imgsz", 640)), conf=float(kv.pop("conf", 0.25)))
-    if kv.pop("save", "true").lower() in ("1", "true", "yes"):
+    if bool(kv.pop("save", True)):
         overrides["save"] = True
     overrides.update(kv)
     for res in model.predict(source, stream=True, **overrides):

@@ -18,7 +18,9 @@ import sys
 
 
 def main(argv):
-    kv = dict(a.partition("=")[::2] for a in argv)
+    from experiment_yolo_tpu.cfg.cli import parse_key_value
+
+    kv = parse_key_value(argv)
     model_cfg = kv.pop("model", "yolov8-ASF-P2P2.yaml")
     if "data" not in kv:
         print(__doc__)

@@ -13,7 +13,9 @@ import sys
 
 
 def main(argv):
-    kv = dict(a.partition("=")[::2] for a in argv)
+    from experiment_yolo_tpu.cfg.cli import parse_key_value
+
+    kv = parse_key_value(argv)
     if "model" not in kv or "data" not in kv:
         print(__doc__)
         return 1

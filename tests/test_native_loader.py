@@ -79,3 +79,18 @@ def test_serve_decode_uses_native_and_matches_cv2(paths):
     ref = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_buffer_rejects_forged_huge_header():
+    """A tiny buffer declaring enormous dimensions must fail cleanly before
+    allocating (serving hot path receives untrusted bytes)."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)  # 10 GP
+    forged = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    assert nl.decode_image_bytes(forged) is None
