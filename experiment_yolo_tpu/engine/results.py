@@ -227,6 +227,54 @@ class Results:
             )
         return out
 
+    def tojson(self, normalize: bool = False) -> str:
+        """JSON string of detections (reference results.py:tojson)."""
+        import json
+
+        recs = self.to_dict()
+        if normalize:
+            h, w = self.orig_shape
+            for r in recs:
+                b = r["box"]
+                b["x1"], b["x2"] = b["x1"] / w, b["x2"] / w
+                b["y1"], b["y2"] = b["y1"] / h, b["y2"] / h
+        return json.dumps(recs, indent=2)
+
+    def verbose(self) -> str:
+        """Per-class count summary line (reference results.py:verbose)."""
+        if self.probs is not None:
+            return ", ".join(
+                f"{self.names.get(int(k), int(k))} {float(self.probs.data[k]):.2f}"
+                for k in self.probs.top5) + ", "
+        if self.boxes is None or not len(self.boxes):
+            return "(no detections), "
+        cls = self.boxes.cls.astype(int)
+        return "".join(
+            f"{(cls == c).sum()} {self.names.get(int(c), int(c))}"
+            f"{'s' if (cls == c).sum() > 1 else ''}, "
+            for c in sorted(set(cls.tolist())))
+
+    def save_crop(self, save_dir: str | Path, file_name: str | Path = "im.jpg") -> None:
+        """Save one crop per detection into save_dir/<class name>/
+        (reference results.py:save_crop; crops get a 2% gain + 10px pad
+        like the reference's save_one_box defaults)."""
+        import cv2
+
+        h, w = self.orig_shape
+        stem, suffix = Path(file_name).stem, Path(file_name).suffix or ".jpg"
+        for i in range(len(self.boxes)):
+            x1, y1, x2, y2 = self.boxes.xyxy[i]
+            bw, bh = x2 - x1, y2 - y1
+            # reference save_one_box: xyxy * gain 1.02 + pad 10
+            px, py = bw * 0.01 + 10, bh * 0.01 + 10
+            xa, ya = max(int(x1 - px), 0), max(int(y1 - py), 0)
+            xb, yb = min(int(x2 + px), w), min(int(y2 + py), h)
+            crop = self.orig_img[ya:yb, xa:xb]
+            cname = str(self.names.get(int(self.boxes.cls[i]), int(self.boxes.cls[i])))
+            d = Path(save_dir) / cname
+            d.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(d / f"{stem}{i if i else ''}{suffix}"), crop)
+
 
 def _class_color(c: int):
     rng = np.random.RandomState(c + 3)

@@ -75,3 +75,32 @@ def test_classify_predict_results():
     assert res.probs.data.shape == (4,)
     np.testing.assert_allclose(res.probs.data.sum(), 1.0, atol=1e-5)
     assert 0 <= res.probs.top1 < 4 and len(res.probs.top5) <= 5
+
+
+def test_results_tojson_verbose_save_crop(tmp_path):
+    """Results API parity: tojson / verbose / save_crop (reference
+    engine/results.py:273-360)."""
+    import json
+
+    import numpy as np
+
+    from experiment_yolo_tpu.engine.results import Results
+
+    img = np.full((100, 200, 3), 90, np.uint8)
+    boxes = np.array([[10, 10, 60, 60, 0.9, 0], [80, 20, 150, 90, 0.7, 0],
+                      [20, 30, 90, 80, 0.6, 2]], np.float32)
+    res = Results(img, "x.jpg", {0: "person", 2: "car"}, boxes)
+
+    recs = json.loads(res.tojson())
+    assert len(recs) == 3 and recs[0]["name"] == "person"
+    norm = json.loads(res.tojson(normalize=True))
+    assert 0 <= norm[0]["box"]["x2"] <= 1
+
+    v = res.verbose()
+    assert "2 persons" in v and "1 car" in v
+    assert Results(img, "x.jpg", {}, np.zeros((0, 6), np.float32)).verbose() == "(no detections), "
+
+    res.save_crop(tmp_path, "im.jpg")
+    assert (tmp_path / "person" / "im.jpg").exists()
+    assert (tmp_path / "person" / "im1.jpg").exists()
+    assert (tmp_path / "car" / "im2.jpg").exists()
