@@ -136,7 +136,13 @@ class Exporter:
         import tensorflow as tf
         from jax.experimental import jax2tf
 
-        fn_tf = jax2tf.convert(self._predict_fn(), with_gradient=False)
+        # Without an explicit platform list, jax2tf bakes the exporting
+        # process's default backend into the StableHLO module — an export
+        # run on the TPU host then fails on every CPU consumer with "The
+        # current platform CPU is not among the platforms required".
+        # These artifacts are deployment interchange: embed both lowerings.
+        fn_tf = jax2tf.convert(self._predict_fn(), with_gradient=False,
+                               native_serialization_platforms=("cpu", "tpu"))
         module = tf.Module()
         module.f = tf.function(
             fn_tf,

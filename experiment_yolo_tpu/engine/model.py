@@ -176,7 +176,14 @@ class YOLO:
             res.boxes.id = res.track_ids  # reference Boxes.id parity
             yield res
 
-    def benchmark(self, **kwargs):
+    def benchmark(self, formats: bool = False, **kwargs):
+        """Latency harness; ``formats=True`` produces the reference-style
+        all-format table (export each format, run via AutoBackend —
+        reference utils/benchmarks.py:benchmark)."""
+        if formats:
+            from experiment_yolo_tpu.utils.benchmarks import benchmark_formats
+
+            return benchmark_formats(self.model, self.variables, **kwargs)
         from experiment_yolo_tpu.utils.benchmarks import benchmark_model
 
         return benchmark_model(self.model, self.variables, **kwargs)

@@ -61,6 +61,13 @@ class AutoBackend:
             if exported.in_avals:
                 self.input_shape = tuple(int(d) for d in exported.in_avals[0].shape)
             self._read_sidecar_meta(src)
+        elif self.format == "saved_model":
+            import tensorflow as tf
+
+            self._tf_mod = tf.saved_model.load(src)
+            spec = self._tf_mod.f.input_signature[0]
+            self.input_shape = tuple(int(d) for d in spec.shape)
+            self._read_sidecar_meta(src)
         elif self.format == "tflite":
             import tensorflow as tf
 
@@ -128,6 +135,8 @@ class AutoBackend:
             return "tflite"
         if src.endswith(".onnx"):
             return "onnx"
+        if p.is_dir() and (p / "saved_model.pb").exists():
+            return "saved_model"
         if p.is_dir() and (p / "meta.yaml").exists():
             return "checkpoint"
         return "unknown"
@@ -153,6 +162,12 @@ class AutoBackend:
             if len(out) == 1:
                 return np.asarray(out[0]), np.asarray(out[0])
             return np.asarray(out[0]), np.asarray(out[1])
+        if self.format == "saved_model":
+            outs = self._tf_mod.f(np.asarray(imgs, np.uint8))
+            outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+            if len(outs) == 1:
+                return np.asarray(outs[0]), np.asarray(outs[0])
+            return np.asarray(outs[0]), np.asarray(outs[1])
         if self.format == "onnx":
             x = np.asarray(imgs, np.uint8)
             if self._ort is not None:  # pragma: no cover - env has no onnxruntime
