@@ -42,7 +42,8 @@ class YOLO:
                 cls = TASK_MODELS.get(task, DetectionModel)
             self.model = cls(model, nc=nc, dtype=dtype) if nc else cls(model, dtype=dtype)
             self.variables = self.model.init(jax.random.PRNGKey(seed))
-        elif model.endswith((".stablehlo", ".tflite", ".onnx")):
+        elif (model.endswith((".stablehlo", ".tflite", ".onnx"))
+              or (Path(model) / "saved_model.pb").exists()):
             # exported artifact: predict/val through AutoBackend (reference
             # YOLO('model.onnx') flow); train/export are unavailable
             from experiment_yolo_tpu.nn.autobackend import BackendModel

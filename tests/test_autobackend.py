@@ -120,3 +120,22 @@ def test_checkpoint_task_and_robust_unpack(tmp_path):
     assert be.task == "pose"
     boxes, scores = be.forward(np.zeros((1, 64, 64, 3), np.uint8))
     assert boxes.shape[-1] == 4 and scores.shape[-1] == model.nc
+
+
+def test_saved_model_facade_predict(tmp_path):
+    """YOLO(<saved_model dir>) predicts through AutoBackend (reference
+    AutoBackend saved_model leg, nn/autobackend.py)."""
+    import jax
+    import numpy as np
+
+    from experiment_yolo_tpu.engine.exporter import Exporter
+    from experiment_yolo_tpu.engine.model import YOLO
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel("tests/assets/tiny.yaml")
+    v = m.init(jax.random.PRNGKey(0))
+    p = Exporter(m, v, imgsz=64, batch=1)("saved_model", tmp_path / "sm")
+    y = YOLO(str(p))
+    img = np.random.RandomState(0).randint(0, 255, (80, 70, 3), np.uint8)
+    res = y.predict(img, conf=0.001, save=False)
+    assert len(res) == 1 and res[0].boxes is not None
