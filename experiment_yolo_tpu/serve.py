@@ -198,18 +198,24 @@ class DetectionServer:
     # -- inference ----------------------------------------------------------
     @staticmethod
     def _decode(raw: bytes) -> np.ndarray:
-        # hot path: native C++ JPEG/PNG decode (GIL-free, native/dataloader.cpp)
+        # cv2 first: libjpeg-turbo SIMD measures ~15% faster than the native
+        # core for single in-memory decode (10.5 vs 12.0 ms on bus.jpg) and
+        # releases the GIL too. The native C++ decoder (dataloader.cpp,
+        # forged-dimension hardened) is the fallback for opencv-less deploys.
+        try:
+            import cv2
+
+            img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+            if img is not None:
+                return img
+        except ImportError:
+            pass
         from experiment_yolo_tpu.data.native_loader import decode_image_bytes
 
         arr = decode_image_bytes(raw)
-        if arr is not None:
-            return arr[..., ::-1]  # native is RGB; pipeline contract is BGR
-        import cv2
-
-        img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
-        if img is None:
+        if arr is None:
             raise ValueError("could not decode image bytes")
-        return img
+        return arr[..., ::-1]  # native is RGB; pipeline contract is BGR
 
     def predict_one(self, img: np.ndarray) -> dict:
         res, batch_ms = self.batcher.submit(img).result(timeout=60)
