@@ -319,6 +319,14 @@ class Concat(nn.Module):
         return jnp.concatenate(xs, axis=-1)
 
 
+class Silence(nn.Module):
+    """Identity passthrough (v9 input anchor; reference extra_modules/block.py:4721)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x
+
+
 class Add(nn.Module):
     """Elementwise sum of a list (DEAL ASF fusion; reference block.py:3479)."""
 

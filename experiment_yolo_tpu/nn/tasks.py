@@ -455,6 +455,9 @@ def parse_model(d: dict, ch: int = 3, scale: Optional[str] = None, dtype=jnp.flo
         elif mname == "Concat":
             c2 = sum(src_ch(j) for j in f_list)
             mod = M.Concat()
+        elif mname == "Silence":
+            c2 = c1
+            mod = M.Silence()
         elif mname == "Zoom_cat":
             c2 = sum(src_ch(j) for j in f_list)
             mod = M.ZoomCat()
