@@ -997,6 +997,22 @@ class DetectionModel:
                     outer[f"cv5_{i}_2"]["bias"] = jnp.full_like(outer[f"cv5_{i}_2"]["bias"], prior)
         return variables
 
+    def _check_input(self, x):
+        """Clear error for spatial dims not divisible by the max stride.
+
+        Mirrors the reference's check_imgsz guard (utils/checks.py) at the
+        library layer — without this, a bad size surfaces as an obscure
+        shape-mismatch deep in a Concat."""
+        s = max(self.strides)
+        h, w = x.shape[1], x.shape[2]
+        if h % s or w % s:
+            raise ValueError(
+                f"input spatial dims {h}x{w} must be divisible by the model's "
+                f"max stride {s}; pass an imgsz that check_imgsz/letterbox "
+                f"would produce (e.g. {max(s, -(-h // s) * s)}x"
+                f"{max(s, -(-w // s) * s)})"
+            )
+
     # -- functional forward ------------------------------------------------
     def apply(self, variables, x, train: bool = False, mutable=False, kw_temp=0.0,
               dn_gt=None, dn_rng=None, remat: bool = False):
@@ -1009,6 +1025,7 @@ class DetectionModel:
         `remat=True` recomputes per-layer internals in the backward pass
         (large-batch training).
         """
+        self._check_input(x)
         return self.module.apply(variables, x, train, mutable=mutable, kw_temp=kw_temp,
                                  dn_gt=dn_gt, dn_rng=dn_rng, remat=remat)
 
@@ -1020,6 +1037,7 @@ class DetectionModel:
         """
         from experiment_yolo_tpu.ops.anchors import decode_detections
 
+        self._check_input(x)
         out = self.module.apply(variables, x, False)
         if self.head_type == "RTDETRDecoder":
             h, w = x.shape[1:3]
@@ -1107,6 +1125,7 @@ class SegmentationModel(DetectionModel):
     def predict(self, variables, x):
         from experiment_yolo_tpu.ops.anchors import decode_detections
 
+        self._check_input(x)
         det, coeffs, protos = self.module.apply(variables, x, False)
         boxes, scores = decode_detections(det, self.strides, self.nc, self.reg_max)
         b = x.shape[0]
@@ -1134,6 +1153,7 @@ class PoseModel(DetectionModel):
         from experiment_yolo_tpu.nn.heads_extra import decode_kpts
         from experiment_yolo_tpu.ops.anchors import decode_detections
 
+        self._check_input(x)
         det, kpt_maps = self.module.apply(variables, x, False)
         boxes, scores = decode_detections(det, self.strides, self.nc, self.reg_max)
         kpts = decode_kpts(kpt_maps, self.strides, self.kpt_shape)
@@ -1155,6 +1175,7 @@ class OBBModel(DetectionModel):
         from experiment_yolo_tpu.nn.heads_extra import decode_obb_angle
         from experiment_yolo_tpu.ops.anchors import decode_rboxes
 
+        self._check_input(x)
         det, angle_maps = self.module.apply(variables, x, False)
         angle = decode_obb_angle(angle_maps)  # (B, A, 1)
         return decode_rboxes(det, angle, self.strides, self.nc, self.reg_max)

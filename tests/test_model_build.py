@@ -54,3 +54,14 @@ def test_forward_shapes_stats_and_priors():
     assert jnp.allclose(head["cv2_0_2"]["bias"], 1.0)
     want = math.log(5 / 80 / (640 / 8) ** 2)
     assert jnp.allclose(head["cv3_0_2"]["bias"], want)
+
+
+def test_non_stride_multiple_input_raises_clearly():
+    """Library-layer guard: bad imgsz must not surface as a Concat error."""
+    m = DetectionModel("yolov8n.yaml", nc=2)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 100, 100, 3))
+    with pytest.raises(ValueError, match="divisible by the model's max stride 32"):
+        m.apply(v, x)
+    with pytest.raises(ValueError, match="128x128"):
+        m.predict(v, x)
