@@ -329,9 +329,14 @@ class DetectionTrainer:
             self.callbacks.run("on_fit_epoch_end", trainer=self)
 
             if args.save and self.is_main:  # rank-0-only checkpoints
-                self._save(state, "last", epoch=epoch, best_fitness=best_fitness)
-                if fitness is not None and fitness >= best_fitness:
+                # update best_fitness BEFORE writing last/meta.yaml so a
+                # resume from `last` restores this epoch's best, not the
+                # previous one (reference trainer.py:846-862 updates first)
+                improved = fitness is not None and fitness >= best_fitness
+                if improved:
                     best_fitness = fitness
+                self._save(state, "last", epoch=epoch, best_fitness=best_fitness)
+                if improved:
                     self._save(state, "best", epoch=epoch, best_fitness=best_fitness)
                 if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
                     self._save(state, f"epoch{epoch + 1}", epoch=epoch, best_fitness=best_fitness)
@@ -366,11 +371,18 @@ class DetectionTrainer:
             f16 = self.model.apply(self.variables, x) if self.dtype == jnp.bfloat16 else f32
             f32_leaves = jax.tree.leaves(f32)
             f16_leaves = jax.tree.leaves(f16)
-            rel = max(
-                float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max() / (jnp.abs(b).max() + 1e-6))
-                for a, b in zip(f16_leaves, f32_leaves)
-            )
-            if rel > 0.5:
+            # relative L2 per output head, like the reference comparing real
+            # detection outputs (utils/checks.py:610-660) rather than a
+            # never-trips max-abs bound: bf16 through a deep net lands at a
+            # few % relative L2; >10% (or any non-finite) means real damage
+            rel = 0.0
+            finite = True
+            for a, b in zip(f16_leaves, f32_leaves):
+                a = a.astype(jnp.float32)
+                b = b.astype(jnp.float32)
+                finite = finite and bool(jnp.isfinite(a).all())
+                rel = max(rel, float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-6)))
+            if not finite or rel > 0.1:
                 LOGGER.info(f"AMP check failed (rel err {rel:.3f}) — disabling bf16 compute")
                 self.dtype = jnp.float32
                 # flax modules pin compute dtype at construction, so flipping
@@ -601,10 +613,15 @@ class DetectionTrainer:
         if isinstance(self.args.resume, (str, Path)) and str(self.args.resume) not in ("True", "true"):
             ckpt = Path(self.args.resume)
         else:
-            candidates = sorted(Path(self.args.project or "runs/detect").glob("*/weights/last/train_state"))
+            # mtime-based, like the reference's get_latest_run (utils/files.py):
+            # a lexical sort would pick train10 over train2
+            candidates = [
+                p for p in Path(self.args.project or "runs/detect").glob("*/weights/last/train_state")
+                if p.is_dir() or p.is_file()
+            ]
             if not candidates:
                 raise FileNotFoundError("resume=True but no previous run with a train_state was found")
-            ckpt = candidates[-1].parent
+            ckpt = max(candidates, key=lambda p: p.stat().st_mtime).parent
         ckptr = ocp.StandardCheckpointer()
         state = ckptr.restore((Path(ckpt) / "train_state").resolve(), template)
         meta = yaml_load(Path(ckpt) / "meta.yaml")

@@ -1003,6 +1003,12 @@ class DetectionModel:
         Mirrors the reference's check_imgsz guard (utils/checks.py) at the
         library layer — without this, a bad size surfaces as an obscure
         shape-mismatch deep in a Concat."""
+        if x.ndim != 4:
+            raise ValueError(
+                f"expected a batched NHWC input of rank 4, got shape "
+                f"{tuple(x.shape)} (rank {x.ndim}); add a batch dim with "
+                f"x[None] for a single image"
+            )
         s = max(self.strides)
         h, w = x.shape[1], x.shape[2]
         if h % s or w % s:

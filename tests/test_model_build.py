@@ -65,3 +65,40 @@ def test_non_stride_multiple_input_raises_clearly():
         m.apply(v, x)
     with pytest.raises(ValueError, match="128x128"):
         m.predict(v, x)
+
+
+def test_unbatched_input_raises_clearly():
+    """Rank guard: an (H,W,C) input must flag the missing batch dim, not
+    misread W/C as the spatial dims (ADVICE r3)."""
+    m = DetectionModel("yolov8n.yaml", nc=2)
+    v = m.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="rank 3.*batch dim"):
+        m.apply(v, jnp.zeros((128, 128, 3)))
+
+
+def test_silence_block_builds_and_passes_through():
+    """v9-style Silence input anchor: builds from a dict config and is an
+    exact pass-through for channels and values (reference v9 yamls use it
+    as layer 0)."""
+    cfg = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Silence", []],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+        ],
+        "head": [[[1, 2, 3], 1, "Detect", ["nc"]]],
+    }
+    m = DetectionModel(cfg)
+    assert m.strides == (2, 4, 8)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    outs = m.apply(v, x)
+    assert [o.shape for o in outs] == [(1, 32, 32, 66), (1, 16, 16, 66), (1, 8, 8, 66)]
+    # Silence itself is identity: channel bookkeeping recorded c2 == c1
+    from experiment_yolo_tpu.nn.modules import Silence
+
+    s = Silence()
+    y = s.apply({}, x)
+    assert (y == x).all()

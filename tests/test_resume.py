@@ -98,3 +98,32 @@ def _template(trainer, model):
         step=jnp.zeros([], jnp.int32),
         ema_updates=jnp.zeros([], jnp.int32),
     )
+
+
+def test_resume_true_picks_most_recent_run_by_mtime(tmp_path):
+    """resume=True must pick the most recently written run, not the
+    lexically-last one: `train10` sorts before `train2` but may be older
+    (reference get_latest_run is mtime-based, utils/files.py)."""
+    import os
+    import time
+
+    runs = tmp_path / "runs"
+    for name, age in [("train10", 100), ("train2", 0)]:  # train2 is NEWER
+        d = runs / name / "weights" / "last"
+        d.mkdir(parents=True)
+        (d / "train_state").mkdir()
+        (d / "meta.yaml").write_text("epoch: 0\nbest_fitness: 0.0\n")
+        t = time.time() - age
+        os.utime(d / "train_state", (t, t))
+
+    model = DetectionModel(TINY)
+    t3 = DetectionTrainer(
+        model=model,
+        variables=model.init(jax.random.PRNGKey(0)),
+        overrides={"data": "unused", "project": str(runs), "resume": True, "save": False, "val": False},
+    )
+    # orbax will fail to restore the empty dir — we only care which run was
+    # chosen, so intercept the path via the raised error
+    with pytest.raises(Exception) as ei:
+        t3._load_resume_state(None)
+    assert "train2" in str(ei.value) or "train2" in repr(ei.value)
