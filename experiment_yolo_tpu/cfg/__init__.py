@@ -26,7 +26,7 @@ CFG_FRACTION_KEYS = {
 }
 CFG_INT_KEYS = {
     "epochs", "patience", "batch", "workers", "seed", "close_mosaic", "max_det",
-    "save_period", "max_labels", "ema_tau", "nbs",
+    "save_period", "max_labels", "ema_tau", "nbs", "spatial",
 }
 CFG_BOOL_KEYS = {
     "save", "exist_ok", "pretrained", "verbose", "deterministic", "single_cls",

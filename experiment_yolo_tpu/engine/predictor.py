@@ -67,6 +67,26 @@ class DetectionPredictor:
         in_sh = getattr(getattr(model, "backend", None), "input_shape", None)
         if in_sh and isinstance(in_sh[1], int):
             self.imgsz = int(in_sh[1])  # ...and the image size
+        self._spatial_sh = None
+        sp = int(getattr(self.args, "spatial", 0) or 0)
+        if sp > 1:
+            if hasattr(model, "forward_host"):
+                raise ValueError("spatial partitioning needs a native (jit) model, "
+                                 "not an exported-artifact backend")
+            # Product surface for parallel/spatial.py: shard image rows over an
+            # N-way 'spatial' mesh axis; GSPMD partitions every conv with halo
+            # exchanges, so outputs are EXACT (unlike sliced_predict's seams).
+            from experiment_yolo_tpu.parallel import spatial as splib
+            from experiment_yolo_tpu.parallel.mesh import replicate
+
+            n_dev = len(jax.devices())
+            if n_dev % sp:
+                raise ValueError(
+                    f"spatial={sp} needs a device count divisible by it; have {n_dev}")
+            mesh = splib.make_mesh_spatial(n_dev // sp, sp)
+            splib._check_divisible(self.imgsz, mesh, int(max(model.strides)))
+            self.variables = replicate(self.variables, mesh)
+            self._spatial_sh = splib.image_sharding(mesh)
         if hasattr(model, "forward_host"):
             # exported artifact (AutoBackend): host forward + jitted NMS
             self._nms = jax.jit(self._nms_fn)
@@ -92,6 +112,8 @@ class DetectionPredictor:
         # uint8 in, normalize on device: 4x less host->device traffic and
         # the cast/divide fuses into the first conv's input pass
         imgs = imgs.astype(jnp.float32) / 255.0
+        if self._spatial_sh is not None:
+            imgs = jax.lax.with_sharding_constraint(imgs, self._spatial_sh)
         task = getattr(self.model, "task", "detect")
         if task == "segment":
             from experiment_yolo_tpu.nn.heads_extra import assemble_masks
