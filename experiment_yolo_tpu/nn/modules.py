@@ -386,22 +386,29 @@ def _ldconv_corner_setup(x, p):
 def _ldconv_window_gather(x, r0, c0):
     """(B,H,W,C), (B,h,w,N) corner base -> (B,h,w,N,2,2,C) corner windows.
 
-    ONE 2x2xC-window ``lax.gather`` per sample point instead of four row
-    gathers: all four bilinear corners arrive in a single wide (2 rows x 2C)
-    access — TPU DMA moves >=512B lines, so 4 separate C-row gathers at
-    C<=64 waste ~4x the bandwidth. Edge-replication padding makes the
-    (r0+1, c0+1) reads the clamped values, so the math is bit-identical to
-    the clipped 4-corner form (reference conv.py:389-470)."""
+    ONE row-packed (2 x 2C)-window ``lax.gather`` per sample point instead of
+    four row gathers: all four bilinear corners arrive in a single wide
+    access (reference does 4 separate corner gathers, conv.py:389-470).
+
+    Layout is the whole game on TPU (chip-measured, round 4): a gather whose
+    output has C minor pads the lane dimension 3->128 at C=3 — the
+    (B,h,w,N,2,2,C) window tensor for DEAL-LD layer 0 ballooned 42x to 20 GB
+    and OOM'd inference at batch 32. Packing W and C into one trailing axis
+    makes BOTH the padded source copy (B, H+1, (W+1)*C — lane-dense) and the
+    window output (minor dim 2C instead of C) tile-efficient; edge-
+    replication padding keeps the (r0+1, c0+1) reads the clamped values, so
+    the math is bit-identical to the clipped 4-corner form."""
     b, hx, wx, c = x.shape
     xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
-    starts = jnp.stack([r0, c0], axis=-1).astype(jnp.int32).reshape(b, -1, 2)
+    xp = xp.reshape(b, hx + 1, (wx + 1) * c)
+    starts = jnp.stack([r0, c0 * c], axis=-1).astype(jnp.int32).reshape(b, -1, 2)
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
     )
 
-    def gather_one(img, idx):  # (H+1, W+1, C), (Q, 2) -> (Q, 2, 2, C)
+    def gather_one(img, idx):  # (H+1, (W+1)C), (Q, 2) -> (Q, 2, 2C)
         return jax.lax.gather(
-            img, idx, dn, slice_sizes=(2, 2, c), mode=jax.lax.GatherScatterMode.CLIP
+            img, idx, dn, slice_sizes=(2, 2 * c), mode=jax.lax.GatherScatterMode.CLIP
         )
 
     g = jax.vmap(gather_one)(xp, starts)
@@ -463,21 +470,31 @@ def _ldconv_gather_bwd(res, dy):
     in_c = ((p[..., 1] >= 0.0) & (p[..., 1] <= wx - 1)).astype(dpc.dtype)
     dp = jnp.stack([dpr * in_r, dpc * in_c], axis=-1)
 
-    # dx: one flat scatter-add of the 4 weighted corner contributions;
-    # clamped duplicate indices accumulate, matching the forward's clamping
+    # dx: one scatter-add of the 4 weighted corner contributions; clamped
+    # duplicate indices accumulate, matching the forward's clamping. The
+    # operand is row-packed (H, W*C) — a (H*W, C)-shaped accumulator would
+    # lane-pad C -> 128 (6.7 GB at DEAL-LD layer 0, batch 32); packing keeps
+    # it dense and the (1, C) updates are the only padded temporary.
     r1 = jnp.minimum(r0 + 1, hx - 1)
     c1 = jnp.minimum(c0 + 1, wx - 1)
-    idx = jnp.stack(
-        [r0 * wx + c0, r0 * wx + c1, r1 * wx + c0, r1 * wx + c1], axis=-1
-    ).astype(jnp.int32)  # (B, h, w, N, 4)
+    rr = jnp.stack([r0, r0, r1, r1], axis=-1)  # (B, h, w, N, 4)
+    cc = jnp.stack([c0, c1, c0, c1], axis=-1)
+    idx = jnp.stack([rr, cc * c], axis=-1).astype(jnp.int32).reshape(b, -1, 2)
     w4 = jnp.stack([wr0 * wc0, wr0 * wc1, wr1 * wc0, wr1 * wc1], axis=-1)
-    vals = (w4[..., None] * dyf[..., None, :]).reshape(b, -1, c)  # (B, Q*4, C)
-    flat_idx = idx.reshape(b, -1)
+    vals = (w4[..., None] * dyf[..., None, :]).reshape(b, -1, 1, c)  # (B, Q*4, 1, C)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
 
-    def scat_one(zeros, fi, v):
-        return zeros.at[fi].add(v)
+    def scat_one(zeros, fi, v):  # (H, W*C), (Q4, 2), (Q4, 1, C)
+        return jax.lax.scatter_add(
+            zeros, fi, v, dn, mode=jax.lax.GatherScatterMode.CLIP
+        )
 
-    dx = jax.vmap(scat_one)(jnp.zeros((b, hx * wx, c), dy.dtype), flat_idx, vals)
+    dx = jax.vmap(scat_one)(
+        jnp.zeros((b, hx, wx * c), dy.dtype), idx, vals
+    )
     return dx.reshape(b, hx, wx, c).astype(x.dtype), dp.astype(p.dtype)
 
 
@@ -502,6 +519,26 @@ class LDConv(nn.Module):
     num_param: int = 3
     stride: int = 1
     dtype: Dtype = jnp.float32
+    # Cap on the row-packed window temporary per chunk (padded bytes). The
+    # gather + projection run chunked over output rows under lax.scan so
+    # peak HBM stays flat in batch; 96 MB keeps the temp comfortably under
+    # the v5e per-step working set while chunks stay wide enough to DMA well.
+    chunk_budget: int = 96 * 1024 * 1024
+
+    def _chunk(self, carry, x, p):
+        """One row-chunk: gather windows -> bilinear -> MXU projection.
+
+        Split out as a method so ``nn.scan`` lifts it with params broadcast —
+        the 'proj' Dense lives at the SAME param path whether or not the
+        layer chunks (checkpoint/converter compatibility)."""
+        b, hc, w, n, _ = p.shape
+        sampled = ldconv_bilinear_gather(x, p)  # (B, hc, w, N, C)
+        feat = sampled.reshape(b, hc, w, n * x.shape[-1]).astype(self.dtype)
+        y = nn.Dense(
+            features=self.c2, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="proj",
+        )(feat)
+        return carry, y
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -518,9 +555,10 @@ class LDConv(nn.Module):
             name="p_conv",
         )(x)  # (B, h, w, 2N)
         b, h, w, _ = offset.shape
-        off = offset.reshape(b, h, w, 2, n)
+        off = offset.reshape(b, h, w, 2, n).astype(jnp.float32)
         off_r, off_c = off[..., 0, :], off[..., 1, :]  # first N = rows, last N = cols
-        # base grid p_0 (stride grid) + kernel grid p_n + learned offsets
+        # base grid p_0 (stride grid) + kernel grid p_n + learned offsets;
+        # positions stay f32 (bf16's 8 mantissa bits can't hold row 320.7)
         p_n = ldconv_sample_grid(n)  # (N, 2)
         gr = jnp.arange(h, dtype=jnp.float32)[:, None] * self.stride
         gc = jnp.arange(w, dtype=jnp.float32)[None, :] * self.stride
@@ -528,15 +566,36 @@ class LDConv(nn.Module):
         pc = gc[None, :, :, None] + p_n[None, None, None, :, 1] + off_c
         p = jnp.stack([pr, pc], axis=-1)  # (B, h, w, N, 2)
 
-        # remat: the (B, h, w, N, 4, C) corner tensor is ~N*4x the input —
-        # storing it for backward OOMs DEAL-LD at batch 32/640 (22.1 GB >
-        # 15.75 GB HBM); recomputing the gather in the bwd pass trades a
-        # cheap re-gather for that residual
-        sampled = jax.checkpoint(ldconv_bilinear_gather)(x, p)  # (B, h, w, N, C)
-        feat = sampled.reshape(b, h, w, n * x.shape[-1])
-        y = nn.Dense(
-            features=self.c2, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
-        )(feat)
+        # Sample in the compute dtype: layer 0 receives the f32 image and
+        # would otherwise move f32 windows (2x the bytes of every other
+        # bandwidth-bound op in a bf16 model).
+        x = x.astype(self.dtype)
+
+        # Chunk output rows so the row-packed window temporary stays under
+        # chunk_budget regardless of batch (unchunked, DEAL-LD layer 0 at
+        # batch 32/640px is a 9.8M-window, multi-GB tensor). Lane padding:
+        # the window's trailing 2C pads up to one 128-lane tile.
+        c_in = x.shape[-1]
+        lane = max(2 * c_in, 128)
+        bytes_per_row = b * w * n * 2 * lane * jnp.dtype(self.dtype).itemsize
+        hc = max(1, min(h, self.chunk_budget // max(bytes_per_row, 1)))
+        while h % hc:  # largest divisor of h <= budget rows (no pad rows)
+            hc -= 1
+
+        if hc == h:
+            _, y = self._chunk(None, x, p)
+        else:
+            pch = jnp.moveaxis(p.reshape(b, h // hc, hc, w, n, 2), 1, 0)
+            scan = nn.scan(
+                nn.remat(type(self)._chunk, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=(nn.broadcast, 0),
+                out_axes=0,
+            )
+            _, ych = scan(self, None, x, pch)  # (h/hc, B, hc, w, c2)
+            y = jnp.moveaxis(ych, 0, 1).reshape(b, h, w, self.c2)
+
         y = MemBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=self.dtype, param_dtype=jnp.float32, name="bn",

@@ -55,6 +55,9 @@ class _Batcher:
         self.q: "queue.Queue[tuple]" = queue.Queue()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
+        # coalescing observability (served via /health): how many device
+        # batches ran, total items, and the largest batch actually coalesced
+        self.stats = {"batches": 0, "items": 0, "max_batch": 0}
 
     def submit(self, img: np.ndarray) -> Future:
         fut: Future = Future()
@@ -84,6 +87,9 @@ class _Batcher:
             if not items:
                 continue
             imgs = [im for im, _ in items]
+            self.stats["batches"] += 1
+            self.stats["items"] += len(items)
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(items))
             try:
                 t0 = time.perf_counter()
                 results = self.predictor(imgs)
@@ -146,6 +152,7 @@ class DetectionServer:
                         "model": getattr(server.yolo.model, "yaml", {}).get("yaml_file", "model"),
                         "batch": server.batch, "imgsz": server.imgsz,
                         "queue": server.batcher.q.qsize(),
+                        "batching": dict(server.batcher.stats),
                     })
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})

@@ -74,6 +74,27 @@ def test_concurrent_requests_batched(server):
     assert not errs and all(o is not None and "detections" in o for o in outs)
 
 
+def test_batching_window_coalesces():
+    """The dynamic-batching window must actually coalesce concurrent
+    requests into one device batch (VERDICT r3 item 6): with a generous
+    window, N submits inside it run as a single batch — observable through
+    the batcher's stats, which /health also reports."""
+    s = DetectionServer(TINY, batch=4, imgsz=64, conf=1e-4, max_wait_ms=500)
+    port = s.start(port=0)
+    try:
+        img = np.random.RandomState(0).randint(0, 255, (60, 80, 3), np.uint8)
+        futs = [s.batcher.submit(img) for _ in range(4)]
+        for f in futs:
+            f.result(timeout=120)
+        assert s.batcher.stats["max_batch"] >= 2, s.batcher.stats
+        assert s.batcher.stats["items"] >= 4
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["batching"]["max_batch"] >= 2
+    finally:
+        s.stop()
+
+
 def test_bad_requests(server):
     _, port = server
     req = urllib.request.Request(f"http://127.0.0.1:{port}/predict", data=b"not an image")
