@@ -95,6 +95,41 @@ def iter_images_and_videos(source, vid_stride: int = 1) -> Iterator[Frame]:
         yield str(p), img, {"kind": "image"}
 
 
+def _is_youtube(s) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(str(s)).hostname in ("www.youtube.com", "youtube.com", "youtu.be")
+
+
+def get_best_youtube_url(url: str) -> str:
+    """Resolve a YouTube page URL to its best MP4 video-stream URL
+    (reference loaders.py:504). Tries yt_dlp first, then pafy — neither
+    ships in this image (and the build environment has no egress), so the
+    failure mode is a clear install hint rather than cv2's opaque
+    open-failure on the page URL."""
+    try:
+        import yt_dlp  # type: ignore
+
+        with yt_dlp.YoutubeDL({"quiet": True}) as ydl:
+            info = ydl.extract_info(url, download=False)
+        for f in reversed(info.get("formats", [])):  # best is usually last
+            good = (f.get("width") or 0) >= 1920 or (f.get("height") or 0) >= 1080
+            if good and f.get("vcodec") != "none" and f.get("acodec") == "none" \
+                    and f.get("ext") == "mp4":
+                return f.get("url")
+        raise ConnectionError(f"no suitable mp4 stream found for {url!r}")
+    except ImportError:
+        pass
+    try:
+        import pafy  # type: ignore
+
+        return pafy.new(url).getbestvideo(preftype="mp4").url
+    except ImportError:
+        raise ImportError(
+            "YouTube sources need 'yt-dlp' (or 'pafy'); pip install yt-dlp"
+        ) from None
+
+
 class LoadStreams:
     """Threaded multi-stream reader (reference loaders.py:33).
 
@@ -108,7 +143,11 @@ class LoadStreams:
             sources = [s.strip() for s in Path(sources).read_text().splitlines() if s.strip()]
         elif not isinstance(sources, (list, tuple)):
             sources = [sources]
-        self.sources = [int(s) if str(s).isnumeric() else s for s in sources]
+        self.sources = [
+            int(s) if str(s).isnumeric()
+            else get_best_youtube_url(s) if _is_youtube(s) else s
+            for s in sources
+        ]
         self.vid_stride = vid_stride
         self.buffer = buffer
         self.running = True

@@ -117,6 +117,14 @@ class DetectionValidator:
         data, dataset, loader, infer = self._setup(model)
         order = loader.image_order()
         metrics = DetMetrics(data["names"])
+        cm = None
+        if getattr(args, "plots", False):
+            from experiment_yolo_tpu.utils.metrics import ConfusionMatrix
+
+            # reference metrics.py:912: 0.25 when conf is unset/val-default
+            c = args.conf
+            cm = ConfusionMatrix(nc=len(data["names"]),
+                                 conf=0.25 if c in (None, 0.001) else float(c))
 
         n_images = len(dataset)
         seen = 0
@@ -163,6 +171,10 @@ class DetectionValidator:
                     iou = box_iou_np(pb, gt)
                     tp = match_predictions(d[:, 5], cls, iou)
                 metrics.update(tp, d[:, 4], d[:, 5], cls)
+                if cm is not None:
+                    cm.process_batch(
+                        np.concatenate([pb, d[:, 4:6]], 1) if n else None, gt, cls
+                    )
                 if args.save_json:
                     from pathlib import Path as _P
 
@@ -190,6 +202,13 @@ class DetectionValidator:
             out.write_text(json.dumps(json_dets))
             LOGGER.info(f"val: saved {len(json_dets)} detections to {out}")
         stats = metrics.result()
+        if cm is not None:
+            from pathlib import Path as _P
+
+            sd = _P(args.project or "runs/detect")
+            written = metrics.plot(sd)  # PR/F1/P/R curves (metrics.py:1060)
+            written.append(cm.plot(sd / "confusion_matrix.png", data["names"]))
+            LOGGER.info(f"val: saved {len(written)} figures to {sd}")
         dt = time.time() - t0
         if getattr(args, "verbose", True):
             LOGGER.info(

@@ -9,6 +9,7 @@ accumulation is not a jit target (same design as the reference).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -74,11 +75,16 @@ def ap_per_class(
     pred_cls: np.ndarray,  # (N,)
     target_cls: np.ndarray,  # (Ngt,)
     eps: float = 1e-16,
+    curves: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Per-class precision/recall/AP (reference metrics.py:1142).
 
     Returns dict with p, r, ap (nc_present, 10), f1, unique_classes —
     precision/recall reported at max-F1 confidence like the reference.
+    With ``curves=True`` also returns the figure inputs (reference
+    metrics.py:537-546 with plot=True): ``px`` (1000,), the per-class
+    P/R/F1-vs-confidence curves, and ``prec_values`` — precision vs recall
+    at IoU 0.5, interpolated to px, for the PR-curve figure.
     """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
@@ -88,6 +94,7 @@ def ap_per_class(
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
     x = np.linspace(0, 1, 1000)
+    prec_values = np.zeros((nc, 1000))
     for ci, c in enumerate(unique_classes):
         i = pred_cls == c
         n_l = nt[ci]
@@ -101,11 +108,13 @@ def ap_per_class(
         r_curve[ci] = np.interp(-x, -conf[i], recall[:, 0], left=0)
         p_curve[ci] = np.interp(-x, -conf[i], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if curves and j == 0:
+                prec_values[ci] = np.interp(x, mrec, mpre)
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = int(smooth(f1_curve.mean(0), 0.1).argmax())
     p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
-    return {
+    out = {
         "p": p,
         "r": r,
         "f1": f1,
@@ -113,6 +122,10 @@ def ap_per_class(
         "unique_classes": unique_classes.astype(int),
         "nt": nt,
     }
+    if curves:
+        out.update(px=x, p_curve=p_curve, r_curve=r_curve, f1_curve=f1_curve,
+                   prec_values=prec_values)
+    return out
 
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
@@ -182,6 +195,7 @@ class ConfusionMatrix:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
         m = self.matrix.astype(float)
         if normalize:
             m = m / (m.sum(0, keepdims=True) + 1e-9)
@@ -240,3 +254,32 @@ class DetMetrics:
         }
         self.per_class = r
         return out
+
+    def plot(self, save_dir: str | Path = ".") -> list:
+        """Save PR / F1 / P / R curve figures (reference metrics.py:1060-1107
+        plot_pr_curve + plot_mc_curve). Returns the written paths."""
+        from pathlib import Path as _P
+
+        from experiment_yolo_tpu.utils.plotting import plot_mc_curve, plot_pr_curve
+
+        if not self._tp or sum(len(t) for t in self._target_cls) == 0:
+            return []
+        tp = np.concatenate(self._tp)  # (0, 10) is fine: zero curves
+        r = ap_per_class(tp, np.concatenate(self._conf),
+                         np.concatenate(self._pred_cls),
+                         np.concatenate(self._target_cls), curves=True)
+        names = {int(c): self.names.get(int(c), str(int(c)))
+                 for c in r["unique_classes"]}
+        sd = _P(save_dir)
+        sd.mkdir(parents=True, exist_ok=True)
+        written = [
+            plot_pr_curve(r["px"], r["prec_values"], r["ap"][:, 0],
+                          sd / "PR_curve.png", names),
+            plot_mc_curve(r["px"], r["f1_curve"], sd / "F1_curve.png", names,
+                          ylabel="F1"),
+            plot_mc_curve(r["px"], r["p_curve"], sd / "P_curve.png", names,
+                          ylabel="Precision"),
+            plot_mc_curve(r["px"], r["r_curve"], sd / "R_curve.png", names,
+                          ylabel="Recall"),
+        ]
+        return written

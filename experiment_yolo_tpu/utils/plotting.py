@@ -153,6 +153,78 @@ def plot_labels(bboxes: np.ndarray, cls: np.ndarray, save_dir: str | Path = ".",
     return out
 
 
+def plot_pr_curve(px: np.ndarray, py: np.ndarray, ap50: np.ndarray,
+                  save_path: str | Path, names: Optional[dict] = None) -> Path:
+    """Precision-recall curve figure (reference metrics.py:1060
+    plot_pr_curve): one line per class (legend when <21 classes) plus the
+    bold all-classes mean annotated with mAP@0.5."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = names or {}
+    py = np.asarray(py, np.float32).reshape(-1, len(px))
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py):
+            label = list(names.values())[i] if i < len(names) else str(i)
+            ax.plot(px, y, linewidth=1, label=f"{label} {ap50[i]:.3f}")
+        ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize="small")
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    ax.plot(px, py.mean(0), linewidth=3, color="blue",
+            label=f"all classes {ap50.mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.set_title("Precision-Recall Curve")
+    out = Path(save_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def plot_mc_curve(px: np.ndarray, py: np.ndarray, save_path: str | Path,
+                  names: Optional[dict] = None, xlabel: str = "Confidence",
+                  ylabel: str = "Metric") -> Path:
+    """Metric-confidence curve figure (reference metrics.py:1087
+    plot_mc_curve): per-class curves plus the smoothed all-classes mean
+    annotated with its peak value and confidence."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from experiment_yolo_tpu.utils.metrics import smooth
+
+    names = names or {}
+    py = np.asarray(py, np.float32).reshape(-1, len(px))
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py):
+            label = list(names.values())[i] if i < len(names) else str(i)
+            ax.plot(px, y, linewidth=1, label=label)
+        ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left", fontsize="small")
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = smooth(py.mean(0), 0.05)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.set_title(f"{ylabel}-{xlabel} Curve")
+    out = Path(save_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
 def feature_visualization(x, module_type: str, stage: int, n: int = 32,
                           save_dir: str | Path = "runs/features") -> Optional[Path]:
     """Save a grid of the first n channels of a feature map

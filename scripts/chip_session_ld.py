@@ -3,10 +3,13 @@
 The paper's headline 0.914M model (reference README.md:61,63; LDConv at
 reference ultralytics/nn/modules/conv.py:350-480) had no measured chip
 throughput through round 3. One process so the compile cache amortizes the
-relay's cold-compile cost; one JSON line per leg plus a final summary.
+relay's cold-compile cost; one JSON line per leg plus a final summary, and
+every leg's result is flushed to --out (default /tmp/ld_session.json) so a
+backend crash mid-session cannot eat earlier measurements. The risky
+big-batch legs run LAST for the same reason, with a backend re-probe
+between legs.
 
-Usage: python scripts/chip_session_ld.py [--quick]
-  --quick: infer b64 + train b32 only.
+Usage: python scripts/chip_session_ld.py [--quick] [--out PATH]
 """
 
 from __future__ import annotations
@@ -23,6 +26,9 @@ import bench  # noqa: E402
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    out_path = "/tmp/ld_session.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
     if not bench.probe_backend(timeout_s=240, retries=2, wait_s=60):
         print(json.dumps({"error": "tpu backend unreachable"}))
         return
@@ -34,6 +40,9 @@ def main() -> None:
 
     out = {}
 
+    def flush():
+        Path(out_path).write_text(json.dumps(out, indent=1))
+
     def leg(name, fn):
         try:
             t0 = time.time()
@@ -42,34 +51,41 @@ def main() -> None:
             print(json.dumps({"leg": name, "img_s": round(v, 1),
                               "wall_s": round(time.time() - t0, 1)}), flush=True)
         except Exception as e:
-            out[name] = f"{type(e).__name__}: {e}"
+            out[name] = f"{type(e).__name__}: {str(e)[:300]}"
             print(json.dumps({"leg": name, "error": out[name]}), flush=True)
+            # a worker crash poisons the client; give the relay time to heal
+            # and confirm it's back before the next leg
+            time.sleep(30)
+            bench.probe_backend(timeout_s=240, retries=3, wait_s=60)
+        flush()
 
     m = DetectionModel("yolov8-LD-P2.yaml", dtype=jnp.bfloat16)
     v = m.init(jax.random.PRNGKey(0))
     n_params = sum(x.size for x in jax.tree.leaves(v["params"]))
+    out["params"] = n_params
     print(json.dumps({"model": "yolov8-LD-P2", "params": n_params}), flush=True)
 
-    # ---- inference sweep (the ASF sweet spot was b128; LD's gather may
-    # shift it — the (B,h,w,N,C) sampled tensor scales with B) ----
     if quick:
         leg("ld_infer_b64", lambda: bench.bench_batch(m, v, 64))
-    else:
-        for b in (32, 64, 128):
-            leg(f"ld_infer_b{b}", lambda b=b: bench.bench_batch(m, v, b))
-        fl = bench.forward_flops(m, v, 64)
-        if fl:
-            out["ld_gflop_per_img"] = round(fl / 64 / 1e9, 2)
-            print(json.dumps({"leg": "flops", "gflop_per_img": out["ld_gflop_per_img"]}),
-                  flush=True)
-
-    # ---- train step sweep (remat'd gather; b128 may still OOM) ----
-    if quick:
         leg("ld_train_b32", lambda: bench.bench_train_step("yolov8-LD-P2.yaml", batch=32))
-    else:
-        for b in (32, 64, 128):
-            leg(f"ld_train_b{b}",
-                lambda b=b: bench.bench_train_step("yolov8-LD-P2.yaml", batch=b))
+        print(json.dumps(out), flush=True)
+        return
+
+    # safe legs first, big-batch legs last (a b128 fault must not cost the
+    # session the numbers it already has)
+    for b in (32, 64):
+        leg(f"ld_infer_b{b}", lambda b=b: bench.bench_batch(m, v, b))
+    fl = bench.forward_flops(m, v, 32)
+    if fl:
+        out["ld_gflop_per_img"] = round(fl / 32 / 1e9, 2)
+        print(json.dumps({"leg": "flops", "gflop_per_img": out["ld_gflop_per_img"]}),
+              flush=True)
+        flush()
+    for b in (32, 64):
+        leg(f"ld_train_b{b}",
+            lambda b=b: bench.bench_train_step("yolov8-LD-P2.yaml", batch=b))
+    leg("ld_infer_b128", lambda: bench.bench_batch(m, v, 128))
+    leg("ld_train_b128", lambda: bench.bench_train_step("yolov8-LD-P2.yaml", batch=128))
 
     print(json.dumps(out), flush=True)
 

@@ -77,3 +77,47 @@ def test_empty_metrics():
     # detections but no gt anywhere
     m.update(np.zeros((2, 10), bool), np.asarray([0.5, 0.4]), np.zeros(2), np.zeros(0))
     assert m.result()["mAP50"] == 0.0
+
+
+def test_val_plots_curve_figures(tmp_path):
+    """plots=True validation writes PR/F1/P/R curves + confusion matrix
+    (reference metrics.py:1060-1107 plot_pr_curve/plot_mc_curve)."""
+    import jax
+    from pathlib import Path
+
+    from experiment_yolo_tpu.data import make_synthetic_dataset
+    from experiment_yolo_tpu.engine.validator import DetectionValidator
+    from experiment_yolo_tpu.nn.tasks import DetectionModel
+
+    data = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=4, imgsz=96)
+    tiny = str(Path(__file__).parent / "assets" / "tiny.yaml")
+    model = DetectionModel(tiny, nc=3)
+    variables = model.init(jax.random.PRNGKey(0))
+    v = DetectionValidator(args={"data": str(data), "imgsz": 96, "batch": 4,
+                                 "plots": True, "project": str(tmp_path / "out"),
+                                 "verbose": False})
+    v(model, variables)
+    for f in ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png",
+              "confusion_matrix.png"):
+        assert (tmp_path / "out" / f).exists(), f
+
+
+def test_ap_per_class_curves_shapes():
+    import numpy as np
+
+    from experiment_yolo_tpu.utils.metrics import ap_per_class
+
+    rng = np.random.RandomState(0)
+    n = 200
+    tp = rng.rand(n, 10) > 0.5
+    r = ap_per_class(tp, rng.rand(n), rng.randint(0, 3, n),
+                     rng.randint(0, 3, 50), curves=True)
+    assert r["px"].shape == (1000,)
+    k = len(r["unique_classes"])
+    for key in ("p_curve", "r_curve", "f1_curve", "prec_values"):
+        assert r[key].shape == (k, 1000), key
+    # curve outputs must not change the headline metrics
+    r2 = ap_per_class(tp, rng.rand(n), rng.randint(0, 3, n),
+                      rng.randint(0, 3, 50))
+    assert set(r2) <= set(ap_per_class(tp, rng.rand(n), rng.randint(0, 3, n),
+                                       rng.randint(0, 3, 50), curves=True))

@@ -107,3 +107,50 @@ def test_predict_stream_generator_over_video(tmp_path):
     assert first.orig_img.shape == (128, 128, 3)
     rest = list(gen)
     assert len(rest) == 5
+
+
+def test_youtube_url_resolution_mocked(monkeypatch):
+    """get_best_youtube_url picks the best mp4 video-only stream via yt_dlp
+    (reference loaders.py:504); without the package it raises an install
+    hint instead of cv2's opaque open failure."""
+    import sys
+    import types
+
+    from experiment_yolo_tpu.data import loaders
+
+    fake = types.ModuleType("yt_dlp")
+
+    class _YDL:
+        def __init__(self, opts):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def extract_info(self, url, download=False):
+            return {"formats": [
+                {"width": 640, "height": 360, "vcodec": "avc1", "acodec": "none",
+                 "ext": "mp4", "url": "https://cdn/small.mp4"},
+                {"width": 1920, "height": 1080, "vcodec": "avc1", "acodec": "none",
+                 "ext": "mp4", "url": "https://cdn/best.mp4"},
+                {"width": 1920, "height": 1080, "vcodec": "avc1", "acodec": "aac",
+                 "ext": "mp4", "url": "https://cdn/muxed.mp4"},
+            ]}
+
+    fake.YoutubeDL = _YDL
+    monkeypatch.setitem(sys.modules, "yt_dlp", fake)
+    url = loaders.get_best_youtube_url("https://www.youtube.com/watch?v=x")
+    assert url == "https://cdn/best.mp4"
+
+    monkeypatch.setitem(sys.modules, "yt_dlp", None)  # import -> ImportError
+    monkeypatch.setitem(sys.modules, "pafy", None)
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError, match="yt-dlp"):
+        loaders.get_best_youtube_url("https://youtu.be/x")
+
+    assert loaders._is_youtube("https://youtu.be/abc")
+    assert not loaders._is_youtube("rtsp://cam/1")
