@@ -118,12 +118,24 @@ def entrypoint(argv: List[str] | None = None) -> Any:
         data = kv.get("data")
         if not data:
             raise SyntaxError("usage: yolo-tpu explorer data=<dataset dir> "
-                              "[model=...yaml] [similar=<idx|image path>] [topk=5] [imgsz=256]")
+                              "[model=...yaml] [similar=<idx|image path>] [topk=5] [imgsz=256] "
+                              "[sql=\"WHERE labels LIKE '%person%'\"] [plot=out.jpg]")
         from experiment_yolo_tpu import YOLO
         from experiment_yolo_tpu.data.explorer import Explorer
 
         m = YOLO(kv.get("model", "yolov8n.yaml"))
-        ex = Explorer(data, m.model, m.variables, imgsz=int(kv.get("imgsz", 256)))
+        ex = Explorer(data, m.model, m.variables, imgsz=int(kv.get("imgsz", 256)),
+                      names=getattr(m, "names", None))
+        sql = kv.get("sql")
+        if sql is not None:  # label-only query: no need to embed the dataset
+            if kv.get("plot"):
+                ex.plot_sql_query(str(sql), save_path=str(kv["plot"]))
+                LOGGER.info(f"explorer: query figure saved to {kv['plot']}")
+            rows = ex.sql_query(str(sql))
+            for r in rows:
+                LOGGER.info(f"  #{r['idx']} {r['im_file']} labels={r['labels']}")
+            LOGGER.info(f"explorer: {len(rows)} rows matched")
+            return rows
         ex.build()
         LOGGER.info(f"class counts: {ex.class_counts()}")
         sim = kv.get("similar")

@@ -50,14 +50,21 @@ def main() -> None:
             out[name] = round(v, 1)
             print(json.dumps({"leg": name, "img_s": round(v, 1),
                               "wall_s": round(time.time() - t0, 1)}), flush=True)
+            flush()
+            return True
         except Exception as e:
             out[name] = f"{type(e).__name__}: {str(e)[:300]}"
             print(json.dumps({"leg": name, "error": out[name]}), flush=True)
+            flush()
             # a worker crash poisons the client; give the relay time to heal
             # and confirm it's back before the next leg
             time.sleep(30)
-            bench.probe_backend(timeout_s=240, retries=3, wait_s=60)
-        flush()
+            if not bench.probe_backend(timeout_s=240, retries=3, wait_s=60):
+                out["aborted"] = f"backend unreachable after {name}"
+                print(json.dumps({"abort": out["aborted"]}), flush=True)
+                flush()
+                sys.exit(1)
+            return False
 
     m = DetectionModel("yolov8-LD-P2.yaml", dtype=jnp.bfloat16)
     v = m.init(jax.random.PRNGKey(0))
@@ -71,11 +78,18 @@ def main() -> None:
         print(json.dumps(out), flush=True)
         return
 
-    # safe legs first, big-batch legs last (a b128 fault must not cost the
-    # session the numbers it already has)
+    # canary first (small batch: a crash here means the program itself faults,
+    # not memory pressure), then safe legs, big-batch legs last (a b128 fault
+    # must not cost the session the numbers it already has)
+    leg("ld_infer_b8", lambda: bench.bench_batch(m, v, 8))
     for b in (32, 64):
         leg(f"ld_infer_b{b}", lambda b=b: bench.bench_batch(m, v, b))
-    fl = bench.forward_flops(m, v, 32)
+    try:
+        fl = bench.forward_flops(m, v, 32)
+    except Exception as e:
+        fl = None
+        print(json.dumps({"leg": "flops", "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+              flush=True)
     if fl:
         out["ld_gflop_per_img"] = round(fl / 32 / 1e9, 2)
         print(json.dumps({"leg": "flops", "gflop_per_img": out["ld_gflop_per_img"]}),
