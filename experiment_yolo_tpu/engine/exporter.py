@@ -8,6 +8,10 @@ torch tracing). The TPU-native export surface is the XLA ecosystem:
 - **saved_model** — jax2tf-converted TF SavedModel (TF Serving, TF Hub).
 - **tflite** — TFLite flatbuffer via the TF converter (edge devices; the
   reference's tflite/edgetpu path).
+- **pb / tfjs / edgetpu** — derived from the saved_model path like the
+  reference's (exporter.py:91): frozen GraphDef always works; tfjs and
+  edgetpu need their converter tool (clear install hint when absent, with
+  the convertible half already written).
 
 The exported function is the full fused predict path: uint8 NHWC batch ->
 normalize -> backbone -> DFL decode -> (boxes, scores). NMS stays outside
@@ -25,7 +29,7 @@ import numpy as np
 
 from experiment_yolo_tpu.utils import LOGGER
 
-FORMATS = ("stablehlo", "saved_model", "tflite", "onnx")
+FORMATS = ("stablehlo", "saved_model", "tflite", "onnx", "pb", "tfjs", "edgetpu")
 
 
 class Exporter:
@@ -92,6 +96,12 @@ class Exporter:
             return self.export_tflite(path, int8=int8, half=half, data=data)
         if fmt == "onnx":
             return self.export_onnx(path)
+        if fmt == "pb":
+            return self.export_pb(path)
+        if fmt == "tfjs":
+            return self.export_tfjs(path)
+        if fmt == "edgetpu":
+            return self.export_edgetpu(path, data=data)
         raise ValueError(f"unknown export format {fmt!r}; expected one of {FORMATS}")
 
     def export_onnx(self, path: Path) -> Path:
@@ -218,6 +228,72 @@ class Exporter:
         self._write_meta(path)
         LOGGER.info(f"export: tflite -> {path} ({len(blob) / 1e6:.1f} MB)")
         return path
+
+
+    def export_pb(self, path: Path) -> Path:
+        """Frozen TF GraphDef (.pb) — the reference's ``format='pb'``
+        (its exporter.py:91 row 'TensorFlow GraphDef'): the saved_model
+        concrete function with variables folded into constants."""
+        import tensorflow as tf
+        from tensorflow.python.framework.convert_to_constants import (
+            convert_variables_to_constants_v2,
+        )
+
+        module = self._tf_module()
+        frozen = convert_variables_to_constants_v2(module.f.get_concrete_function())
+        path = path.with_suffix(".pb")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tf.io.write_graph(frozen.graph.as_graph_def(), str(path.parent), path.name,
+                          as_text=False)
+        self._write_meta(path)
+        LOGGER.info(f"export: pb -> {path} ({path.stat().st_size / 1e6:.1f} MB)")
+        return path
+
+    def export_tfjs(self, path: Path) -> Path:
+        """TensorFlow.js graph model (reference ``format='tfjs'``,
+        exporter.py:91): saved_model -> tfjs via the tensorflowjs converter.
+        The converter package doesn't ship in this image, so without it this
+        exports the saved_model and raises a clear install hint."""
+        sm = self.export_saved_model(path.with_name(path.name + "_saved_model"))
+        try:
+            from tensorflowjs.converters import convert_tf_saved_model  # type: ignore
+        except ImportError:
+            raise ImportError(
+                f"tfjs export needs the 'tensorflowjs' package (pip install "
+                f"tensorflowjs). The SavedModel half is ready at {sm} — run "
+                f"`tensorflowjs_converter --input_format=tf_saved_model {sm} "
+                f"{path}` once installed."
+            ) from None
+        path.mkdir(parents=True, exist_ok=True)
+        convert_tf_saved_model(str(sm), str(path))
+        self._write_meta(path / "model.json")
+        LOGGER.info(f"export: tfjs -> {path}")
+        return path
+
+    def export_edgetpu(self, path: Path, data=None) -> Path:
+        """Edge TPU .tflite (reference ``format='edgetpu'``, exporter.py:91):
+        int8 tflite compiled by the ``edgetpu_compiler`` binary. Without the
+        compiler on PATH this still writes the int8 tflite and raises a
+        clear install hint (the reference hard-requires the binary too,
+        its exporter.py export_edgetpu)."""
+        import shutil
+        import subprocess
+
+        tfl = self.export_tflite(path.with_name(path.stem + "_int8"), int8=True,
+                                 data=data)
+        if not shutil.which("edgetpu_compiler"):
+            raise RuntimeError(
+                f"edgetpu export needs the 'edgetpu_compiler' binary "
+                f"(https://coral.ai/docs/edgetpu/compiler/). The int8 tflite "
+                f"half is ready at {tfl} — run `edgetpu_compiler -s {tfl}` "
+                f"once installed."
+            )
+        subprocess.run(["edgetpu_compiler", "-s", "-d", "-k", "10",
+                        "-o", str(tfl.parent), str(tfl)], check=True)
+        out = tfl.with_name(tfl.stem + "_edgetpu.tflite")
+        self._write_meta(out)
+        LOGGER.info(f"export: edgetpu -> {out}")
+        return out
 
 
 def load_stablehlo_exported(path: str | Path):

@@ -68,6 +68,28 @@ class AutoBackend:
             spec = self._tf_mod.f.input_signature[0]
             self.input_shape = tuple(int(d) for d in spec.shape)
             self._read_sidecar_meta(src)
+        elif self.format == "pb":
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(Path(src).read_bytes())
+            # frozen-graph IO discovery (reference autobackend.py gd_outputs):
+            # inputs are the Placeholder ops; outputs are nodes nobody consumes
+            consumed = {i.split(":")[0].lstrip("^") for n in gd.node for i in n.input}
+            in_names = [n.name for n in gd.node if n.op == "Placeholder"]
+            out_names = [n.name for n in gd.node
+                         if n.name not in consumed and n.op != "NoOp"]
+            wrapped = tf.compat.v1.wrap_function(
+                lambda: tf.compat.v1.import_graph_def(gd, name=""), []
+            )
+            ge = wrapped.graph.as_graph_element
+            self._pb_fn = wrapped.prune(
+                [ge(f"{n}:0") for n in in_names], [ge(f"{n}:0") for n in out_names]
+            )
+            self.input_shape = tuple(
+                int(d) for d in self._pb_fn.inputs[0].shape
+            ) if self._pb_fn.inputs[0].shape.rank else None
+            self._read_sidecar_meta(src)
         elif self.format == "tflite":
             import tensorflow as tf
 
@@ -135,6 +157,8 @@ class AutoBackend:
             return "tflite"
         if src.endswith(".onnx"):
             return "onnx"
+        if src.endswith(".pb") and p.is_file():
+            return "pb"
         if p.is_dir() and (p / "saved_model.pb").exists():
             return "saved_model"
         if p.is_dir() and (p / "meta.yaml").exists():
@@ -164,6 +188,16 @@ class AutoBackend:
             return np.asarray(out[0]), np.asarray(out[1])
         if self.format == "saved_model":
             outs = self._tf_mod.f(np.asarray(imgs, np.uint8))
+            outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+            if len(outs) == 1:
+                return np.asarray(outs[0]), np.asarray(outs[0])
+            return np.asarray(outs[0]), np.asarray(outs[1])
+        if self.format == "pb":
+            import tensorflow as tf
+
+            # pruned frozen-graph funcs reject raw ndarrays (their flat
+            # signature binds Tensors only)
+            outs = self._pb_fn(tf.constant(np.asarray(imgs, np.uint8)))
             outs = outs if isinstance(outs, (tuple, list)) else (outs,)
             if len(outs) == 1:
                 return np.asarray(outs[0]), np.asarray(outs[0])

@@ -74,7 +74,7 @@ def benchmark_formats(
     variables,
     imgsz: int = 320,
     iters: int = 10,
-    formats=("stablehlo", "saved_model", "tflite", "onnx"),
+    formats=("stablehlo", "saved_model", "tflite", "onnx", "pb", "tfjs", "edgetpu"),
     export_dir=None,
 ) -> list:
     """All-format benchmark table (reference utils/benchmarks.py:benchmark):

@@ -228,3 +228,40 @@ def test_pose_obb_onnx_export(yaml_name, cls_name, n_out, tmp_path):
     assert len(got) == n_out
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, np.asarray(w), atol=1e-3, rtol=1e-3)
+
+
+def test_pb_export_roundtrip(setup, tmp_path):
+    """Frozen GraphDef export (reference exporter.py:91 'pb' row) loads back
+    through AutoBackend and matches the live model."""
+    pytest.importorskip("tensorflow")
+    from experiment_yolo_tpu.nn.autobackend import AutoBackend
+
+    model, variables = setup
+    ex = Exporter(model, variables, imgsz=64, batch=1)
+    p = ex("pb", tmp_path / "tiny")
+    assert p.exists() and p.stat().st_size > 1000
+    ab = AutoBackend(str(p))
+    assert ab.format == "pb" and ab.input_shape == (1, 64, 64, 3)
+    img = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3), np.uint8)
+    boxes, scores = ab.forward(img)
+    rb, rs = model.predict(variables, jnp.asarray(img).astype(jnp.float32) / 255.0)
+    np.testing.assert_allclose(boxes, np.asarray(rb), atol=1e-3)
+    np.testing.assert_allclose(scores, np.asarray(rs), atol=1e-4)
+
+
+def test_tfjs_and_edgetpu_gated(setup, tmp_path):
+    """tfjs/edgetpu need tools absent from this image: the convertible half
+    is written and the error names the missing tool (reference hard-requires
+    tensorflowjs / edgetpu_compiler the same way)."""
+    pytest.importorskip("tensorflow")
+    model, variables = setup
+    ex = Exporter(model, variables, imgsz=64, batch=1)
+    with pytest.raises(ImportError, match="tensorflowjs"):
+        ex("tfjs", tmp_path / "tiny_tfjs")
+    assert (tmp_path / "tiny_tfjs_saved_model" / "saved_model.pb").exists()
+    with pytest.raises(RuntimeError, match="edgetpu_compiler"):
+        ex("edgetpu", tmp_path / "tiny_edge", data=[
+            np.random.RandomState(i).randint(0, 255, (1, 64, 64, 3), np.uint8)
+            for i in range(4)
+        ])
+    assert (tmp_path / "tiny_edge_int8.tflite").exists()
