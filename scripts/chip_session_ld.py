@@ -72,18 +72,21 @@ def main() -> None:
     out["params"] = n_params
     print(json.dumps({"model": "yolov8-LD-P2", "params": n_params}), flush=True)
 
+    # LDConv's internal lax.scan faults the TPU worker when nested inside the
+    # outer timing scan (round-4 chip finding; the plain jitted predict runs
+    # fine), so every LD leg uses the scan-free loop-mode bench.
     if quick:
-        leg("ld_infer_b64", lambda: bench.bench_batch(m, v, 64))
-        leg("ld_train_b32", lambda: bench.bench_train_step("yolov8-LD-P2.yaml", batch=32))
+        leg("ld_infer_b64", lambda: bench.bench_batch_loop(m, v, 64))
+        leg("ld_train_b32", lambda: bench.bench_train_step("yolov8-LD-P2.yaml", batch=32, loop=True))
         print(json.dumps(out), flush=True)
         return
 
     # canary first (small batch: a crash here means the program itself faults,
     # not memory pressure), then safe legs, big-batch legs last (a b128 fault
     # must not cost the session the numbers it already has)
-    leg("ld_infer_b8", lambda: bench.bench_batch(m, v, 8))
+    leg("ld_infer_b8", lambda: bench.bench_batch_loop(m, v, 8))
     for b in (32, 64):
-        leg(f"ld_infer_b{b}", lambda b=b: bench.bench_batch(m, v, b))
+        leg(f"ld_infer_b{b}", lambda b=b: bench.bench_batch_loop(m, v, b))
     try:
         fl = bench.forward_flops(m, v, 32)
     except Exception as e:
@@ -97,9 +100,9 @@ def main() -> None:
         flush()
     for b in (32, 64):
         leg(f"ld_train_b{b}",
-            lambda b=b: bench.bench_train_step("yolov8-LD-P2.yaml", batch=b))
-    leg("ld_infer_b128", lambda: bench.bench_batch(m, v, 128))
-    leg("ld_train_b128", lambda: bench.bench_train_step("yolov8-LD-P2.yaml", batch=128))
+            lambda b=b: bench.bench_train_step("yolov8-LD-P2.yaml", batch=b, loop=True))
+    leg("ld_infer_b128", lambda: bench.bench_batch_loop(m, v, 128))
+    leg("ld_train_b128", lambda: bench.bench_train_step("yolov8-LD-P2.yaml", batch=128, loop=True))
 
     print(json.dumps(out), flush=True)
 
