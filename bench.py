@@ -115,10 +115,15 @@ def bench_batch_loop(model, variables, batch: int, imgsz: int = 640) -> float:
     pipelines the relay dispatch with device compute."""
     x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
 
+    # Chain the carry through the INPUT, not the params: the param-perturbed
+    # LD program hangs the TPU worker at compile (chip-observed round 4; the
+    # unperturbed program compiles in 14 s). Across separate dispatches
+    # nothing can hoist or fold anyway — the carry only guarantees a serial
+    # data dependency between calls; the cost is the input add + convert
+    # staying inside the timed region (small vs the model at these batches).
     @jax.jit
     def one(carry, variables, x):
-        v = _perturb_one_leaf(variables, carry * 1e-30)
-        boxes, scores = model.predict(v, x)
+        boxes, scores = model.predict(variables, x + carry * 1e-30)
         return jnp.sum(scores[0, 0]) + jnp.sum(boxes[0, 0])
 
     def run(k):

@@ -21,6 +21,7 @@ params stay fp32.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -371,98 +372,106 @@ def ldconv_sample_grid(num_param: int) -> jnp.ndarray:
     return jnp.asarray(pts, dtype=jnp.float32)  # (N, 2)
 
 
-def _ldconv_corner_setup(x, p):
-    """Shared geometry: clipped positions, corner base (r0, c0), weights."""
+def ldconv_pack_corners(x):
+    """(B,H,W,C) -> (B*H*W, 4C) corner-packed gather source.
+
+    Row ``b*H*W + r*W + c`` holds the four bilinear corners for base (r, c):
+    ``[x[r,c], x[r,c1], x[r1,c], x[r1,c1]]`` with r1=min(r+1,H-1) and
+    c1=min(c+1,W-1) — the border replication IS the corner clamping, so the
+    math stays bit-identical to the clipped 4-corner form.
+
+    Why this shape (chip-measured, round 4): on TPU, XLA only vectorizes a
+    gather/scatter whose every index selects exactly ONE full row of a 2-D
+    operand (slice (1, C), collapsed); any windowed or two-dim-indexed form
+    (e.g. a (2, 2C) window from (H+1, (W+1)C)) lowers to a serial
+    while/dynamic-slice loop over ALL windows — 6.6 s/step for LD-P2 at
+    batch 8, ~5000x off the roofline (scripts/chip_gather_ab.py). Packing
+    all four corners into one row turns the whole bilinear fetch into a
+    single vectorized row-take, at 4x the source memory (inputs are small).
+    """
     b, hx, wx, c = x.shape
+    xr = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    xd = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    xdr = jnp.concatenate([xd[:, :, 1:], xd[:, :, -1:]], axis=2)
+    return jnp.concatenate([x, xr, xd, xdr], axis=-1).reshape(b * hx * wx, 4 * c)
+
+
+def _ldconv_flat_idx(r0, c0, hx, wx):
+    """(B,h,w,N) corner bases -> (B*Q,) int32 flat rows into the packed source."""
+    b = r0.shape[0]
+    # r0*wx + c0 <= H*W - 1 (< 2^24 at any shape here) stays f32-exact
+    fi = (r0 * wx + c0).astype(jnp.int32).reshape(b, -1)
+    return (fi + (jnp.arange(b, dtype=jnp.int32) * (hx * wx))[:, None]).reshape(-1)
+
+
+def _ldconv_corner_gather(s4, r0, c0, hx, wx):
+    """Packed source + corner bases -> (B,h,w,N,4,C) corner values via ONE
+    vectorized row-take (corner order: 00, 01, 10, 11)."""
+    c = s4.shape[-1] // 4
+    g = jnp.take(s4, _ldconv_flat_idx(r0, c0, hx, wx), axis=0)
+    return g.reshape(*r0.shape, 4, c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ldconv_gather_packed(hx: int, wx: int, s4: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling from a corner-packed source (see ldconv_pack_corners).
+
+    TPU-native formulation of the reference's 4-corner gather
+    (conv.py:389-470). Forward: one vectorized row-take of all four corners.
+    Backward is hand-written: XLA's gather transpose materializes
+    full-array temporaries per window slice (measured 28 GB HBM at
+    (8,320,320,16)!), so ds4 is a single row scatter-add of the 4 weighted
+    corner contributions (all four live in ONE packed row) and dp comes
+    from a cheap re-gather — exact gradients, no pathological temps. The
+    pack's own transpose (4 shifted slice-adds) is left to autodiff.
+
+    Args:
+        hx, wx: static source spatial dims.
+        s4: (B*hx*wx, 4C) corner-packed features.
+        p: (B, h, w, N, 2) sampling positions as (row, col) floats.
+
+    Returns:
+        (B, h, w, N, C) sampled features.
+    """
+    out, _ = _ldconv_gather_fwd(hx, wx, s4, p)
+    return out
+
+
+def _ldconv_weights(p, hx, wx):
+    """Clipped corner bases and bilinear weights (shared fwd/bwd geometry)."""
     pr = jnp.clip(p[..., 0], 0.0, hx - 1)
     pc = jnp.clip(p[..., 1], 0.0, wx - 1)
     r0 = jnp.clip(jnp.floor(pr), 0, hx - 1)
     c0 = jnp.clip(jnp.floor(pc), 0, wx - 1)
     wr1 = pr - r0
     wc1 = pc - c0
-    return pr, pc, r0, c0, 1.0 - wr1, wr1, 1.0 - wc1, wc1
+    return r0, c0, 1.0 - wr1, wr1, 1.0 - wc1, wc1
 
 
-def _ldconv_window_gather(x, r0, c0):
-    """(B,H,W,C), (B,h,w,N) corner base -> (B,h,w,N,2,2,C) corner windows.
-
-    ONE row-packed (2 x 2C)-window ``lax.gather`` per sample point instead of
-    four row gathers: all four bilinear corners arrive in a single wide
-    access (reference does 4 separate corner gathers, conv.py:389-470).
-
-    Layout is the whole game on TPU (chip-measured, round 4): a gather whose
-    output has C minor pads the lane dimension 3->128 at C=3 — the
-    (B,h,w,N,2,2,C) window tensor for DEAL-LD layer 0 ballooned 42x to 20 GB
-    and OOM'd inference at batch 32. Packing W and C into one trailing axis
-    makes BOTH the padded source copy (B, H+1, (W+1)*C — lane-dense) and the
-    window output (minor dim 2C instead of C) tile-efficient; edge-
-    replication padding keeps the (r0+1, c0+1) reads the clamped values, so
-    the math is bit-identical to the clipped 4-corner form."""
-    b, hx, wx, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
-    xp = xp.reshape(b, hx + 1, (wx + 1) * c)
-    starts = jnp.stack([r0, c0 * c], axis=-1).astype(jnp.int32).reshape(b, -1, 2)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-
-    def gather_one(img, idx):  # (H+1, (W+1)C), (Q, 2) -> (Q, 2, 2C)
-        return jax.lax.gather(
-            img, idx, dn, slice_sizes=(2, 2 * c), mode=jax.lax.GatherScatterMode.CLIP
-        )
-
-    g = jax.vmap(gather_one)(xp, starts)
-    return g.reshape(*r0.shape, 2, 2, c)
-
-
-@jax.custom_vjp
-def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sampling of x at fractional positions p (clamped at borders).
-
-    TPU-native formulation of the reference's 4-corner gather
-    (conv.py:389-470). Forward: one fused 2x2xC-window gather (see
-    ``_ldconv_window_gather``). Backward is hand-written: XLA's transpose of
-    the windowed gather materializes full-array temporaries per window slice
-    (measured 28 GB HBM at (8,320,320,16)!), so dx is a single flat
-    scatter-add of the 4 weighted corners and dp comes from a cheap
-    re-gather — exact gradients, no pathological temps.
-
-    Args:
-        x: (B, H, W, C) features.
-        p: (B, h, w, N, 2) sampling positions as (row, col) floats.
-
-    Returns:
-        (B, h, w, N, C) sampled features.
-    """
-    out, _ = _ldconv_gather_fwd(x, p)
-    return out
-
-
-def _ldconv_gather_fwd(x, p):
-    pr, pc, r0, c0, wr0, wr1, wc0, wc1 = _ldconv_corner_setup(x, p)
-    g = _ldconv_window_gather(x, r0, c0)
+def _ldconv_gather_fwd(hx, wx, s4, p):
+    r0, c0, wr0, wr1, wc0, wc1 = _ldconv_weights(p, hx, wx)
+    g = _ldconv_corner_gather(s4, r0, c0, hx, wx)
     out = (
-        (wr0 * wc0)[..., None] * g[..., 0, 0, :]
-        + (wr0 * wc1)[..., None] * g[..., 0, 1, :]
-        + (wr1 * wc0)[..., None] * g[..., 1, 0, :]
-        + (wr1 * wc1)[..., None] * g[..., 1, 1, :]
+        (wr0 * wc0)[..., None] * g[..., 0, :]
+        + (wr0 * wc1)[..., None] * g[..., 1, :]
+        + (wr1 * wc0)[..., None] * g[..., 2, :]
+        + (wr1 * wc1)[..., None] * g[..., 3, :]
     )
-    return out, (x, p)
+    return out, (s4, p)
 
 
-def _ldconv_gather_bwd(res, dy):
-    x, p = res
-    b, hx, wx, c = x.shape
-    pr, pc, r0, c0, wr0, wr1, wc0, wc1 = _ldconv_corner_setup(x, p)
-    g = _ldconv_window_gather(x, r0, c0)  # recompute (cheap, fast fwd op)
-    g00, g01 = g[..., 0, 0, :], g[..., 0, 1, :]
-    g10, g11 = g[..., 1, 0, :], g[..., 1, 1, :]
+def _ldconv_gather_bwd(hx, wx, res, dy):
+    s4, p = res
+    b = p.shape[0]
+    c = s4.shape[-1] // 4
+    r0, c0, wr0, wr1, wc0, wc1 = _ldconv_weights(p, hx, wx)
+    g = _ldconv_corner_gather(s4, r0, c0, hx, wx)  # recompute (fast fwd op)
+    g00, g01, g10, g11 = (g[..., i, :] for i in range(4))
 
-    dyf = dy
     # offset gradients: d out / d pr = (g10-g00)*wc0 + (g11-g01)*wc1, and the
     # clip/floor chain passes 1 inside the valid range, 0 at the rails
-    dpr = (dyf * ((g10 - g00) * wc0[..., None] + (g11 - g01) * wc1[..., None])).sum(-1)
-    dpc = (dyf * ((g01 - g00) * wr0[..., None] + (g11 - g10) * wr1[..., None])).sum(-1)
+    dpr = (dy * ((g10 - g00) * wc0[..., None] + (g11 - g01) * wc1[..., None])).sum(-1)
+    dpc = (dy * ((g01 - g00) * wr0[..., None] + (g11 - g10) * wr1[..., None])).sum(-1)
     # inclusive bounds; NOTE at positions sitting EXACTLY on a rail, autodiff
     # of clip halves the gradient (max/min tie-splitting) — we pass it whole,
     # an equally valid subgradient on a measure-zero set
@@ -470,35 +479,34 @@ def _ldconv_gather_bwd(res, dy):
     in_c = ((p[..., 1] >= 0.0) & (p[..., 1] <= wx - 1)).astype(dpc.dtype)
     dp = jnp.stack([dpr * in_r, dpc * in_c], axis=-1)
 
-    # dx: one scatter-add of the 4 weighted corner contributions; clamped
-    # duplicate indices accumulate, matching the forward's clamping. The
-    # operand is row-packed (H, W*C) — a (H*W, C)-shaped accumulator would
-    # lane-pad C -> 128 (6.7 GB at DEAL-LD layer 0, batch 32); packing keeps
-    # it dense and the (1, C) updates are the only padded temporary.
-    r1 = jnp.minimum(r0 + 1, hx - 1)
-    c1 = jnp.minimum(c0 + 1, wx - 1)
-    rr = jnp.stack([r0, r0, r1, r1], axis=-1)  # (B, h, w, N, 4)
-    cc = jnp.stack([c0, c1, c0, c1], axis=-1)
-    idx = jnp.stack([rr, cc * c], axis=-1).astype(jnp.int32).reshape(b, -1, 2)
+    # ds4: all four corners of a sample live in ONE packed row, so the whole
+    # backward is a single vectorized row scatter-add of (Q, 4C) updates —
+    # the only gather/scatter form XLA vectorizes on TPU (chip-measured,
+    # scripts/chip_gather_ab.py case F). Duplicate rows accumulate, matching
+    # the forward's clamping; the pack transpose (into dx) is autodiff's.
     w4 = jnp.stack([wr0 * wc0, wr0 * wc1, wr1 * wc0, wr1 * wc1], axis=-1)
-    vals = (w4[..., None] * dyf[..., None, :]).reshape(b, -1, 1, c)  # (B, Q*4, 1, C)
+    upd = (w4[..., None] * dy[..., None, :]).reshape(b, -1, 4 * c).reshape(-1, 4 * c)
     dn = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1),
+        update_window_dims=(1,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,),
     )
-
-    def scat_one(zeros, fi, v):  # (H, W*C), (Q4, 2), (Q4, 1, C)
-        return jax.lax.scatter_add(
-            zeros, fi, v, dn, mode=jax.lax.GatherScatterMode.CLIP
-        )
-
-    dx = jax.vmap(scat_one)(
-        jnp.zeros((b, hx, wx * c), dy.dtype), idx, vals
+    ds4 = jax.lax.scatter_add(
+        jnp.zeros(s4.shape, dy.dtype),
+        _ldconv_flat_idx(r0, c0, hx, wx)[:, None],
+        upd, dn, mode=jax.lax.GatherScatterMode.CLIP,
     )
-    return dx.reshape(b, hx, wx, c).astype(x.dtype), dp.astype(p.dtype)
+    return ds4.astype(s4.dtype), dp.astype(p.dtype)
 
 
-ldconv_bilinear_gather.defvjp(_ldconv_gather_fwd, _ldconv_gather_bwd)
+ldconv_gather_packed.defvjp(_ldconv_gather_fwd, _ldconv_gather_bwd)
+
+
+def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling of x (B,H,W,C) at fractional positions p (clamped at
+    borders) -> (B,h,w,N,C). Convenience composition of pack + packed gather;
+    LDConv builds the pack once outside its row-chunk scan instead."""
+    b, hx, wx, c = x.shape
+    return ldconv_gather_packed(hx, wx, ldconv_pack_corners(x), p)
 
 
 class LDConv(nn.Module):
@@ -525,15 +533,18 @@ class LDConv(nn.Module):
     # the v5e per-step working set while chunks stay wide enough to DMA well.
     chunk_budget: int = 96 * 1024 * 1024
 
-    def _chunk(self, carry, x, p):
-        """One row-chunk: gather windows -> bilinear -> MXU projection.
+    def _chunk(self, carry, s4, p, hx, wx):
+        """One row-chunk: corner row-take -> bilinear -> MXU projection.
 
         Split out as a method so ``nn.scan`` lifts it with params broadcast —
         the 'proj' Dense lives at the SAME param path whether or not the
-        layer chunks (checkpoint/converter compatibility)."""
+        layer chunks (checkpoint/converter compatibility). Takes the
+        corner-packed source (built ONCE outside the scan — rebuilding the
+        4x pack per chunk would re-sweep the input every iteration)."""
         b, hc, w, n, _ = p.shape
-        sampled = ldconv_bilinear_gather(x, p)  # (B, hc, w, N, C)
-        feat = sampled.reshape(b, hc, w, n * x.shape[-1]).astype(self.dtype)
+        c_in = s4.shape[-1] // 4
+        sampled = ldconv_gather_packed(hx, wx, s4, p)  # (B, hc, w, N, C)
+        feat = sampled.reshape(b, hc, w, n * c_in).astype(self.dtype)
         y = nn.Dense(
             features=self.c2, use_bias=False, dtype=self.dtype,
             param_dtype=jnp.float32, name="proj",
@@ -570,30 +581,35 @@ class LDConv(nn.Module):
         # would otherwise move f32 windows (2x the bytes of every other
         # bandwidth-bound op in a bf16 model).
         x = x.astype(self.dtype)
+        _, hx, wx, c_in = x.shape
+        s4 = ldconv_pack_corners(x)  # (B*hx*wx, 4C), built once
 
-        # Chunk output rows so the row-packed window temporary stays under
+        # Chunk output rows so the gather-output temporary stays under
         # chunk_budget regardless of batch (unchunked, DEAL-LD layer 0 at
         # batch 32/640px is a 9.8M-window, multi-GB tensor). Lane padding:
-        # the window's trailing 2C pads up to one 128-lane tile.
-        c_in = x.shape[-1]
-        lane = max(2 * c_in, 128)
-        bytes_per_row = b * w * n * 2 * lane * jnp.dtype(self.dtype).itemsize
+        # the row-take output's trailing 4C pads up to one 128-lane tile.
+        lane = max(4 * c_in, 128)
+        bytes_per_row = b * w * n * lane * jnp.dtype(self.dtype).itemsize
         hc = max(1, min(h, self.chunk_budget // max(bytes_per_row, 1)))
         while h % hc:  # largest divisor of h <= budget rows (no pad rows)
             hc -= 1
 
         if hc == h:
-            _, y = self._chunk(None, x, p)
+            _, y = self._chunk(None, s4, p, hx, wx)
         else:
             pch = jnp.moveaxis(p.reshape(b, h // hc, hc, w, n, 2), 1, 0)
+
+            def body(mdl, carry, s4b, pb):  # closes over static (hx, wx)
+                return type(mdl)._chunk(mdl, carry, s4b, pb, hx, wx)
+
             scan = nn.scan(
-                nn.remat(type(self)._chunk, prevent_cse=False),
+                nn.remat(body, prevent_cse=False),
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=(nn.broadcast, 0),
                 out_axes=0,
             )
-            _, ych = scan(self, None, x, pch)  # (h/hc, B, hc, w, c2)
+            _, ych = scan(self, None, s4, pch)  # (h/hc, B, hc, w, c2)
             y = jnp.moveaxis(ych, 0, 1).reshape(b, h, w, self.c2)
 
         y = MemBatchNorm(

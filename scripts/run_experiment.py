@@ -78,7 +78,9 @@ def main(argv):
     batch = int(kv.get("batch", 16))
     n_train = int(kv.get("n_train", 128))
     n_val = int(kv.get("n_val", 256))
-    root = REPO / str(kv.get("root", "runs/experiment"))
+    root = Path(str(kv.get("root", "runs/experiment")))
+    if not root.is_absolute():
+        root = REPO / root
     deal_cfgs = str(kv.get("deal", "yolov8-LD-P2.yaml,yolov8-ASF-P2P2.yaml")).split(",")
     base_cfg = str(kv.get("base", "yolov8n.yaml"))
     root.mkdir(parents=True, exist_ok=True)
@@ -160,7 +162,7 @@ mAP50 against the baseline's on identical subsamples (reference protocol).
 """ + "\n".join(cmp_row(cfg, s, r) for cfg, s, r in comparisons) + f"""
 
 Reproduce: `python scripts/run_experiment.py seeds={",".join(map(str, seeds))} epochs={epochs} imgsz={imgsz}`.
-Checkpoints under `{root.relative_to(REPO)}/train/`.
+Checkpoints under `{root.relative_to(REPO) if root.is_relative_to(REPO) else root}/train/`.
 """
     (REPO / "EXPERIMENTS.md").write_text(report)
     (root / "results.json").write_text(json.dumps(
