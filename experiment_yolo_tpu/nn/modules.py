@@ -358,18 +358,23 @@ class SPDConv(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _ldconv_grid_pts(num_param: int) -> list:
+    """Static python-int grid points behind ldconv_sample_grid."""
+    base = round(math.sqrt(num_param))
+    rows = num_param // base
+    rem = num_param % base
+    pts = [(r, c) for r in range(rows) for c in range(base)]
+    pts += [(rows, c) for c in range(rem)]
+    return pts
+
+
 def ldconv_sample_grid(num_param: int) -> jnp.ndarray:
     """Initial sampling offsets p_n for N sampling points (reference conv.py:414).
 
     Row-major grid of round(sqrt(N)) columns plus a remainder row.
     Returns (N, 2) float32 (row, col) offsets.
     """
-    base = round(math.sqrt(num_param))
-    rows = num_param // base
-    rem = num_param % base
-    pts = [(r, c) for r in range(rows) for c in range(base)]
-    pts += [(rows, c) for c in range(rem)]
-    return jnp.asarray(pts, dtype=jnp.float32)  # (N, 2)
+    return jnp.asarray(_ldconv_grid_pts(num_param), dtype=jnp.float32)  # (N, 2)
 
 
 def ldconv_pack_corners(x):
@@ -509,6 +514,91 @@ def ldconv_bilinear_gather(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return ldconv_gather_packed(hx, wx, ldconv_pack_corners(x), p)
 
 
+def ldconv_hat_taps(off: jnp.ndarray, window_r: int) -> jnp.ndarray:
+    """Per-axis bilinear weights over the static tap range [-R, R+1].
+
+    Returns (..., 2R+2) where tap k (= shift k-R) gets hat(off - (k-R)) —
+    but built in the one-hot floor form ``[fl==s](1-f) + [fl==s-1]f`` rather
+    than ``relu(1-|t|)``: the two are equal in value, yet autodiff of the
+    floor form yields exactly the exact-gather VJP convention
+    ``d/d off = x[fl+1] - x[fl]`` (the right-derivative at integer offsets),
+    whereas the hat's kink at off==0 — the zero-init point of LDConv's offset
+    conv — would give a zero gradient and freeze offset learning.
+    """
+    fl = jnp.floor(off)
+    f = (off - fl)[..., None]
+    taps = jnp.arange(-window_r, window_r + 2, dtype=off.dtype)
+    flt = fl[..., None]
+    return jnp.where(flt == taps, 1.0 - f, 0.0) + jnp.where(flt == taps - 1.0, f, 0.0)
+
+
+def ldconv_hat_sample(
+    xw: jnp.ndarray,
+    off_r: jnp.ndarray,
+    off_c: jnp.ndarray,
+    num_param: int,
+    stride: int,
+    window_r: int,
+) -> jnp.ndarray:
+    """Dense hat-window bilinear sampling — LDConv's gather-free hot path.
+
+    The exact-gather formulation (ldconv_gather_packed) is a random row-take:
+    64-128B HBM accesses that no amount of packing makes fast on TPU
+    (chip-measured ~70 img/s for LD-P2 vs a ~7.6k roofline). But LDConv's
+    offsets are zero-init and stay small, so every sample lies inside a small
+    STATIC window around its grid point — and bilinear sampling becomes a sum
+    of (2R+2)^2 shifted strided slices of the input weighted by per-pixel hat
+    weights: pure contiguous loads + VPU FMAs that XLA fuses into one kernel.
+    Replicate padding of the source IS the reference's border clamping
+    (corners past an edge read the edge value, and the offset gradient there
+    collapses to x[edge]-x[edge] = 0, matching the exact path's rail gating).
+
+    Args:
+        xw: (B, Hw, Ww, C) replicate-padded source window whose origin sits
+            window_r rows/cols before the first output pixel's base position;
+            requires Hw >= (h-1)*stride + max_p_row + 2R+2 (cols analogous).
+        off_r, off_c: (B, h, w, N) learned offsets, |off| within [-R, R+1)
+            for exactness (LDConv guards this and falls back to the gather).
+        num_param: N (static grid points from _ldconv_grid_pts).
+        stride: base-grid stride.
+        window_r: R, the static window radius.
+
+    Returns:
+        (B, h, w, N*C) sampled features, f32, n-major — the same layout the
+        packed gather's reshape produces, term-order-matched so interior
+        results agree bitwise.
+
+    Reference: ultralytics/nn/modules/conv.py:389-470 (the 4-corner gather
+    this reformulates).
+    """
+    b, _, _, c = xw.shape
+    _, h, w, _ = off_r.shape
+    taps = 2 * window_r + 2
+    wr = ldconv_hat_taps(off_r, window_r)  # (B,h,w,N,T) f32
+    wc = ldconv_hat_taps(off_c, window_r)
+    outs = []
+    for i, (pr_, pc_) in enumerate(_ldconv_grid_pts(num_param)):
+        acc = jnp.zeros((b, h, w, c), jnp.float32)
+        for kr in range(taps):
+            r0 = pr_ + kr
+            rows = jax.lax.slice(
+                xw,
+                (0, r0, pc_, 0),
+                (b, r0 + (h - 1) * stride + 1, pc_ + (w - 1) * stride + taps, c),
+                (1, stride, 1, 1),
+            )
+            for kc in range(taps):
+                cols = jax.lax.slice(
+                    rows,
+                    (0, 0, kc, 0),
+                    (b, h, kc + (w - 1) * stride + 1, c),
+                    (1, 1, stride, 1),
+                )
+                acc = acc + (wr[:, :, :, i, kr] * wc[:, :, :, i, kc])[..., None] * cols
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)
+
+
 class LDConv(nn.Module):
     """Linear Deformable Convolution — the DEAL-YOLO core op.
 
@@ -527,33 +617,65 @@ class LDConv(nn.Module):
     num_param: int = 3
     stride: int = 1
     dtype: Dtype = jnp.float32
-    # Cap on the row-packed window temporary per chunk (padded bytes). The
-    # gather + projection run chunked over output rows under lax.scan so
+    # Static hat-window radius R: the dense path is exact while every learned
+    # offset stays in [-R, R+1). Zero-init offsets start at 0 and drift
+    # slowly; R=2 gives a 6x6-tap window with plenty of headroom.
+    window_r: int = 2
+    # "auto": dense hat-window, lax.cond fallback to the exact gather the
+    # moment any offset leaves the window (exactness always). "dense"/
+    # "gather" force one path (A/B benching, tests).
+    sampling: str = "auto"
+    # Cap on the sampled-feature temporary per chunk (padded bytes). The
+    # sampler + projection run chunked over output rows under lax.scan so
     # peak HBM stays flat in batch; 96 MB keeps the temp comfortably under
     # the v5e per-step working set while chunks stay wide enough to DMA well.
     chunk_budget: int = 96 * 1024 * 1024
 
-    def _chunk(self, carry, s4, p, hx, wx):
-        """One row-chunk: corner row-take -> bilinear -> MXU projection.
+    def _chunk(self, it, xp, p, off, pred, ws_r, hx_p, wx_p):
+        """One row-chunk: dense hat-window sample (common) or exact packed
+        gather (fallback) -> MXU projection.
 
         Split out as a method so ``nn.scan`` lifts it with params broadcast —
         the 'proj' Dense lives at the SAME param path whether or not the
-        layer chunks (checkpoint/converter compatibility). Takes the
-        corner-packed source (built ONCE outside the scan — rebuilding the
-        4x pack per chunk would re-sweep the input every iteration)."""
+        layer chunks (checkpoint/converter compatibility). Both branches read
+        the replicate-padded source xp: for the gather that is mathematically
+        the clamped 4-corner sample (positions shifted by +R; clamping into
+        the padded extent lands on replicated edge values), so the cond's
+        branches agree wherever both are defined."""
         b, hc, w, n, _ = p.shape
-        c_in = s4.shape[-1] // 4
-        sampled = ldconv_gather_packed(hx, wx, s4, p)  # (B, hc, w, N, C)
-        feat = sampled.reshape(b, hc, w, n * c_in).astype(self.dtype)
+        c_in = xp.shape[-1]
+
+        def dense(_):
+            win = jax.lax.dynamic_slice(
+                xp, (0, it * hc * self.stride, 0, 0),
+                (b, ws_r, xp.shape[2], c_in))
+            return ldconv_hat_sample(
+                win, off[..., 0, :], off[..., 1, :],
+                self.num_param, self.stride, self.window_r)
+
+        def gather(_):
+            # rare path: rebuild the corner pack per chunk (only paid when
+            # offsets actually escape the window)
+            s4 = ldconv_pack_corners(xp)
+            g = ldconv_gather_packed(hx_p, wx_p, s4, p)
+            return g.reshape(b, hc, w, n * c_in)
+
+        if self.sampling == "dense":
+            feat = dense(None)
+        elif self.sampling == "gather":
+            feat = gather(None)
+        else:
+            feat = jax.lax.cond(pred, dense, gather, None)
         y = nn.Dense(
             features=self.c2, use_bias=False, dtype=self.dtype,
             param_dtype=jnp.float32, name="proj",
-        )(feat)
-        return carry, y
+        )(feat.astype(self.dtype))
+        return it + 1, y
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         n = self.num_param
+        R = self.window_r
         offset = nn.Conv(
             features=2 * n,
             kernel_size=(3, 3),
@@ -568,48 +690,64 @@ class LDConv(nn.Module):
         b, h, w, _ = offset.shape
         off = offset.reshape(b, h, w, 2, n).astype(jnp.float32)
         off_r, off_c = off[..., 0, :], off[..., 1, :]  # first N = rows, last N = cols
-        # base grid p_0 (stride grid) + kernel grid p_n + learned offsets;
+
+        # Replicate-pad the source once: pad R before the base grid plus
+        # enough after that every static tap (and the last chunk's window)
+        # stays in bounds. Sample in the compute dtype: layer 0 receives the
+        # f32 image and would otherwise move f32 windows (2x the bytes of
+        # every other bandwidth-bound op in a bf16 model).
+        x = x.astype(self.dtype)
+        _, hx, wx, c_in = x.shape
+        pts = _ldconv_grid_pts(n)
+        max_pr = max(pt[0] for pt in pts)
+        max_pc = max(pt[1] for pt in pts)
+        pad_r = max(0, (h - 1) * self.stride + max_pr + R + 2 - hx)
+        pad_c = max(0, (w - 1) * self.stride + max_pc + R + 2 - wx)
+        xp = jnp.pad(x, ((0, 0), (R, pad_r), (R, pad_c), (0, 0)), mode="edge")
+        hx_p, wx_p = xp.shape[1], xp.shape[2]
+
+        # absolute sample positions in xp coords (base grid p_0 + kernel grid
+        # p_n + learned offsets + R pad shift) for the exact-gather fallback;
         # positions stay f32 (bf16's 8 mantissa bits can't hold row 320.7)
         p_n = ldconv_sample_grid(n)  # (N, 2)
-        gr = jnp.arange(h, dtype=jnp.float32)[:, None] * self.stride
-        gc = jnp.arange(w, dtype=jnp.float32)[None, :] * self.stride
+        gr = jnp.arange(h, dtype=jnp.float32)[:, None] * self.stride + R
+        gc = jnp.arange(w, dtype=jnp.float32)[None, :] * self.stride + R
         pr = gr[None, :, :, None] + p_n[None, None, None, :, 0] + off_r
         pc = gc[None, :, :, None] + p_n[None, None, None, :, 1] + off_c
         p = jnp.stack([pr, pc], axis=-1)  # (B, h, w, N, 2)
 
-        # Sample in the compute dtype: layer 0 receives the f32 image and
-        # would otherwise move f32 windows (2x the bytes of every other
-        # bandwidth-bound op in a bf16 model).
-        x = x.astype(self.dtype)
-        _, hx, wx, c_in = x.shape
-        s4 = ldconv_pack_corners(x)  # (B*hx*wx, 4C), built once
+        # dense path is exact iff floor(off) lands in [-R, R] on both axes
+        pred = jnp.all(off >= -float(R)) & jnp.all(off < float(R) + 1.0)
 
-        # Chunk output rows so the gather-output temporary stays under
+        # Chunk output rows so the sampled-feature temporary stays under
         # chunk_budget regardless of batch (unchunked, DEAL-LD layer 0 at
         # batch 32/640px is a 9.8M-window, multi-GB tensor). Lane padding:
-        # the row-take output's trailing 4C pads up to one 128-lane tile.
-        lane = max(4 * c_in, 128)
-        bytes_per_row = b * w * n * lane * jnp.dtype(self.dtype).itemsize
+        # the trailing N*C (or the fallback's 4C rows) pads up to 128 lanes.
+        lane = max(n * c_in, 4 * c_in, 128)
+        bytes_per_row = b * w * lane * 4  # f32 pre-cast accumulators
         hc = max(1, min(h, self.chunk_budget // max(bytes_per_row, 1)))
         while h % hc:  # largest divisor of h <= budget rows (no pad rows)
             hc -= 1
+        ws_r = (hc - 1) * self.stride + max_pr + 2 * R + 2
 
         if hc == h:
-            _, y = self._chunk(None, s4, p, hx, wx)
+            _, y = self._chunk(0, xp, p, off, pred, ws_r, hx_p, wx_p)
         else:
             pch = jnp.moveaxis(p.reshape(b, h // hc, hc, w, n, 2), 1, 0)
+            och = jnp.moveaxis(off.reshape(b, h // hc, hc, w, 2, n), 1, 0)
 
-            def body(mdl, carry, s4b, pb):  # closes over static (hx, wx)
-                return type(mdl)._chunk(mdl, carry, s4b, pb, hx, wx)
+            def body(mdl, carry, xpb, predb, pb, ob):
+                return type(mdl)._chunk(
+                    mdl, carry, xpb, pb, ob, predb, ws_r, hx_p, wx_p)
 
             scan = nn.scan(
                 nn.remat(body, prevent_cse=False),
                 variable_broadcast="params",
                 split_rngs={"params": False},
-                in_axes=(nn.broadcast, 0),
+                in_axes=(nn.broadcast, nn.broadcast, 0, 0),
                 out_axes=0,
             )
-            _, ych = scan(self, None, s4, pch)  # (h/hc, B, hc, w, c2)
+            _, ych = scan(self, jnp.int32(0), xp, pred, pch, och)
             y = jnp.moveaxis(ych, 0, 1).reshape(b, h, w, self.c2)
 
         y = MemBatchNorm(
