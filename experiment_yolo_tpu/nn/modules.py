@@ -21,6 +21,7 @@ params stay fp32.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
@@ -623,54 +624,92 @@ class LDConv(nn.Module):
     window_r: int = 2
     # "auto": dense hat-window, lax.cond fallback to the exact gather the
     # moment any offset leaves the window (exactness always). "dense"/
-    # "gather" force one path (A/B benching, tests).
-    sampling: str = "auto"
+    # "gather" force one path (A/B benching, tests). EY_LDCONV_SAMPLING
+    # overrides the default for models built from YAML (fleet-wide A/B).
+    sampling: str = os.environ.get("EY_LDCONV_SAMPLING", "auto")
     # Cap on the sampled-feature temporary per chunk (padded bytes). The
     # sampler + projection run chunked over output rows under lax.scan so
     # peak HBM stays flat in batch; 96 MB keeps the temp comfortably under
     # the v5e per-step working set while chunks stay wide enough to DMA well.
     chunk_budget: int = 96 * 1024 * 1024
 
-    def _chunk(self, it, xp, p, off, pred, ws_r, hx_p, wx_p):
-        """One row-chunk: dense hat-window sample (common) or exact packed
-        gather (fallback) -> MXU projection.
-
-        Split out as a method so ``nn.scan`` lifts it with params broadcast —
-        the 'proj' Dense lives at the SAME param path whether or not the
-        layer chunks (checkpoint/converter compatibility). Both branches read
-        the replicate-padded source xp: for the gather that is mathematically
-        the clamped 4-corner sample (positions shifted by +R; clamping into
-        the padded extent lands on replicated edge values), so the cond's
-        branches agree wherever both are defined."""
-        b, hc, w, n, _ = p.shape
-        c_in = xp.shape[-1]
-
-        def dense(_):
-            win = jax.lax.dynamic_slice(
-                xp, (0, it * hc * self.stride, 0, 0),
-                (b, ws_r, xp.shape[2], c_in))
-            return ldconv_hat_sample(
-                win, off[..., 0, :], off[..., 1, :],
-                self.num_param, self.stride, self.window_r)
-
-        def gather(_):
-            # rare path: rebuild the corner pack per chunk (only paid when
-            # offsets actually escape the window)
-            s4 = ldconv_pack_corners(xp)
-            g = ldconv_gather_packed(hx_p, wx_p, s4, p)
-            return g.reshape(b, hc, w, n * c_in)
-
-        if self.sampling == "dense":
-            feat = dense(None)
-        elif self.sampling == "gather":
-            feat = gather(None)
-        else:
-            feat = jax.lax.cond(pred, dense, gather, None)
-        y = nn.Dense(
+    def _project(self, feat):
+        """The (N,1)-kernel conv of the reference as ONE MXU matmul. Split
+        out as a method so every code path (dense/gather x chunked/not)
+        creates the 'proj' Dense at the SAME param path — checkpoint and
+        torch-converter compatibility."""
+        return nn.Dense(
             features=self.c2, use_bias=False, dtype=self.dtype,
             param_dtype=jnp.float32, name="proj",
         )(feat.astype(self.dtype))
-        return it + 1, y
+
+    def _dense_chunk(self, it, xp, off, ws_r):
+        """One row-chunk of the dense hat-window path -> MXU projection."""
+        b, hc, w = off.shape[0], off.shape[1], off.shape[2]
+        win = jax.lax.dynamic_slice(
+            xp, (0, it * hc * self.stride, 0, 0),
+            (b, ws_r, xp.shape[2], xp.shape[-1]))
+        feat = ldconv_hat_sample(
+            win, off[..., 0, :], off[..., 1, :],
+            self.num_param, self.stride, self.window_r)
+        return it + 1, self._project(feat)
+
+    def _gather_chunk(self, carry, s4, p, hx_p, wx_p):
+        """One row-chunk of the exact packed-gather path -> projection."""
+        b, hc, w, n, _ = p.shape
+        c_in = s4.shape[-1] // 4
+        g = ldconv_gather_packed(hx_p, wx_p, s4, p)
+        return carry, self._project(g.reshape(b, hc, w, n * c_in))
+
+    def _dense_all(self, xp, off, hc, ws_r):
+        """Dense path over all rows, scan-chunked when hc < h.
+
+        Kept branch-local (see __call__): anything loop-invariant XLA hoists
+        out of the chunk scan's while-loop must stay INSIDE this branch of
+        the sampling cond — a per-chunk cond lets LICM drag the untaken
+        fallback's corner pack to top level, executing it unconditionally
+        (chip-measured: that alone held full-model LD-P2 at ~70 img/s)."""
+        b, h, w = off.shape[0], off.shape[1], off.shape[2]
+        if hc == h:
+            _, y = self._dense_chunk(0, xp, off, ws_r)
+            return y
+        och = jnp.moveaxis(off.reshape(b, h // hc, hc, w, 2, off.shape[-1]), 1, 0)
+
+        def body(mdl, carry, xpb, ob):
+            return type(mdl)._dense_chunk(mdl, carry, xpb, ob, ws_r)
+
+        scan = nn.scan(
+            nn.remat(body, prevent_cse=False),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, 0),
+            out_axes=0,
+        )
+        _, ych = scan(self, jnp.int32(0), xp, och)
+        return jnp.moveaxis(ych, 0, 1).reshape(b, h, w, self.c2)
+
+    def _gather_all(self, xp, p, hc, hx_p, wx_p):
+        """Exact-gather path over all rows; corner pack built ONCE here —
+        inside the branch, so the auto mode only pays it when taken."""
+        b, h, w = p.shape[0], p.shape[1], p.shape[2]
+        s4 = ldconv_pack_corners(xp)
+        if hc == h:
+            _, y = self._gather_chunk(None, s4, p, hx_p, wx_p)
+            return y
+        pch = jnp.moveaxis(p.reshape(b, h // hc, hc, w, p.shape[3], 2), 1, 0)
+
+        def body(mdl, carry, s4b, pb):
+            return type(mdl)._gather_chunk(mdl, carry, s4b, pb, hx_p, wx_p)
+
+        scan = nn.scan(
+            nn.remat(body, prevent_cse=False),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, 0),
+            out_axes=0,
+        )
+        _, ych = scan(self, None, s4, pch)
+        return jnp.moveaxis(ych, 0, 1).reshape(b, h, w, self.c2)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -730,25 +769,19 @@ class LDConv(nn.Module):
             hc -= 1
         ws_r = (hc - 1) * self.stride + max_pr + 2 * R + 2
 
-        if hc == h:
-            _, y = self._chunk(0, xp, p, off, pred, ws_r, hx_p, wx_p)
+        if self.sampling == "dense":
+            y = self._dense_all(xp, off, hc, ws_r)
+        elif self.sampling == "gather":
+            y = self._gather_all(xp, p, hc, hx_p, wx_p)
         else:
-            pch = jnp.moveaxis(p.reshape(b, h // hc, hc, w, n, 2), 1, 0)
-            och = jnp.moveaxis(off.reshape(b, h // hc, hc, w, 2, n), 1, 0)
-
-            def body(mdl, carry, xpb, predb, pb, ob):
-                return type(mdl)._chunk(
-                    mdl, carry, xpb, pb, ob, predb, ws_r, hx_p, wx_p)
-
-            scan = nn.scan(
-                nn.remat(body, prevent_cse=False),
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=(nn.broadcast, nn.broadcast, 0, 0),
-                out_axes=0,
+            # ONE layer-level cond: the fallback's cost stays inside its
+            # branch (see _dense_all docstring for why per-chunk conds lose)
+            y = nn.cond(
+                pred,
+                lambda mdl, xpb, ob, pb: mdl._dense_all(xpb, ob, hc, ws_r),
+                lambda mdl, xpb, ob, pb: mdl._gather_all(xpb, pb, hc, hx_p, wx_p),
+                self, xp, off, p,
             )
-            _, ych = scan(self, jnp.int32(0), xp, pred, pch, och)
-            y = jnp.moveaxis(ych, 0, 1).reshape(b, h, w, self.c2)
 
         y = MemBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
