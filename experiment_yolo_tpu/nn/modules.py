@@ -612,6 +612,21 @@ class LDConv(nn.Module):
     Note: the reference registers a backward hook intended to scale offset
     grads by 0.1, but the hook builds generators and returns None, so it is
     a no-op in the original — we intentionally do not scale offset grads.
+
+    Border semantics (``border``): the reference clamps the corner indices
+    ``q_lt``/``q_rb`` AND the position ``p`` independently
+    (conv.py:379-393), so once a sample's unclamped coordinate leaves
+    ``[0, size-1)`` on an axis BOTH corner weights on that axis evaluate to
+    1 on the same clamped edge pixel — the sampled value is 2x the
+    replicate-pad bilinear value per out-of-border axis (4x at corners),
+    and the doubling fires already at ``p == size-1`` exactly (q_rb clamps
+    back onto q_lt). Probe-verified against the torch module: torch value
+    == unity bilinear x 2^(#OOB axes) to 5e-7. Since zero-init offsets plus
+    the base grid (p_n spans 0..+2) already go OOB at image edges, trained
+    torch weights depend on this amplification, so bug-compatible
+    ``border='torch'`` (a pure output multiplier on the sampled features —
+    both samplers stay partition-of-unity) is the DEFAULT; ``'unity'``
+    keeps plain replicate-pad bilinear.
     """
 
     c2: int
@@ -627,6 +642,10 @@ class LDConv(nn.Module):
     # "gather" force one path (A/B benching, tests). EY_LDCONV_SAMPLING
     # overrides the default for models built from YAML (fleet-wide A/B).
     sampling: str = os.environ.get("EY_LDCONV_SAMPLING", "auto")
+    # Out-of-border weighting: "torch" replicates the reference's
+    # double-counting quirk (see class docstring), "unity" is plain
+    # replicate-pad bilinear. EY_LDCONV_BORDER overrides for A/B runs.
+    border: str = os.environ.get("EY_LDCONV_BORDER", "torch")
     # Cap on the sampled-feature temporary per chunk (padded bytes). The
     # sampler + projection run chunked over output rows under lax.scan so
     # peak HBM stays flat in batch; 96 MB keeps the temp comfortably under
@@ -643,7 +662,15 @@ class LDConv(nn.Module):
             param_dtype=jnp.float32, name="proj",
         )(feat.astype(self.dtype))
 
-    def _dense_chunk(self, it, xp, off, ws_r):
+    def _border_mul(self, abs_r, abs_c, hx, wx):
+        """Reference out-of-border amplification (conv.py:379-393): x2 per
+        axis whose unclamped position leaves [0, size-1) — fires at
+        ``size-1`` exactly. Positions in ORIGINAL (unpadded) coords."""
+        oob_r = (abs_r < 0.0) | (abs_r >= hx - 1)
+        oob_c = (abs_c < 0.0) | (abs_c >= wx - 1)
+        return (1.0 + oob_r.astype(jnp.float32)) * (1.0 + oob_c.astype(jnp.float32))
+
+    def _dense_chunk(self, it, xp, off, ws_r, hx, wx):
         """One row-chunk of the dense hat-window path -> MXU projection."""
         b, hc, w = off.shape[0], off.shape[1], off.shape[2]
         win = jax.lax.dynamic_slice(
@@ -652,16 +679,32 @@ class LDConv(nn.Module):
         feat = ldconv_hat_sample(
             win, off[..., 0, :], off[..., 1, :],
             self.num_param, self.stride, self.window_r)
+        if self.border == "torch":
+            p_n = jnp.asarray(_ldconv_grid_pts(self.num_param), jnp.float32)
+            gr = (it * hc + jnp.arange(hc, dtype=jnp.float32))[:, None] * self.stride
+            gc = jnp.arange(w, dtype=jnp.float32)[None, :] * self.stride
+            abs_r = gr[None, :, :, None] + p_n[None, None, None, :, 0] + off[..., 0, :]
+            abs_c = gc[None, :, :, None] + p_n[None, None, None, :, 1] + off[..., 1, :]
+            mul = self._border_mul(abs_r, abs_c, hx, wx)  # (b,hc,w,N)
+            c_in = feat.shape[-1] // self.num_param
+            feat = (feat.reshape(b, hc, w, self.num_param, c_in) * mul[..., None]
+                    ).reshape(b, hc, w, self.num_param * c_in)
         return it + 1, self._project(feat)
 
-    def _gather_chunk(self, carry, s4, p, hx_p, wx_p):
+    def _gather_chunk(self, carry, s4, p, hx_p, wx_p, hx, wx):
         """One row-chunk of the exact packed-gather path -> projection."""
         b, hc, w, n, _ = p.shape
         c_in = s4.shape[-1] // 4
         g = ldconv_gather_packed(hx_p, wx_p, s4, p)
+        if self.border == "torch":
+            # p is in padded coords (shifted by window_r); un-shift for the
+            # original-image border test
+            mul = self._border_mul(
+                p[..., 0] - self.window_r, p[..., 1] - self.window_r, hx, wx)
+            g = g * mul[..., None].astype(g.dtype)
         return carry, self._project(g.reshape(b, hc, w, n * c_in))
 
-    def _dense_all(self, xp, off, hc, ws_r):
+    def _dense_all(self, xp, off, hc, ws_r, hx, wx):
         """Dense path over all rows, scan-chunked when hc < h.
 
         Kept branch-local (see __call__): anything loop-invariant XLA hoists
@@ -671,12 +714,12 @@ class LDConv(nn.Module):
         (chip-measured: that alone held full-model LD-P2 at ~70 img/s)."""
         b, h, w = off.shape[0], off.shape[1], off.shape[2]
         if hc == h:
-            _, y = self._dense_chunk(0, xp, off, ws_r)
+            _, y = self._dense_chunk(0, xp, off, ws_r, hx, wx)
             return y
         och = jnp.moveaxis(off.reshape(b, h // hc, hc, w, 2, off.shape[-1]), 1, 0)
 
         def body(mdl, carry, xpb, ob):
-            return type(mdl)._dense_chunk(mdl, carry, xpb, ob, ws_r)
+            return type(mdl)._dense_chunk(mdl, carry, xpb, ob, ws_r, hx, wx)
 
         scan = nn.scan(
             nn.remat(body, prevent_cse=False),
@@ -688,18 +731,18 @@ class LDConv(nn.Module):
         _, ych = scan(self, jnp.int32(0), xp, och)
         return jnp.moveaxis(ych, 0, 1).reshape(b, h, w, self.c2)
 
-    def _gather_all(self, xp, p, hc, hx_p, wx_p):
+    def _gather_all(self, xp, p, hc, hx_p, wx_p, hx, wx):
         """Exact-gather path over all rows; corner pack built ONCE here —
         inside the branch, so the auto mode only pays it when taken."""
         b, h, w = p.shape[0], p.shape[1], p.shape[2]
         s4 = ldconv_pack_corners(xp)
         if hc == h:
-            _, y = self._gather_chunk(None, s4, p, hx_p, wx_p)
+            _, y = self._gather_chunk(None, s4, p, hx_p, wx_p, hx, wx)
             return y
         pch = jnp.moveaxis(p.reshape(b, h // hc, hc, w, p.shape[3], 2), 1, 0)
 
         def body(mdl, carry, s4b, pb):
-            return type(mdl)._gather_chunk(mdl, carry, s4b, pb, hx_p, wx_p)
+            return type(mdl)._gather_chunk(mdl, carry, s4b, pb, hx_p, wx_p, hx, wx)
 
         scan = nn.scan(
             nn.remat(body, prevent_cse=False),
@@ -713,6 +756,14 @@ class LDConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.sampling not in ("auto", "dense", "gather"):
+            raise ValueError(
+                f"LDConv sampling={self.sampling!r}: expected 'auto', 'dense' "
+                "or 'gather' (check EY_LDCONV_SAMPLING)")
+        if self.border not in ("torch", "unity"):
+            raise ValueError(
+                f"LDConv border={self.border!r}: expected 'torch' or 'unity' "
+                "(check EY_LDCONV_BORDER)")
         n = self.num_param
         R = self.window_r
         offset = nn.Conv(
@@ -770,21 +821,25 @@ class LDConv(nn.Module):
         ws_r = (hc - 1) * self.stride + max_pr + 2 * R + 2
 
         if self.sampling == "dense":
-            y = self._dense_all(xp, off, hc, ws_r)
+            y = self._dense_all(xp, off, hc, ws_r, hx, wx)
         elif self.sampling == "gather":
-            y = self._gather_all(xp, p, hc, hx_p, wx_p)
+            y = self._gather_all(xp, p, hc, hx_p, wx_p, hx, wx)
         else:
             # ONE layer-level cond: the fallback's cost stays inside its
             # branch (see _dense_all docstring for why per-chunk conds lose)
             y = nn.cond(
                 pred,
-                lambda mdl, xpb, ob, pb: mdl._dense_all(xpb, ob, hc, ws_r),
-                lambda mdl, xpb, ob, pb: mdl._gather_all(xpb, pb, hc, hx_p, wx_p),
+                lambda mdl, xpb, ob, pb: mdl._dense_all(xpb, ob, hc, ws_r, hx, wx),
+                lambda mdl, xpb, ob, pb: mdl._gather_all(
+                    xpb, pb, hc, hx_p, wx_p, hx, wx),
                 self, xp, off, p,
             )
 
+        # NB: unlike the repo-wide Conv (ultralytics BatchNorm2d(eps=1e-3,
+        # momentum=0.03)), the reference LDConv wraps a BARE nn.BatchNorm2d
+        # (conv.py:355) — torch defaults eps=1e-5, momentum=0.1.
         y = MemBatchNorm(
-            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, name="bn",
         )(y)
         return jax.nn.silu(y)
