@@ -807,7 +807,15 @@ class LDConv(nn.Module):
         p = jnp.stack([pr, pc], axis=-1)  # (B, h, w, N, 2)
 
         # dense path is exact iff floor(off) lands in [-R, R] on both axes
-        pred = jnp.all(off >= -float(R)) & jnp.all(off < float(R) + 1.0)
+        inside = (off >= -float(R)) & (off < float(R) + 1.0)
+        pred = jnp.all(inside)
+        # Observability for the auto-cond (ADVICE r4): once ONE offset
+        # anywhere drifts past R the whole layer silently takes the ~100x
+        # slower gather fallback forever. Sow the in-window fraction so
+        # training/val loops can surface the regression (readable via
+        # mutable=['intermediates'] -> '.../dense_ok_frac').
+        self.sow("intermediates", "dense_ok_frac",
+                 jnp.mean(inside.astype(jnp.float32)))
 
         # Chunk output rows so the sampled-feature temporary stays under
         # chunk_budget regardless of batch (unchunked, DEAL-LD layer 0 at

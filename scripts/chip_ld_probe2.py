@@ -94,9 +94,7 @@ def timeit(fn, x, variables=None):
     t0 = time.perf_counter()
     run(STEPS)
     t1 = time.perf_counter()
-    run(3)
-    t2 = time.perf_counter()
-    return ((t1 - t0) - (t2 - t1) * 0) * 1000 / STEPS
+    return (t1 - t0) * 1000 / STEPS
 
 
 def main():
