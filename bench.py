@@ -319,6 +319,26 @@ def main() -> None:
     # — packed_xla train 501.8 vs 672.5 img/s, packed inference 6456 vs 9099;
     # the packed forms lose and stay gated off by default.
 
+    # the paper's OTHER flagship: DEAL-YOLO-LD (LDConv everywhere). Loop-mode
+    # timing throughout: LDConv's internal row-chunk lax.scan faults the TPU
+    # worker when nested inside the outer timing scan (round 4, chip), and
+    # the jit-call chain is the production dispatch pattern anyway.
+    try:
+        ld = DetectionModel("yolov8-LD-P2.yaml", dtype=jnp.bfloat16)
+        lv = ld.init(jax.random.PRNGKey(0))
+        v = bench_batch_loop(ld, lv, 64)
+        extras["deal_ld_p2_infer_img_s"] = round(v, 1)
+        print(f"deal-yolo LD-P2 infer batch 64: {v:.1f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"LD infer bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    try:
+        tv = bench_train_step("yolov8-LD-P2.yaml", batch=32, loop=True)
+        extras["deal_ld_p2_train_img_s"] = round(tv, 1)
+        extras["deal_ld_p2_train_batch"] = 32
+        print(f"deal-yolo LD-P2 train batch 32: {tv:.1f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"LD train bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     model = DetectionModel("yolov8n.yaml", nc=80, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0))
 
