@@ -843,11 +843,12 @@ class LDConv(nn.Module):
                 self, xp, off, p,
             )
 
-        # NB: unlike the repo-wide Conv (ultralytics BatchNorm2d(eps=1e-3,
-        # momentum=0.03)), the reference LDConv wraps a BARE nn.BatchNorm2d
-        # (conv.py:355) — torch defaults eps=1e-5, momentum=0.1.
+        # LDConv wraps a bare nn.BatchNorm2d (conv.py:355), but the
+        # reference's initialize_weights (torch_utils.py:348-350) resets
+        # EVERY BatchNorm2d in the built model to eps=1e-3/momentum=0.03 —
+        # so LDConv's BN matches the repo-wide Conv BN after all.
         y = MemBatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
             dtype=self.dtype, param_dtype=jnp.float32, name="bn",
         )(y)
         return jax.nn.silu(y)

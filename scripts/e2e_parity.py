@@ -80,6 +80,8 @@ def train_ours(cfg: str, data_yaml: Path, run_root: Path, epochs: int, imgsz: in
 
 
 def val_ours(ckpt_dir: Path, data_yaml: Path, imgsz: int, quirk: bool = True):
+    import jax
+
     from experiment_yolo_tpu.engine.checkpoint import load_checkpoint
     from experiment_yolo_tpu.engine.validator import DetectionValidator
 
@@ -88,7 +90,11 @@ def val_ours(ckpt_dir: Path, data_yaml: Path, imgsz: int, quirk: bool = True):
     # (arbitrary first keep in array order + lone-survivor drop, ops.py:260)
     v = DetectionValidator(args={"data": str(data_yaml), "imgsz": imgsz, "batch": 8, "plots": False,
                                  "soft_nms_quirk": quirk})
-    return v(model, variables), (model, variables)
+    # Reference val is torch f32; TPU f32 convs default to bf16 passes
+    # (~5e-3 rel — layer-0 proof in round-5 notes), which alone moved mAP50
+    # by ~0.007. Pin the 6-pass f32 algorithm for the parity protocol.
+    with jax.default_matmul_precision("highest"):
+        return v(model, variables), (model, variables)
 
 
 def val_reference(cfg: str, ckpt_dir: Path, data_yaml: Path, imgsz: int):
@@ -165,7 +171,10 @@ def box_agreement(model, variables, tmodel, imgsz: int = 640, conf: float = 0.25
 
         ours = DetectionPredictor(model, variables, overrides={"conf": conf, "iou": 0.7, "imgsz": imgsz,
                                                                "batch": 1, "soft_nms_quirk": True})
-        res = ours(str(img_path))[0]
+        import jax
+
+        with jax.default_matmul_precision("highest"):  # torch-f32 comparison
+            res = ours(str(img_path))[0]
         det_o = res.boxes.data  # (n, 6) xyxy, conf, cls
 
         matched = 0
@@ -187,8 +196,13 @@ def box_agreement(model, variables, tmodel, imgsz: int = 640, conf: float = 0.25
     return rows
 
 
-def run_config(cfg, data_yaml, root, epochs, imgsz, batch, ckpt=None):
+def run_config(cfg, data_yaml, root, epochs, imgsz, batch, ckpt=None, reuse=False):
     """Train (or reuse) one config and run both val pipelines + agreement."""
+    if ckpt is None and reuse:
+        cand = root / "train" / f"{Path(cfg).stem}_synth" / "weights" / "best"
+        if (cand / "meta.yaml").exists():
+            print(f"[{cfg}/train] reusing {cand}")
+            ckpt = cand
     if ckpt is None:
         t0 = time.time()
         ckpt = train_ours(cfg, data_yaml, root, epochs, imgsz, batch)
@@ -237,10 +251,12 @@ def main(argv):
         root / "dataset", n_train=n_train, n_val=n_val, imgsz=imgsz, seed=7
     )
 
+    reuse = kv.get("reuse", "0") not in ("0", "", "false")
     results = []
     for cfg in cfgs:
         ckpt = Path(kv["ckpt"]) if "ckpt" in kv and len(cfgs) == 1 else None
-        results.append(run_config(cfg, data_yaml, root, epochs, imgsz, batch, ckpt))
+        results.append(run_config(cfg, data_yaml, root, epochs, imgsz, batch, ckpt,
+                                  reuse=reuse))
 
     def fmt_row(r):
         verdict = "PASS" if r["d50"] <= 0.003 else f"FAIL ({r['d50']:.4f})"

@@ -28,6 +28,11 @@ import torch
 
 
 def main(argv):
+    import jax
+
+    # torch CPU is exact f32; TPU f32 convs default to bf16 passes (~5e-3
+    # rel), which would mask real divergences behind precision noise
+    jax.config.update("jax_default_matmul_precision", "highest")
     kv = dict(a.partition("=")[::2] for a in argv)
     ckpt = Path(kv.get("ckpt", REPO / "runs/parity/train/yolov8n_synth/weights/best"))
 

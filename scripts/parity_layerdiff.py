@@ -24,6 +24,12 @@ import torch
 
 
 def main(argv):
+    import jax
+
+    # torch CPU is exact f32; TPU f32 convs default to bf16 passes (~5e-3
+    # rel), which reads as a fake layer-0 divergence (round-5 lesson)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     kv = dict(a.partition("=")[::2] for a in argv)
     ckpt = Path(kv.get("ckpt", REPO / "runs/parity/train/yolov8n_synth/weights/best"))
     img_name = kv.get("img", "bus.jpg")
