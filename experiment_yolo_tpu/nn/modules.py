@@ -766,13 +766,24 @@ class LDConv(nn.Module):
                 "(check EY_LDCONV_BORDER)")
         n = self.num_param
         R = self.window_r
+        # The reference zero-inits ONLY p_conv.weight (conv.py:357); the BIAS
+        # keeps torch Conv2d's default uniform(+-1/sqrt(fan_in)) — so initial
+        # offsets are small random per-channel constants, not exactly zero.
+        # Replicate: exactly-integer starting offsets sit on the bilinear
+        # hat's derivative kink and train differently.
+        fan_in = x.shape[-1] * 9
+
+        def _torch_bias_init(key, shape, dtype=jnp.float32):
+            b = 1.0 / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -b, b)
+
         offset = nn.Conv(
             features=2 * n,
             kernel_size=(3, 3),
             strides=(self.stride, self.stride),
             padding=[(1, 1), (1, 1)],
             kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
+            bias_init=_torch_bias_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="p_conv",

@@ -51,6 +51,11 @@ def _build_pair(
 
     torch.manual_seed(seed)
     tm = torch_ldconv(inc, outc, num_param, stride=stride)
+    # in a BUILT reference model, initialize_weights (torch_utils.py:348-350)
+    # resets every BatchNorm2d to eps=1e-3/momentum=0.03 — replicate that
+    # in-model reality on the raw module (our LDConv uses 1e-3 to match)
+    tm.conv[1].eps = 1e-3
+    tm.conv[1].momentum = 0.03
     with torch.no_grad():
         # large offsets: the whole point — stock zero-init never leaves ±0.1
         tm.p_conv.weight.normal_(0, 0.5 * offset_scale)
