@@ -15,7 +15,32 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+
+
+def _torch_step_plan(nb: int, epochs: int, warmup_epochs: float, k_full: int):
+    """Simulate the reference's optimizer firing plan (trainer.py:783-815).
+
+    During warmup (nw = max(round(warmup_epochs*nb), 100) batches) accumulate
+    ramps 1 -> k_full; the optimizer fires at batch ni whenever
+    ni - last_opt_step >= accumulate. Returns (k_table, ni_table): for
+    update u, k_table[u] batches were accumulated and ni_table[u] is the
+    batch index whose interpolated warmup LR/momentum the update sees.
+    """
+    nw = max(round(warmup_epochs * nb), 100) if warmup_epochs > 0 else -1
+    total = max(nb * epochs, 1)
+    ks, nis, last, acc = [], [], -1, k_full
+    for ni in range(total):
+        if ni <= nw:
+            acc = max(1, int(round(np.interp(ni, [0, nw], [1, k_full]))))
+        if ni - last >= acc:
+            ks.append(ni - last)
+            nis.append(ni)
+            last = ni
+    if not ks:  # degenerate tiny runs: one update of everything
+        ks, nis = [total], [total - 1]
+    return np.asarray(ks, np.int32), np.asarray(nis, np.int32)
 
 
 def param_group_label(path: tuple, leaf) -> str:
@@ -154,15 +179,27 @@ def build_optimizer(
     lr_fn, bias_lr_fn, momentum_fn = warmup_schedules(
         lr0, lf, nb, warmup_epochs, warmup_bias_lr, warmup_momentum, momentum
     )
+    k_table = ni_table = None
     if accumulate > 1:
-        # The chain is wrapped in optax.MultiSteps below, so the inner step
-        # counter advances once per `accumulate` micro-batches. The reference
-        # indexes its warmup/decay schedules by the micro-batch counter ni
-        # (trainer.py:785-794), so map inner step -> ni before evaluating.
-        def _microstep(f):
-            return lambda step: f(step * accumulate)
+        # The reference does NOT step every `accumulate` batches from step 0:
+        # during warmup it RAMPS accumulate from 1 to nbs/batch
+        # (trainer.py:786) and fires whenever ni - last_opt_step >= accumulate
+        # (trainer.py:813) — i.e. the optimizer updates nearly every batch
+        # early on, exactly the phase where training dynamics are set.
+        # Round-5 controls showed our fixed-k stepping losing the early phase
+        # on every config. Precompute the reference's exact firing plan:
+        # update u fires at batch ni_table[u] having accumulated k_table[u]
+        # batches; MultiSteps + the schedules are driven by these tables.
+        k_table, ni_table = _torch_step_plan(
+            nb, epochs, warmup_epochs if warmup_epochs > 0 else 0.0, accumulate
+        )
 
-        lr_fn, bias_lr_fn, momentum_fn = map(_microstep, (lr_fn, bias_lr_fn, momentum_fn))
+        def _at_ni(f, tab=ni_table):
+            t = jnp.asarray(tab, jnp.float32)
+            return lambda step: f(t[jnp.clip(step, 0, t.shape[0] - 1)])
+
+        lr_fn, bias_lr_fn, momentum_fn = (
+            _at_ni(lr_fn), _at_ni(bias_lr_fn), _at_ni(momentum_fn))
 
     if name == "SGD":
         opt = yolo_sgd(lr_fn, bias_lr_fn, momentum_fn, weight_decay, labels, nesterov=True)
@@ -191,13 +228,22 @@ def build_optimizer(
     if accumulate > 1:
         # optax.MultiSteps delivers the MEAN of the k accumulated gradients;
         # the reference accumulates grad SUMS via repeated .backward() before
-        # stepping (trainer.py:798-817). Scale back to the sum before the
-        # global-norm clip so both the clip threshold and the effective step
-        # magnitude match torch semantics.
+        # stepping (trainer.py:798-817). Scale back to the sum (by the
+        # PER-UPDATE k from the firing plan) before the global-norm clip so
+        # both the clip threshold and the step magnitude match torch.
+        kt_i = jnp.asarray(k_table, jnp.int32)
+        kt_f = jnp.asarray(k_table, jnp.float32)
+
+        def _k_int(step):
+            return kt_i[jnp.clip(step, 0, kt_i.shape[0] - 1)]
+
+        def _k_float(step):
+            return kt_f[jnp.clip(step, 0, kt_f.shape[0] - 1)]
+
         chain = optax.chain(
-            optax.scale(float(accumulate)), optax.clip_by_global_norm(clip_norm), opt
+            optax.scale_by_schedule(_k_float), optax.clip_by_global_norm(clip_norm), opt
         )
-        chain = optax.MultiSteps(chain, every_k_schedule=accumulate)
+        chain = optax.MultiSteps(chain, every_k_schedule=_k_int)
     else:
         chain = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     return chain

@@ -121,7 +121,11 @@ def test_grad_accumulation_torch_semantics():
             assert float(jnp.abs(upd["w"]).max()) == 0.0  # mid-accumulation: no step
         p = optax.apply_updates(p, upd)
 
-    # hand-rolled torch-SGD on summed grads, schedules at ni = step * k
+    # hand-rolled torch-SGD on summed grads. Schedules index by the
+    # micro-batch counter ni AT WHICH THE UPDATE FIRES: torch steps when
+    # ni - last_opt_step >= accumulate (trainer.py:813), i.e. at
+    # ni = s*k + (k-1) with no warmup ramp — the lr/momentum applied are the
+    # ones interpolated at that firing batch.
     from experiment_yolo_tpu.optim.builders import lr_lambda, warmup_schedules
 
     lf = lr_lambda(kw["epochs"], kw["lrf"], kw["cos_lr"])
@@ -131,7 +135,7 @@ def test_grad_accumulation_torch_semantics():
     ref = {"w": np.ones((4, 4)), "b": np.zeros(4)}
     buf = {"w": np.zeros((4, 4)), "b": np.zeros(4)}
     for s in range(2):
-        ni = s * k
+        ni = s * k + (k - 1)
         mu, lw, lb = float(mom_fn(ni)), float(lr_fn(ni)), float(bias_lr_fn(ni))
         for key, lr in (("w", lw), ("b", lb)):
             G = np.full_like(ref[key], 0.01) * k  # summed over k micro-batches
@@ -139,3 +143,26 @@ def test_grad_accumulation_torch_semantics():
             ref[key] -= lr * (G + mu * buf[key])  # nesterov
     np.testing.assert_allclose(np.asarray(p["w"]), ref["w"], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p["head"]["bias"]), ref["b"], rtol=1e-5)
+
+
+def test_torch_step_plan_matches_reference_loop():
+    """_torch_step_plan must reproduce the reference's exact firing pattern
+    (trainer.py:783-815): accumulate ramps 1 -> k during the nw-batch warmup
+    (so the optimizer steps nearly every batch early), k batches thereafter,
+    and every batch lands in exactly one update."""
+    from experiment_yolo_tpu.optim.builders import _torch_step_plan
+
+    ks, nis = _torch_step_plan(nb=6, epochs=60, warmup_epochs=3.0, k_full=4)
+    assert nis[0] == 0 and ks[0] == 1  # steps on the very first batch
+    # early phase: consecutive batches
+    assert nis[:5].tolist() == [0, 1, 2, 3, 4]
+    # after warmup (nw = 100): every 4th batch
+    import numpy as np
+
+    tail = np.diff(nis[-10:])
+    assert (tail == 4).all()
+    # partition: accumulated batch counts cover every batch exactly once
+    assert ks.sum() == nis[-1] + 1
+    # no-warmup plan: plain every-k stepping, firing at the k-th batch
+    ks0, nis0 = _torch_step_plan(nb=8, epochs=10, warmup_epochs=0.0, k_full=4)
+    assert nis0[:3].tolist() == [3, 7, 11] and set(ks0.tolist()) == {4}
