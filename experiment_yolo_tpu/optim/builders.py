@@ -82,8 +82,13 @@ def warmup_schedules(
     Reference trainer.py:785-794: during the first nw = max(warmup_epochs*nb,
     100) steps, LR ramps linearly from 0 (bias: warmup_bias_lr) to
     lr0*lf(epoch) and momentum from warmup_momentum to momentum.
+    warmup_epochs <= 0 disables warmup entirely (trainer.py:747 sets nw=-1),
+    including the 100-step floor.
     """
-    nw = max(round(warmup_epochs * nb), 100)
+    nw = max(round(warmup_epochs * nb), 100) if warmup_epochs > 0 else 0
+    if nw == 0:
+        lf_t = lambda step: lr0 * lf(jnp.floor(step / nb))
+        return lf_t, lf_t, (lambda step: jnp.full_like(jnp.asarray(step, jnp.float32), momentum))
 
     def lr_at(step, start):
         e = step / nb  # fractional epoch

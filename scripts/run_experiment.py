@@ -72,7 +72,11 @@ def full_val(ckpt: Path, data_yaml: Path, imgsz: int) -> dict:
 
 def main(argv):
     kv = parse_key_value(argv)
-    seeds = [int(s) for s in str(kv.get("seeds", "0,1,2")).split(",")]
+    raw_seeds = kv.get("seeds", "0,1,2")
+    if isinstance(raw_seeds, (list, tuple)):
+        seeds = [int(s) for s in raw_seeds]
+    else:
+        seeds = [int(s) for s in str(raw_seeds).split(",")]
     epochs = int(kv.get("epochs", 40))
     imgsz = int(kv.get("imgsz", 320))
     batch = int(kv.get("batch", 16))
