@@ -67,8 +67,13 @@ def main(argv):
 
     TorchTrainer.validate = sparse_validate
 
+    extra = {}
+    for key in ("mosaic", "scale", "translate", "fliplr", "hsv_h", "hsv_s", "hsv_v"):
+        if key in kv:
+            extra[key] = float(kv[key])
     t = TorchTrainer(
         overrides=dict(
+            **extra,
             model=str(ref_yaml),
             data=str(data),
             epochs=epochs,
